@@ -1,0 +1,88 @@
+"""Pure-python reference engine (no Spark): tokenize → BM25 → top-k.
+
+This is the truth every Spark path must match rank-identically
+(SURVEY.md §7.2 M0). It plays the role Elasticsearch/Lucene plays for the
+reference repo — the scoring semantics the indexer feeds
+(osu.ElasticIndexer/schemas/scores.json configures the index; BM25 constants
+k1=1.2, b=0.75 from BASELINE.json north_star).
+
+Formula (float64 throughout, SURVEY.md §4 #5):
+  idf(t)    = ln(1 + (N - df + 0.5) / (df + 0.5))
+  tfnorm    = tf / (tf + k1 * (1 - b + b * dl / avgdl))
+  score(d)  = sum over query terms of idf * tfnorm
+  ties broken by doc_id ascending.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from .functions.textprep import extract_text, tokenize
+
+K1 = 1.2
+B = 0.75
+
+
+@dataclass
+class OracleIndex:
+    n_docs: int
+    avgdl: float
+    dl: dict[int, int]  # doc_id -> doc length in tokens
+    postings: dict[str, dict[int, int]]  # term -> {doc_id: tf}
+
+
+def build_index(docs: list[tuple[int, str]]) -> OracleIndex:
+    """docs: [(doc_id, text)] — only indexable docs (caller applies the
+    ShouldIndex-analog predicate, Score.cs:33)."""
+    dl: dict[int, int] = {}
+    postings: dict[str, dict[int, int]] = {}
+    for doc_id, text in docs:
+        toks = tokenize(text)
+        if not toks:
+            continue
+        dl[doc_id] = len(toks)
+        counts: dict[str, int] = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        for t, tf in counts.items():
+            postings.setdefault(t, {})[doc_id] = tf
+    n = len(dl)
+    avgdl = (sum(dl.values()) / n) if n else 0.0
+    return OracleIndex(n_docs=n, avgdl=avgdl, dl=dl, postings=postings)
+
+
+def idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def tf_norm(tf: int, dl: int, avgdl: float) -> float:
+    return tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+def search(index: OracleIndex, query_text: str, k: int = 10) -> list[tuple[int, float]]:
+    """-> [(doc_id, score)] top-k, score desc, doc_id asc on ties.
+
+    Duplicate query terms contribute once (bag-of-words dedup — matches the
+    Spark engine, which joins on distinct query terms)."""
+    terms = sorted(set(tokenize(query_text)))
+    scores: dict[int, float] = {}
+    for t in terms:
+        plist = index.postings.get(t)
+        if not plist:
+            continue
+        w = idf(index.n_docs, len(plist))
+        for doc_id, tf in plist.items():
+            scores[doc_id] = scores.get(doc_id, 0.0) + w * tf_norm(
+                tf, index.dl[doc_id], index.avgdl
+            )
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:k]
+
+
+def search_corpus(
+    corpus: list[tuple[int, bytes]], query_text: str, k: int = 10
+) -> list[tuple[int, float]]:
+    """End-to-end oracle over raw html: extract → index → search."""
+    docs = [(i, extract_text(h) or "") for i, h in corpus]
+    return search(build_index(docs), query_text, k)

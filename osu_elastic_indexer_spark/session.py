@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for the index build + query workload.
+
+Local testing runs on local[$SPARK_GRAFT_CPUS]; the same conf ships to a
+multi-executor cluster unchanged (spark-submit --py-files). Everything here
+is plain public Spark configuration.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "osu-elastic-indexer-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    cores: parallelism for local mode; None -> $SPARK_GRAFT_CPUS or '*'.
+    """
+    env_cores = os.environ.get("SPARK_GRAFT_CPUS")
+    if cores is None:
+        master = f"local[{env_cores}]" if env_cores else "local[*]"
+        n = int(env_cores) if env_cores else (os.cpu_count() or 8)
+    else:
+        master = f"local[{cores}]"
+        n = cores
+    if shuffle_partitions is None:
+        shuffle_partitions = max(n, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # shuffle sized to the core count at test scale; at cluster scale
+        # AQE coalesces / splits as needed
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow everywhere: the build pipeline is pandas-UDF heavy
+        # (input_hint mandates vectorized UDFs, no per-row Python)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bound pandas-UDF group/batch memory (SURVEY §4: per-partition SPIMI
+        # segments must fit executor memory); 10k == reference BATCH_SIZE
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        # local-mode memory headroom for the 32-thread bench JVM
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

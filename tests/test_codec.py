@@ -1,0 +1,90 @@
+"""Unit tests: varbyte / delta-gap / block metadata (SURVEY.md §5.2 tier 1)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from osu_elastic_indexer_spark.functions.codec import (
+    BLOCK,
+    decode_postings,
+    delta_decode,
+    delta_encode,
+    encode_postings,
+    merge_encoded,
+    varbyte_decode,
+    varbyte_encode,
+)
+
+
+def test_varbyte_empty():
+    assert varbyte_encode(np.array([], dtype=np.uint64)) == b""
+    assert varbyte_decode(b"").size == 0
+
+
+def test_varbyte_known_values():
+    # 0 -> 0x00; 127 -> 0x7f; 128 -> 0x80 0x01 (LEB128 little-endian)
+    assert varbyte_encode(np.array([0], dtype=np.uint64)) == b"\x00"
+    assert varbyte_encode(np.array([127], dtype=np.uint64)) == b"\x7f"
+    assert varbyte_encode(np.array([128], dtype=np.uint64)) == b"\x80\x01"
+    assert list(varbyte_decode(b"\x80\x01")) == [128]
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=0, max_size=300)
+)
+@settings(max_examples=100, deadline=None)
+def test_varbyte_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    out = varbyte_decode(varbyte_encode(arr))
+    assert list(out) == vals
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**40), min_size=1, max_size=400, unique=True
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_delta_roundtrip(ids):
+    ids = sorted(ids)
+    arr = np.array(ids, dtype=np.int64)
+    assert list(delta_decode(delta_encode(arr))) == ids
+
+
+def test_postings_roundtrip_and_blocks():
+    rng = np.random.default_rng(7)
+    n = 1000
+    doc_ids = np.sort(rng.choice(10**7, size=n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 50, n).astype(np.int64)
+    enc = encode_postings(doc_ids, tfs)
+    d, t = decode_postings(enc["docs_blob"], enc["tfs_blob"])
+    assert np.array_equal(d, doc_ids)
+    assert np.array_equal(t, tfs)
+    n_blocks = (n + BLOCK - 1) // BLOCK
+    assert len(enc["block_first"]) == n_blocks
+    assert enc["block_first"][0] == doc_ids[0]
+    assert enc["block_last"][-1] == doc_ids[-1]
+    # block max_tf correct per block
+    for b in range(n_blocks):
+        lo, hi = b * BLOCK, min((b + 1) * BLOCK, n)
+        assert enc["block_max_tf"][b] == tfs[lo:hi].max()
+
+
+def test_merge_disjoint_ranges():
+    a = encode_postings(np.array([1, 5, 9]), np.array([2, 1, 3]))
+    b = encode_postings(np.array([100, 200]), np.array([7, 1]))
+    m = merge_encoded([a, b])
+    d, t = decode_postings(m["docs_blob"], m["tfs_blob"])
+    assert list(d) == [1, 5, 9, 100, 200]
+    assert list(t) == [2, 1, 3, 7, 1]
+    assert m["n_docs"] == 5
+
+
+def test_compression_actually_compresses():
+    # dense ascending ids -> ~1 byte per gap
+    ids = np.arange(0, 100_000, dtype=np.int64)
+    tfs = np.ones(100_000, dtype=np.int64)
+    enc = encode_postings(ids, tfs)
+    assert len(enc["docs_blob"]) < 110_000  # vs 800k raw int64
+    assert len(enc["tfs_blob"]) == 100_000
