@@ -11,6 +11,35 @@ import os
 
 from pyspark.sql import SparkSession
 
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Python workers regardless of the
+    driver's cwd: zip it and addPyFile (the runtime equivalent of
+    ``spark-submit --py-files``, which is how the north_rule says the job
+    runs on a real cluster). Idempotent per session."""
+    key = id(spark)
+    if key in _SHIPPED_SESSIONS:
+        return
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join("/tmp", f"{pkg_name}-{os.getpid()}.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.join(
+                            pkg_name, os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_SESSIONS.add(key)
+
 
 def get_spark(
     app_name: str = "osu-elastic-indexer-spark",

@@ -50,9 +50,18 @@ def generate_documents(n_docs: int, seed: int = SEED) -> pa.Table:
     # doc lengths ~ lognormal(mu=5.0, sigma=0.6): median ~148 tokens
     dls = np.clip(rng.lognormal(5.0, 0.6, n_docs).astype(np.int64), 8, 4000)
 
-    # Zipf(1.3) over the vocab — heavy head, long tail
-    zipf_ranks = rng.zipf(1.3, size=int(dls.sum()) + n_docs * 4)
-    zipf_ranks = zipf_ranks[zipf_ranks <= VOCAB_SIZE][: int(dls.sum())] - 1
+    # Zipf(1.3) over the vocab — heavy head, long tail. Rejection-sample with
+    # a margin: ~5% of draws exceed VOCAB_SIZE and are discarded, so keep
+    # drawing until the pool covers sum(dls).
+    need = int(dls.sum())
+    pool: list[np.ndarray] = []
+    have = 0
+    while have < need:
+        draw = rng.zipf(1.3, size=max(need - have, 1) * 2 + 1024)
+        draw = draw[draw <= VOCAB_SIZE]
+        pool.append(draw)
+        have += draw.size
+    zipf_ranks = np.concatenate(pool)[:need] - 1
 
     urls, texts, langs, tss, htmls = [], [], [], [], []
     pos = 0
