@@ -1,18 +1,19 @@
-"""Posting-list compression: delta-gap + varbyte, with per-block max-score.
+"""Posting-list compression: block-wise delta-gap + varbyte, per-block max-tf.
 
-The reference delegates this entirely to Lucene (Elasticsearch stores the
-postings); we build it from scratch per BASELINE.json north_star:
-"delta-gap varbyte/PForDelta-compressed postings with per-block max-score
-metadata". numpy-vectorized — these run inside applyInPandas groups on the
-executors, never per-row Python.
+The reference delegates storage to Lucene (Elasticsearch holds the postings);
+we build it from scratch per BASELINE.json north_star: "delta-gap
+varbyte/PForDelta-compressed postings with per-block max-score metadata".
+numpy-vectorized — these run inside applyInPandas groups on executors, never
+per-row Python.
 
 Layout of one encoded posting list for a term:
-  doc_ids: sorted ascending -> delta gaps (first = doc_id[0]+1 so every
-           value is >=1) -> varbyte
-  tfs:     varbyte as-is (tf >= 1)
-  blocks:  fixed BLOCK docs per block; per block we keep
-           (first_doc, last_doc, byte offsets, max "score hint" tf/(tf+C))
-           enabling block-max WAND skipping without decoding.
+  * docs are split into fixed blocks of BLOCK (=128) entries
+  * each block's doc_ids are delta-encoded INDEPENDENTLY (first element
+    stored as doc_id+1, then gaps) and varbyte-compressed — so a block can
+    be decoded without touching preceding blocks
+  * per block we keep (first_doc, last_doc, byte offsets into the blobs,
+    max_tf) — first/last/max_tf drive block-max WAND skipping; offsets make
+    skipped blocks truly skip their decode cost
 """
 
 from __future__ import annotations
@@ -40,7 +41,6 @@ def varbyte_encode(values: np.ndarray) -> bytes:
         tmp = tmp >> np.uint64(7)
     total = int(lengths.sum())
     out = np.empty(total, dtype=np.uint8)
-    # positions of each value's first byte
     starts = np.zeros(v.size, dtype=np.int64)
     np.cumsum(lengths[:-1], out=starts[1:])
     work = v.copy()
@@ -60,30 +60,27 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
-def varbyte_decode(data: bytes) -> np.ndarray:
+def varbyte_decode(data: bytes | memoryview) -> np.ndarray:
     """Vectorized varbyte decode -> uint64 array."""
     if not data:
         return np.empty(0, dtype=np.uint64)
     raw = np.frombuffer(data, dtype=np.uint8)
     is_cont = (raw & 0x80) > 0
-    # value ends where continuation bit is clear
     ends = np.nonzero(~is_cont)[0]
     starts = np.empty_like(ends)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
     payload = (raw & 0x7F).astype(np.uint64)
-    # shift each byte by 7 * (position within its value)
     positions = np.arange(raw.size, dtype=np.int64)
     value_start = np.repeat(starts, ends - starts + 1)
     shifts = ((positions - value_start) * 7).astype(np.uint64)
     shifted = payload << shifts
-    # segment sum via cumulative trick
     csum = np.concatenate(([np.uint64(0)], np.cumsum(shifted, dtype=np.uint64)))
     return csum[ends + 1] - csum[starts]
 
 
 # ---------------------------------------------------------------------------
-# delta-gap
+# delta-gap (within one block)
 # ---------------------------------------------------------------------------
 
 
@@ -109,56 +106,113 @@ def delta_decode(gaps: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# posting-list encode/decode with block metadata
+# block-addressable posting-list encode/decode
 # ---------------------------------------------------------------------------
 
 
-def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> dict:
+def encode_postings(
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray | None = None
+) -> dict:
     """Encode one term's postings (doc_ids sorted strictly ascending).
 
-    Returns dict with binary payloads + numpy block metadata; the caller
-    flattens this into the segments-table row (one row per term per segment).
+    ``dls`` (per-posting document length) is stored alongside tf — the analog
+    of Lucene's per-doc norms — so BM25 scoring is self-contained per block
+    with no docmap join at query time. Per-block (max_tf, min_dl) give a
+    tight, avgdl-independent score upper bound for block-max WAND:
+    tfnorm(tf, dl) is increasing in tf and decreasing in dl, so
+    tfnorm(max_tf, min_dl) bounds every posting in the block.
+
+    Returns the segments-table payload:
+      docs_blob, tfs_blob, dls_blob : bytes
+      doc_offs, tf_offs, dl_offs    : int64[n_blocks+1] byte offsets
+      block_first/last              : int64[n_blocks]
+      block_max_tf, block_min_dl    : int64[n_blocks]
+      n_docs, max_tf                : ints
     """
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
+    if dls is None:
+        dls = np.ones_like(tfs)
+    dls = np.asarray(dls, dtype=np.int64)
     n = doc_ids.size
-    assert n > 0 and tfs.size == n
+    assert n > 0 and tfs.size == n and dls.size == n
     n_blocks = (n + BLOCK - 1) // BLOCK
-    block_first = doc_ids[::BLOCK].copy()
-    last_idx = np.minimum(np.arange(1, n_blocks + 1) * BLOCK, n) - 1
-    block_last = doc_ids[last_idx].copy()
-    # per-block max tf: the score-hint; true max-score is derived at query
-    # time as idf * (max_tf_norm upper bound), see operators/search.py
-    pad = (-n) % BLOCK
-    tf_padded = np.concatenate([tfs, np.zeros(pad, dtype=np.int64)])
-    block_max_tf = tf_padded.reshape(n_blocks, BLOCK).max(axis=1)
+    docs_parts: list[bytes] = []
+    tfs_parts: list[bytes] = []
+    dls_parts: list[bytes] = []
+    doc_offs = np.zeros(n_blocks + 1, dtype=np.int64)
+    tf_offs = np.zeros(n_blocks + 1, dtype=np.int64)
+    dl_offs = np.zeros(n_blocks + 1, dtype=np.int64)
+    block_first = np.empty(n_blocks, dtype=np.int64)
+    block_last = np.empty(n_blocks, dtype=np.int64)
+    block_max_tf = np.empty(n_blocks, dtype=np.int64)
+    block_min_dl = np.empty(n_blocks, dtype=np.int64)
+    for b in range(n_blocks):
+        lo, hi = b * BLOCK, min((b + 1) * BLOCK, n)
+        ids_b, tfs_b, dls_b = doc_ids[lo:hi], tfs[lo:hi], dls[lo:hi]
+        db = varbyte_encode(delta_encode(ids_b))
+        tb = varbyte_encode(tfs_b.astype(np.uint64))
+        lb = varbyte_encode(dls_b.astype(np.uint64))
+        docs_parts.append(db)
+        tfs_parts.append(tb)
+        dls_parts.append(lb)
+        doc_offs[b + 1] = doc_offs[b] + len(db)
+        tf_offs[b + 1] = tf_offs[b] + len(tb)
+        dl_offs[b + 1] = dl_offs[b] + len(lb)
+        block_first[b] = ids_b[0]
+        block_last[b] = ids_b[-1]
+        block_max_tf[b] = tfs_b.max()
+        block_min_dl[b] = dls_b.min()
     return {
         "n_docs": int(n),
-        "docs_blob": varbyte_encode(delta_encode(doc_ids)),
-        "tfs_blob": varbyte_encode(tfs.astype(np.uint64)),
+        "docs_blob": b"".join(docs_parts),
+        "tfs_blob": b"".join(tfs_parts),
+        "dls_blob": b"".join(dls_parts),
+        "doc_offs": doc_offs,
+        "tf_offs": tf_offs,
+        "dl_offs": dl_offs,
         "block_first": block_first,
         "block_last": block_last,
         "block_max_tf": block_max_tf,
+        "block_min_dl": block_min_dl,
         "max_tf": int(tfs.max()),
     }
 
 
-def decode_postings(docs_blob: bytes, tfs_blob: bytes) -> tuple[np.ndarray, np.ndarray]:
-    """-> (doc_ids int64 ascending, tfs int64)."""
-    return delta_decode(varbyte_decode(docs_blob)), varbyte_decode(tfs_blob).astype(
+def decode_block(enc: dict, b: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode block b only -> (doc_ids, tfs, dls). O(block), not O(list)."""
+    do, to, lo = enc["doc_offs"], enc["tf_offs"], enc["dl_offs"]
+    docs = delta_decode(varbyte_decode(memoryview(enc["docs_blob"])[do[b] : do[b + 1]]))
+    tfs = varbyte_decode(memoryview(enc["tfs_blob"])[to[b] : to[b + 1]]).astype(
         np.int64
+    )
+    dls = varbyte_decode(memoryview(enc["dls_blob"])[lo[b] : lo[b + 1]]).astype(
+        np.int64
+    )
+    return docs, tfs, dls
+
+
+def decode_postings(enc: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode all blocks -> (doc_ids int64 ascending, tfs, dls)."""
+    n_blocks = len(enc["block_first"])
+    if n_blocks == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    parts = [decode_block(enc, b) for b in range(n_blocks)]
+    return (
+        np.concatenate([p[0] for p in parts]),
+        np.concatenate([p[1] for p in parts]),
+        np.concatenate([p[2] for p in parts]),
     )
 
 
 def merge_encoded(parts: list[dict]) -> dict:
-    """Merge per-partition encoded postings of ONE term whose doc_id ranges
-    are disjoint and given in ascending range order — concatenation is then
-    order-safe (SURVEY.md §4 custom #1: salted sub-segments cover disjoint
-    docID ranges, so the global list is the ordered concat)."""
-    docs = np.concatenate(
-        [decode_postings(p["docs_blob"], p["tfs_blob"])[0] for p in parts]
-    )
-    tfs = np.concatenate(
-        [decode_postings(p["docs_blob"], p["tfs_blob"])[1] for p in parts]
-    )
-    return encode_postings(docs, tfs)
+    """Merge encoded postings of ONE term whose doc_id ranges are disjoint
+    and given in ascending range order — concatenation is then order-safe
+    (SURVEY.md §4 custom #1: salted sub-segments cover disjoint docID
+    ranges, so the global list is the ordered concat)."""
+    decoded = [decode_postings(p) for p in parts]
+    docs = np.concatenate([d[0] for d in decoded])
+    tfs = np.concatenate([d[1] for d in decoded])
+    dls = np.concatenate([d[2] for d in decoded])
+    return encode_postings(docs, tfs, dls)

@@ -1,0 +1,62 @@
+"""Term dictionary: term -> dense int termID + document frequency (J4).
+
+Not present in the reference repo — Lucene interns terms internally; the
+north_star mandates an explicit "termID dictionary via broadcast hash join".
+
+Scale notes (SURVEY.md §7.4 #5): at 10^12 docs the dictionary has ~10^8
+terms — too big to broadcast whole. Strategy:
+  * the dictionary TABLE is built distributed (dense rank via range
+    partition, same pattern as docmap) and stored as parquet;
+  * the tokens⋈dictionary join broadcasts only when the dictionary is small
+    (toy/test scale), else relies on a shuffle join where AQE's skew-join
+    splitting handles head terms;
+  * QUERY-time lookups never scan: query terms are a tiny set, so the
+    dictionary is filtered with term IN (...) — parquet row-group pruning.
+
+term_id ordering: df desc, term asc — head terms get the smallest ids, which
+clusters hot posting rows together in the segments table (locality, and a
+cheap "is head" test: term_id < n_head).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .docmap import assign_dense_ids
+
+
+def build_dictionary(tf: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """tf (doc_id, term, tf, dl) -> dictionary (term_id, term, df).
+
+    df counts documents (tf rows are unique per (doc, term), so count(*)
+    avoids a distinct-agg). term_id = dense rank over (df desc, term asc).
+    """
+    stats = tf.groupBy("term").agg(F.count("*").alias("df"))
+    return assign_dense_ids(
+        stats, [F.desc("df"), F.asc("term")], "term_id", num_partitions
+    ).select("term_id", "term", F.col("df").cast("bigint").alias("df"))
+
+
+def encode_terms(
+    tf: DataFrame, dictionary: DataFrame, broadcast_threshold: int = 5_000_000
+) -> DataFrame:
+    """tokens ⋈ dictionary -> (term_id, doc_id, tf, dl).
+
+    Broadcasts the dictionary below `broadcast_threshold` rows; above it the
+    join is a plain equi-join on term — AQE handles skew splitting.
+    """
+    dict_small = dictionary.select("term", "term_id")
+    # cheap cardinality probe: dictionary is the output of an agg we are
+    # about to materialize anyway; count() here is a metadata-cheap job
+    n_terms = dict_small.count()
+    right = F.broadcast(dict_small) if n_terms <= broadcast_threshold else dict_small
+    return tf.join(right, "term").select("term_id", "doc_id", "tf", "dl")
+
+
+def lookup_terms(dictionary: DataFrame, terms: list[str]) -> DataFrame:
+    """Query-time point lookups: (term, term_id, df) for the given terms.
+    IN-list filter -> parquet row-group pruning, no full scan."""
+    if not terms:
+        return dictionary.limit(0)
+    return dictionary.filter(F.col("term").isin(list(set(terms))))

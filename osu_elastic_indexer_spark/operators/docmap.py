@@ -25,18 +25,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def assign_doc_ids(
+def assign_dense_ids(
     df: DataFrame,
-    key_col: str = "url",
-    doc_id_col: str = "doc_id",
+    order_cols: list,
+    id_col: str,
     num_partitions: int | None = None,
     start_id: int = 0,
 ) -> DataFrame:
-    """Add a dense-rank ``doc_id`` (int64) over ``key_col``.
+    """Add a dense-rank int64 ``id_col`` over the total order ``order_cols``.
 
     ``start_id`` offsets all ids — incremental builds pass max(existing)+1 so
-    new docs extend the id space (streaming/incremental.py).
-    Requires ``key_col`` values to be unique (they are: url is the PK).
+    new rows extend the id space (streaming/incremental.py).
+    Requires the order to be a total order over rows (unique composite key).
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -44,8 +44,8 @@ def assign_doc_ids(
     num_partitions = max(1, min(num_partitions, 2000))
 
     part = (
-        df.repartitionByRange(num_partitions, F.col(key_col))
-        .sortWithinPartitions(key_col)
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
         .withColumn("__pid", F.spark_partition_id())
     )
     part = part.persist()
@@ -61,7 +61,7 @@ def assign_doc_ids(
 
     out_schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
-        + [f"{doc_id_col} bigint"]
+        + [f"{id_col} bigint"]
     )
 
     def add_ids(batches):
@@ -73,8 +73,19 @@ def assign_doc_ids(
             if offset is None:
                 offset = offsets_bc.value[int(pdf["__pid"].iloc[0])]
             pdf = pdf.drop(columns=["__pid"])
-            pdf[doc_id_col] = offset + local + np.arange(len(pdf), dtype=np.int64)
+            pdf[id_col] = offset + local + np.arange(len(pdf), dtype=np.int64)
             local += len(pdf)
             yield pdf
 
     return part.mapInPandas(add_ids, schema=out_schema)
+
+
+def assign_doc_ids(
+    df: DataFrame,
+    key_col: str = "url",
+    doc_id_col: str = "doc_id",
+    num_partitions: int | None = None,
+    start_id: int = 0,
+) -> DataFrame:
+    """doc_id = dense rank of url (unique PK — FIXTURES.md §1)."""
+    return assign_dense_ids(df, [key_col], doc_id_col, num_partitions, start_id)

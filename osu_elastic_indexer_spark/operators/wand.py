@@ -1,0 +1,375 @@
+"""Block-max WAND top-k over the compressed segments table (O3 [ours]).
+
+The query half the reference delegates to Elasticsearch/Lucene
+(SURVEY.md §3.4). Batched: a whole query set runs as ONE Spark job —
+segment rows for the union of query terms are scanned once (term_id IN
+(...) -> parquet row-group pruning), joined to the per-query term lists, and
+each query's top-k is computed by an exact block-max WAND inside
+applyInPandas (numpy + lazy per-block decode).
+
+Exactness discipline (SURVEY.md §4 #5): upper bounds are used ONLY for
+skipping (skip iff bound < current kth score, strictly); final scores are
+computed from actual (tf, dl) folded in sorted-term order — the same
+accumulation order as the pure-python oracle and the brute-force DataFrame
+scorer, so results are rank-identical including tie-breaks (doc_id asc).
+
+Per-term virtual posting list: a term's segment rows (salted sub-ranges ×
+generations) cover disjoint docID intervals; ordered by doc_min their block
+metadata concatenates into one logical block-addressed list — the salted
+merge needs no physical pass (operators/build.py module doc).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT
+from ..functions import codec
+from ..functions.textprep import tokenize
+
+K1 = DEFAULT.bm25_k1
+B = DEFAULT.bm25_b
+
+RESULT_SCHEMA = "query_id bigint, rank int, doc_id bigint, score double"
+
+
+def _tf_norm(tf: float, dl: float, avgdl: float) -> float:
+    return tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+class _TermCursor:
+    """Iterator over one term's virtual posting list (segment rows ordered by
+    doc_min), with block-level skipping and lazy per-block decode."""
+
+    __slots__ = (
+        "term", "idf", "encs", "blk_row", "blk_in_row", "blk_first",
+        "blk_last", "blk_ub", "n_blocks", "cur_blk", "docs", "tfs", "dls",
+        "pos", "cur_doc", "ub",
+    )
+
+    def __init__(self, term: str, idf: float, rows: list[dict], avgdl: float):
+        self.term = term
+        self.idf = idf
+        self.encs = rows
+        blk_row, blk_in_row, firsts, lasts, ubs = [], [], [], [], []
+        for ri, enc in enumerate(rows):
+            nb = len(enc["block_first"])
+            blk_row.extend([ri] * nb)
+            blk_in_row.extend(range(nb))
+            firsts.extend(enc["block_first"])
+            lasts.extend(enc["block_last"])
+            for b in range(nb):
+                mtf = float(enc["block_max_tf"][b])
+                mdl = float(enc["block_min_dl"][b])
+                ubs.append(idf * _tf_norm(mtf, mdl, avgdl))
+        self.blk_row = np.asarray(blk_row, dtype=np.int64)
+        self.blk_in_row = np.asarray(blk_in_row, dtype=np.int64)
+        self.blk_first = np.asarray(firsts, dtype=np.int64)
+        self.blk_last = np.asarray(lasts, dtype=np.int64)
+        self.blk_ub = np.asarray(ubs, dtype=np.float64)
+        self.n_blocks = len(self.blk_first)
+        self.cur_blk = -1
+        self.docs = self.tfs = self.dls = None
+        self.pos = 0
+        self.cur_doc = -1
+        # term-global upper bound
+        self.ub = float(self.blk_ub.max()) if self.n_blocks else 0.0
+        self._load_block(0)
+
+    def _load_block(self, b: int) -> None:
+        if b >= self.n_blocks:
+            self.cur_doc = 2**62  # exhausted
+            return
+        self.cur_blk = b
+        enc = self.encs[self.blk_row[b]]
+        self.docs, self.tfs, self.dls = codec.decode_block(
+            enc, int(self.blk_in_row[b])
+        )
+        self.pos = 0
+        self.cur_doc = int(self.docs[0])
+
+    def next_geq(self, target: int) -> None:
+        """Advance to the first posting with doc_id >= target."""
+        if self.cur_doc >= target:
+            return
+        if target <= self.blk_last[self.cur_blk]:
+            # within current block
+            self.pos += int(
+                np.searchsorted(self.docs[self.pos :], target, side="left")
+            )
+            self.cur_doc = int(self.docs[self.pos])
+            return
+        b = int(np.searchsorted(self.blk_last, target, side="left"))
+        if b >= self.n_blocks:
+            self.cur_doc = 2**62
+            return
+        self._load_block(b)
+        if target > self.blk_first[b]:
+            self.pos = int(np.searchsorted(self.docs, target, side="left"))
+            self.cur_doc = int(self.docs[self.pos])
+
+    def advance(self) -> None:
+        """Advance by one posting."""
+        self.pos += 1
+        if self.pos < len(self.docs):
+            self.cur_doc = int(self.docs[self.pos])
+        else:
+            self._load_block(self.cur_blk + 1)
+
+    @property
+    def exhausted(self) -> bool:
+        return self.cur_doc >= 2**62
+
+    def block_ub_for(self, doc: int) -> float:
+        """Upper bound of the block that contains (or is next to contain)
+        doc — the block-max part of BMW. Assumes cur_doc <= doc handled by
+        caller ordering; uses metadata only (no decode)."""
+        b = int(np.searchsorted(self.blk_last, doc, side="left"))
+        if b >= self.n_blocks:
+            return 0.0
+        return float(self.blk_ub[b])
+
+    def block_last_for(self, doc: int) -> int:
+        b = int(np.searchsorted(self.blk_last, doc, side="left"))
+        if b >= self.n_blocks:
+            return 2**62
+        return int(self.blk_last[b])
+
+    def contribution(self) -> float:
+        tf = float(self.tfs[self.pos])
+        dl = float(self.dls[self.pos])
+        return self.idf * _tf_norm(tf, dl, float(_AVGDL.val))
+
+
+class _Box:  # tiny mutable holder so _TermCursor.contribution sees avgdl
+    __slots__ = ("val",)
+
+    def __init__(self):
+        self.val = 1.0
+
+
+_AVGDL = _Box()
+
+
+def bmw_topk(
+    term_lists: list[tuple[str, float, list[dict]]],
+    k: int,
+    avgdl: float,
+    tombstones: frozenset[int] | None = None,
+) -> list[tuple[int, float]]:
+    """Exact block-max WAND. term_lists: [(term, idf, segment-row dicts)].
+    Returns [(doc_id, score)] by (score desc, doc_id asc).
+    """
+    _AVGDL.val = avgdl
+    cursors = [
+        _TermCursor(t, idf, rows, avgdl) for t, idf, rows in term_lists if rows
+    ]
+    cursors = [c for c in cursors if not c.exhausted]
+    if not cursors or k <= 0:
+        return []
+    tomb = tombstones or frozenset()
+
+    heap: list[tuple[float, int]] = []  # kept sorted by (-score, doc)
+
+    def theta() -> tuple[float, int]:
+        if len(heap) < k:
+            return (-math.inf, 2**62)
+        return heap[-1]
+
+    def offer(doc: int, score: float) -> None:
+        th_s, th_d = theta()
+        if len(heap) < k or score > th_s or (score == th_s and doc < th_d):
+            heap.append((score, doc))
+            heap.sort(key=lambda sd: (-sd[0], sd[1]))
+            del heap[k:]
+
+    while True:
+        cursors = [c for c in cursors if not c.exhausted]
+        if not cursors:
+            break
+        cursors.sort(key=lambda c: c.cur_doc)
+        th_s, _ = theta()
+        # pivot: first index where cumulative global UB >= theta score
+        # (>= is the conservative tie-safe choice; skip only when strictly <)
+        acc = 0.0
+        pivot = -1
+        for i, c in enumerate(cursors):
+            acc += c.ub
+            if acc >= th_s:
+                pivot = i
+                break
+        if pivot < 0:
+            break  # no doc can reach theta
+        pivot_doc = cursors[pivot].cur_doc
+        if cursors[0].cur_doc == pivot_doc:
+            # all terms 0..pivot are at pivot_doc's range; block-max check
+            blk_acc = 0.0
+            for c in cursors:
+                if c.cur_doc > pivot_doc:
+                    break
+                blk_acc += c.block_ub_for(pivot_doc)
+            if blk_acc >= th_s:
+                # full evaluation, fold in sorted-term order
+                aligned = [c for c in cursors if c.cur_doc == pivot_doc]
+                aligned.sort(key=lambda c: c.term)
+                if pivot_doc not in tomb:
+                    score = 0.0
+                    for c in aligned:
+                        score += c.contribution()
+                    offer(pivot_doc, score)
+                for c in aligned:
+                    c.advance()
+            else:
+                # NextShallow: nothing in [pivot_doc, d') can beat theta
+                d = min(
+                    c.block_last_for(pivot_doc)
+                    for c in cursors
+                    if c.cur_doc <= pivot_doc
+                ) + 1
+                if pivot + 1 < len(cursors):
+                    d = min(d, cursors[pivot + 1].cur_doc)
+                d = max(d, pivot_doc + 1)
+                for c in cursors:
+                    if c.cur_doc < d:
+                        c.next_geq(d)
+        else:
+            # not aligned: advance a term that is strictly behind the pivot
+            # (one with cur_doc == pivot_doc must NOT be picked — next_geq
+            # would be a no-op and the loop would not progress); choose the
+            # largest-UB one (greedy, any strictly-behind term is correct)
+            behind = [c for c in cursors[:pivot] if c.cur_doc < pivot_doc]
+            cand = max(behind, key=lambda c: c.ub)
+            cand.next_geq(pivot_doc)
+    return heap
+
+
+# ---------------------------------------------------------------------------
+# Spark orchestration
+# ---------------------------------------------------------------------------
+
+
+def _row_to_enc(row) -> dict:
+    return {
+        "docs_blob": bytes(row["docs_blob"]),
+        "tfs_blob": bytes(row["tfs_blob"]),
+        "dls_blob": bytes(row["dls_blob"]),
+        "doc_offs": np.asarray(row["doc_offs"], dtype=np.int64),
+        "tf_offs": np.asarray(row["tf_offs"], dtype=np.int64),
+        "dl_offs": np.asarray(row["dl_offs"], dtype=np.int64),
+        "block_first": np.asarray(row["block_first"], dtype=np.int64),
+        "block_last": np.asarray(row["block_last"], dtype=np.int64),
+        "block_max_tf": np.asarray(row["block_max_tf"], dtype=np.int64),
+        "block_min_dl": np.asarray(row["block_min_dl"], dtype=np.int64),
+        "doc_min": int(row["doc_min"]),
+    }
+
+
+def wand_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """Batched top-k over a built index: one Spark job for all queries.
+
+    -> DataFrame (query_id, rank, doc_id, score). Queries whose terms are all
+    absent produce no rows (empty result — matches the oracle).
+    """
+    from ..session import ship_package
+
+    ship_package(spark)
+    stats = spark.read.parquet(f"{index_dir}/stats").collect()[0]
+    n_docs, avgdl = int(stats.n_docs), float(stats.avgdl)
+
+    # tombstones: deleted docIDs excluded at evaluation time (reference
+    # semantics: deletes remove docs from served top-k, SURVEY.md §7.4 #6).
+    # Toy-scale: plain broadcast set; scale path: partitioned bitmap.
+    import os
+
+    tomb: frozenset[int] = frozenset()
+    tomb_path = f"{index_dir}/tombstones"
+    if os.path.isdir(tomb_path) and any(
+        f.endswith(".parquet") for f in os.listdir(tomb_path)
+    ):
+        tomb = frozenset(
+            r.doc_id for r in spark.read.parquet(tomb_path).collect()
+        )
+
+    # per-query sorted unique terms (scoring dedups terms — oracle parity)
+    qterms = [(qid, t) for qid, text in queries for t in sorted(set(tokenize(text)))]
+    if not qterms:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    all_terms = sorted({t for _, t in qterms})
+
+    dictionary = spark.read.parquet(f"{index_dir}/dictionary")
+    dict_rows = dictionary.filter(F.col("term").isin(all_terms)).collect()
+    term_info = {r.term: (int(r.term_id), int(r.df)) for r in dict_rows}
+    tids = [ti[0] for ti in term_info.values()]
+    if not tids:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+
+    # idf per term (driver-side, tiny)
+    idf = {
+        t: math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        for t, (_tid, df) in term_info.items()
+    }
+
+    # (query_id, term, term_id, idf) for terms present in the dictionary
+    qmap_rows = [
+        (qid, t, term_info[t][0], idf[t]) for qid, t in qterms if t in term_info
+    ]
+    if not qmap_rows:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qmap = spark.createDataFrame(
+        qmap_rows, "query_id bigint, term string, term_id bigint, idf double"
+    )
+
+    segs = spark.read.parquet(f"{index_dir}/segments").filter(
+        F.col("term_id").isin(tids)
+    )
+    grouped = segs.join(F.broadcast(qmap), "term_id")
+
+    kk = int(k)
+    tomb_b = tomb
+    avgdl_b = avgdl
+
+    def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        term_lists: dict[str, tuple[float, list]] = {}
+        for _, row in pdf.iterrows():
+            t = row["term"]
+            term_lists.setdefault(t, (float(row["idf"]), []))[1].append(
+                _row_to_enc(row)
+            )
+        entries = []
+        for t, (tidf, rows) in sorted(term_lists.items()):
+            rows.sort(key=lambda e: e["doc_min"])  # disjoint ranges, ordered
+            entries.append((t, tidf, rows))
+        top = bmw_topk(entries, kk, avgdl_b, tomb_b)
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(top),
+                "rank": list(range(1, len(top) + 1)),
+                "doc_id": [d for _s, d in [(s, d) for s, d in top]],
+                "score": [s for s, _d in top],
+            }
+        )
+
+    return grouped.groupBy("query_id").applyInPandas(run_query, RESULT_SCHEMA)
+
+
+def wand_topk_with_urls(
+    spark: SparkSession, index_dir: str, queries: list[tuple[int, str]], k: int = 10
+) -> DataFrame:
+    """Results joined back to the docmap for urls (the reference returns the
+    document key; _source stays in the input table — scores.json:3-5)."""
+    res = wand_topk(spark, index_dir, queries, k)
+    docmap = spark.read.parquet(f"{index_dir}/docmap").select("doc_id", "url")
+    return res.join(docmap, "doc_id").select(
+        "query_id", "rank", "doc_id", "url", "score"
+    )

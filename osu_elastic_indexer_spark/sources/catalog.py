@@ -1,0 +1,240 @@
+"""Versioned-index catalog: manifest, atomic alias swap, lifecycle, checkpoints.
+
+Re-expresses the reference's operational state, which lives across
+Elasticsearch (indices + aliases) and Redis (current schema, active-schemas
+set):
+
+  * physical index per schema version named "{prefix}{alias}_{schema}"
+    (OsuElasticClient.cs:91, AppSettings.cs:23)
+  * atomic alias repoint at cutover (OsuElasticClient.cs:65-87 bulk-alias)
+  * Redis `current schema` + `active-schemas` set (ScoreIndexer.cs:34-37,
+    README.md:166-256)
+  * index list w/ consistency audit (ListIndicesCommand.cs:25-80)
+  * close / open / delete / nuke (Commands/Index/*.cs)
+  * per-partition build checkpoints with lineage + counters (T8; the
+    reference's resume cursor is PumpAllScoresCommand.cs:19-20,52)
+
+Here all control state is JSON documents updated via write-tmp + os.replace
+(atomic on POSIX). On a real cluster the same layout lives on object storage
+with conditional-put (or an Iceberg control table); the operations below are
+single-document swaps precisely so that port is mechanical.
+
+Layout under a root directory:
+  {root}/catalog.json                      # current index + active schemas
+  {root}/{index_name}/manifest.json        # status, phases, counters
+  {root}/{index_name}/{docmap,dictionary,segments,stats,tombstones}/  # parquet
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+TABLES = ("docmap", "dictionary", "segments", "stats", "tombstones")
+
+
+def _atomic_write_json(path: str, obj: Any) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)  # atomic swap — the alias-repoint analog
+
+
+def _read_json(path: str, default: Any) -> Any:
+    if not os.path.exists(path):
+        return default
+    with open(path) as f:
+        return json.load(f)
+
+
+@dataclass
+class Catalog:
+    root: str
+    prefix: str = ""
+    alias: str = "documents"
+
+    def __post_init__(self) -> None:
+        os.makedirs(self.root, exist_ok=True)
+
+    # -- naming (OsuElasticClient.cs:91) -----------------------------------
+    def index_name(self, schema: str) -> str:
+        return f"{self.prefix}{self.alias}_{schema}"
+
+    def index_dir(self, schema: str) -> str:
+        return os.path.join(self.root, self.index_name(schema))
+
+    def table_path(self, schema: str, table: str) -> str:
+        assert table in TABLES, table
+        return os.path.join(self.index_dir(schema), table)
+
+    # -- catalog document ---------------------------------------------------
+    @property
+    def _catalog_path(self) -> str:
+        return os.path.join(self.root, "catalog.json")
+
+    def _catalog(self) -> dict:
+        return _read_json(
+            self._catalog_path, {"current_schema": None, "active_schemas": []}
+        )
+
+    # -- current schema (Redis current-schema analog) -----------------------
+    def get_current_schema(self) -> str | None:
+        return self._catalog()["current_schema"]
+
+    def set_current_schema(self, schema: str | None) -> None:
+        c = self._catalog()
+        c["current_schema"] = schema
+        _atomic_write_json(self._catalog_path, c)
+
+    # -- active schemas (Redis set analog, ScoreIndexer.cs:34-37) ----------
+    def add_active_schema(self, schema: str) -> None:
+        c = self._catalog()
+        if schema not in c["active_schemas"]:
+            c["active_schemas"].append(schema)
+            _atomic_write_json(self._catalog_path, c)
+
+    def remove_active_schema(self, schema: str) -> None:
+        c = self._catalog()
+        if schema in c["active_schemas"]:
+            c["active_schemas"].remove(schema)
+            _atomic_write_json(self._catalog_path, c)
+
+    def get_active_schemas(self) -> list[str]:
+        return list(self._catalog()["active_schemas"])
+
+    # -- manifest per index --------------------------------------------------
+    def _manifest_path(self, schema: str) -> str:
+        return os.path.join(self.index_dir(schema), "manifest.json")
+
+    def read_manifest(self, schema: str) -> dict | None:
+        return _read_json(self._manifest_path(schema), None)
+
+    def write_manifest(self, schema: str, manifest: dict) -> None:
+        os.makedirs(self.index_dir(schema), exist_ok=True)
+        _atomic_write_json(self._manifest_path(schema), manifest)
+
+    def find_or_create_index(self, schema: str) -> dict:
+        """FindOrCreateIndex (OsuElasticClient.cs:28-42): open manifest or
+        create an empty one with status 'building'."""
+        m = self.read_manifest(schema)
+        if m is None:
+            m = {
+                "index_name": self.index_name(schema),
+                "schema": schema,
+                "status": "building",  # building | open | closed
+                "created_utc": time.time(),
+                "phases": {},  # phase -> {status, counters...}
+                "counters": {},  # docs, postings, bytes
+                "cursor": None,  # max warc_ts indexed (T8 resume)
+                "generations": 0,  # incremental append generations
+            }
+            self.write_manifest(schema, m)
+            self.add_active_schema(schema)
+        return m
+
+    # -- phase checkpoints (T8 per-partition lineage + metrics) -------------
+    def phase_done(self, schema: str, phase: str) -> bool:
+        m = self.read_manifest(schema) or {}
+        return (m.get("phases", {}).get(phase) or {}).get("status") == "done"
+
+    def mark_phase(
+        self, schema: str, phase: str, status: str, **info: Any
+    ) -> None:
+        m = self.read_manifest(schema)
+        assert m is not None, f"no manifest for schema {schema}"
+        entry = m["phases"].setdefault(phase, {})
+        entry["status"] = status
+        entry["ts_utc"] = time.time()
+        entry.update(info)
+        self.write_manifest(schema, m)
+
+    # -- cutover (UpdateAliasCommand.cs + OsuElasticClient.cs:65-87) --------
+    def update_alias(self, schema: str, close_others: bool = False) -> None:
+        """Atomically repoint the alias at `schema`; optionally close the
+        previously-open indices (the --close flag of `index alias`)."""
+        m = self.read_manifest(schema)
+        assert m is not None, f"index {self.index_name(schema)} does not exist"
+        prev = self.get_current_schema()
+        if close_others and prev and prev != schema:
+            pm = self.read_manifest(prev)
+            if pm:
+                pm["status"] = "closed"
+                self.write_manifest(prev, pm)
+        m["status"] = "open"
+        self.write_manifest(schema, m)
+        self.set_current_schema(schema)
+
+    def current_index_dir(self) -> str:
+        cur = self.get_current_schema()
+        assert cur is not None, "no current schema set (alias not pointed)"
+        return self.index_dir(cur)
+
+    # -- admin (ListIndicesCommand / Close / Open / Delete / Nuke) ----------
+    def list_indices(self) -> list[dict]:
+        """index list + the consistency audit (ListIndicesCommand.cs:53-77):
+        flags indices whose schema is current but not active, etc."""
+        out = []
+        current = self.get_current_schema()
+        active = set(self.get_active_schemas())
+        for name in sorted(os.listdir(self.root)):
+            mpath = os.path.join(self.root, name, "manifest.json")
+            m = _read_json(mpath, None)
+            if m is None:
+                continue
+            m2 = dict(m)
+            m2["is_current"] = m["schema"] == current
+            m2["is_active"] = m["schema"] in active
+            m2["consistent"] = not (m2["is_current"] and not m2["is_active"])
+            out.append(m2)
+        return out
+
+    def close_index(self, schema: str) -> None:
+        m = self.read_manifest(schema)
+        if m:
+            m["status"] = "closed"
+            self.write_manifest(schema, m)
+        self.remove_active_schema(schema)
+
+    def open_index(self, schema: str) -> None:
+        m = self.read_manifest(schema)
+        assert m is not None
+        m["status"] = "open"
+        self.write_manifest(schema, m)
+        self.add_active_schema(schema)
+
+    def delete_index(self, schema: str) -> None:
+        if os.path.isdir(self.index_dir(schema)):
+            shutil.rmtree(self.index_dir(schema))
+        self.remove_active_schema(schema)
+        if self.get_current_schema() == schema:
+            self.set_current_schema(None)
+
+    def nuke_all(self) -> None:
+        """NukeAllIndicesCommand.cs — delete everything, clear control state."""
+        for name in list(os.listdir(self.root)):
+            p = os.path.join(self.root, name)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+        _atomic_write_json(
+            self._catalog_path, {"current_schema": None, "active_schemas": []}
+        )
+
+    # -- stale-builder guard (T6: index_closed_exception -> stop) -----------
+    def assert_writable(self, schema: str) -> None:
+        m = self.read_manifest(schema)
+        if m is None:
+            raise IndexClosedError(f"index {self.index_name(schema)} missing")
+        if m["status"] == "closed":
+            raise IndexClosedError(
+                f"index {self.index_name(schema)} is closed — builder must stop"
+            )
+
+
+class IndexClosedError(RuntimeError):
+    """Analog of ES index_closed_exception handling
+    (IndexQueueProcessor.cs:93-99): a builder targeting a closed/retired
+    version must abort, not write."""

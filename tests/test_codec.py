@@ -57,10 +57,12 @@ def test_postings_roundtrip_and_blocks():
     n = 1000
     doc_ids = np.sort(rng.choice(10**7, size=n, replace=False)).astype(np.int64)
     tfs = rng.integers(1, 50, n).astype(np.int64)
-    enc = encode_postings(doc_ids, tfs)
-    d, t = decode_postings(enc["docs_blob"], enc["tfs_blob"])
+    dls = rng.integers(1, 4000, n).astype(np.int64)
+    enc = encode_postings(doc_ids, tfs, dls)
+    d, t, l = decode_postings(enc)
     assert np.array_equal(d, doc_ids)
     assert np.array_equal(t, tfs)
+    assert np.array_equal(l, dls)
     n_blocks = (n + BLOCK - 1) // BLOCK
     assert len(enc["block_first"]) == n_blocks
     assert enc["block_first"][0] == doc_ids[0]
@@ -75,10 +77,25 @@ def test_merge_disjoint_ranges():
     a = encode_postings(np.array([1, 5, 9]), np.array([2, 1, 3]))
     b = encode_postings(np.array([100, 200]), np.array([7, 1]))
     m = merge_encoded([a, b])
-    d, t = decode_postings(m["docs_blob"], m["tfs_blob"])
+    d, t, _ = decode_postings(m)
     assert list(d) == [1, 5, 9, 100, 200]
     assert list(t) == [2, 1, 3, 7, 1]
     assert m["n_docs"] == 5
+
+
+def test_decode_single_block_matches_full():
+    from osu_elastic_indexer_spark.functions.codec import decode_block
+
+    rng = np.random.default_rng(11)
+    n = 777
+    doc_ids = np.sort(rng.choice(10**6, size=n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 9, n).astype(np.int64)
+    enc = encode_postings(doc_ids, tfs)
+    for b in range(len(enc["block_first"])):
+        d, t, _ = decode_block(enc, b)
+        lo, hi = b * BLOCK, min((b + 1) * BLOCK, n)
+        assert np.array_equal(d, doc_ids[lo:hi])
+        assert np.array_equal(t, tfs[lo:hi])
 
 
 def test_compression_actually_compresses():

@@ -1,0 +1,169 @@
+"""M2-M4 golden tests: full index build (SPIMI -> salted merge -> segments)
+and block-max WAND rank-identity vs the pure-python oracle, including a
+forced-salting build (SURVEY.md §7.4 #3) and phase resume (T8)."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from osu_elastic_indexer_spark import oracle
+from osu_elastic_indexer_spark.functions.textprep import extract_text
+from osu_elastic_indexer_spark.operators.build import build_index
+from osu_elastic_indexer_spark.operators.wand import bmw_topk, wand_topk
+from osu_elastic_indexer_spark.sources.catalog import Catalog
+from osu_elastic_indexer_spark.sources.fixtures import reference_queries
+
+from util import assert_rank_identical
+
+
+@pytest.fixture(scope="module")
+def oracle_index(corpus_path):
+    tbl = pq.read_table(corpus_path)
+    rows = [
+        (u, extract_text(h))
+        for u, h, lang, txt in zip(
+            tbl["url"].to_pylist(),
+            tbl["html"].to_pylist(),
+            tbl["lang"].to_pylist(),
+            tbl["text"].to_pylist(),
+        )
+        if lang == "en" and txt
+    ]
+    rows.sort(key=lambda r: r[0])
+    return oracle.build_index([(i, t) for i, (u, t) in enumerate(rows)])
+
+
+@pytest.fixture(scope="module")
+def built_index(spark, corpus_path, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("indexes"))
+    cat = Catalog(root)
+    docs = spark.read.parquet(corpus_path)
+    manifest = build_index(spark, docs, cat, "v1")
+    return cat, manifest
+
+
+@pytest.fixture(scope="module")
+def built_index_salted(spark, corpus_path, tmp_path_factory):
+    """salt_group_cap=40 forces every term with df>40 to salt across
+    multiple disjoint docID ranges — the head-term skew path."""
+    root = str(tmp_path_factory.mktemp("indexes_salted"))
+    cat = Catalog(root)
+    docs = spark.read.parquet(corpus_path)
+    manifest = build_index(spark, docs, cat, "v1", salt_group_cap=40)
+    return cat, manifest
+
+
+def test_manifest_counters(built_index, oracle_index):
+    cat, manifest = built_index
+    assert manifest["counters"]["docs"] == oracle_index.n_docs
+    total_postings = sum(len(p) for p in oracle_index.postings.values())
+    assert manifest["counters"]["postings"] == total_postings
+    assert manifest["counters"]["bytes"] > 0
+    assert manifest["phases"]["segments"]["status"] == "done"
+    assert manifest["cursor"] is not None
+
+
+def test_stats_match_oracle(spark, built_index, oracle_index):
+    cat, _ = built_index
+    st = spark.read.parquet(cat.table_path("v1", "stats")).collect()[0]
+    assert st.n_docs == oracle_index.n_docs
+    assert abs(st.avgdl - oracle_index.avgdl) < 1e-12
+
+
+def test_wand_rank_identical_all_queries(spark, built_index, oracle_index):
+    cat, _ = built_index
+    idx_dir = cat.index_dir("v1")
+    queries = [(qid, q) for qid, q, _k in reference_queries()]
+    res = wand_topk(spark, idx_dir, queries, k=10).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    for qid, qtext, k in reference_queries():
+        got = [
+            (d, s) for _rk, d, s in sorted(by_q.get(qid, []), key=lambda x: x[0])
+        ]
+        expect = oracle.search(oracle_index, qtext, k)
+        assert_rank_identical(got, expect, msg=f"q{qid} {qtext!r}")
+
+
+def test_wand_salted_rank_identical(spark, built_index_salted, oracle_index):
+    cat, _ = built_index_salted
+    idx_dir = cat.index_dir("v1")
+    # salting actually happened: head terms have multiple segment rows
+    segs = spark.read.parquet(cat.table_path("v1", "segments"))
+    from pyspark.sql import functions as F
+
+    multi = segs.groupBy("term_id").count().filter(F.col("count") > 1).count()
+    assert multi > 0, "salting did not split any term"
+    queries = [(qid, q) for qid, q, _k in reference_queries()]
+    res = wand_topk(spark, idx_dir, queries, k=10).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    for qid, qtext, k in reference_queries():
+        got = [
+            (d, s) for _rk, d, s in sorted(by_q.get(qid, []), key=lambda x: x[0])
+        ]
+        expect = oracle.search(oracle_index, qtext, k)
+        assert_rank_identical(got, expect, msg=f"salted q{qid} {qtext!r}")
+
+
+def test_resume_skips_done_phases(spark, corpus_path, built_index):
+    """T8: re-running with resume=True must skip completed phases and leave
+    results identical (idempotence, T7)."""
+    cat, m1 = built_index
+    docs = spark.read.parquet(corpus_path)
+    before = m1["phases"]["segments"]["ts_utc"]
+    m2 = build_index(spark, docs, cat, "v1", resume=True)
+    assert m2["phases"]["segments"]["ts_utc"] == before  # not re-run
+    assert m2["counters"] == m1["counters"]
+
+
+def test_stale_builder_refused(spark, corpus_path, built_index):
+    """T6: a builder targeting a closed index must abort."""
+    from osu_elastic_indexer_spark.sources.catalog import IndexClosedError
+
+    cat, _ = built_index
+    cat.close_index("v1")
+    docs = spark.read.parquet(corpus_path)
+    with pytest.raises(IndexClosedError):
+        build_index(spark, docs, cat, "v1")
+    cat.open_index("v1")
+
+
+def test_bmw_pure_random_vs_oracle():
+    """Property test of the BMW core against brute force on random tiny
+    posting lists (no Spark)."""
+    import numpy as np
+
+    from osu_elastic_indexer_spark.functions.codec import encode_postings
+
+    rng = np.random.default_rng(3)
+    for trial in range(30):
+        n_terms = int(rng.integers(1, 5))
+        n_docs = int(rng.integers(5, 400))
+        avgdl = 50.0
+        terms = []
+        all_scores = {}
+        for t in range(n_terms):
+            size = int(rng.integers(1, n_docs + 1))
+            ids = np.sort(rng.choice(n_docs, size=size, replace=False)).astype("int64")
+            tfs = rng.integers(1, 6, size).astype("int64")
+            dls = rng.integers(20, 100, size).astype("int64")
+            df = size
+            idf = oracle.idf(n_docs, df)
+            name = f"t{t:02d}"
+            terms.append((name, idf, [dict(encode_postings(ids, tfs, dls), doc_min=int(ids[0]))]))
+            for d, tf, dl in zip(ids, tfs, dls):
+                all_scores.setdefault(int(d), []).append(
+                    (name, idf * (tf / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))))
+                )
+        brute = []
+        for d, contribs in all_scores.items():
+            s = 0.0
+            for _name, c in sorted(contribs):
+                s += c
+            brute.append((s, d))
+        brute.sort(key=lambda sd: (-sd[0], sd[1]))
+        k = int(rng.integers(1, 15))
+        got = bmw_topk(terms, k, avgdl)
+        assert got == brute[:k], f"trial {trial}: {got} != {brute[:k]}"
