@@ -54,7 +54,10 @@ SEGMENT_SCHEMA = (
     "block_max_tf array<bigint>, block_min_dl array<bigint>"
 )
 
-STATS_SCHEMA = "n_docs bigint, avgdl double, dl_min bigint, total_postings bigint"
+STATS_SCHEMA = (
+    "n_docs bigint, sum_dl bigint, avgdl double, dl_min bigint, "
+    "total_postings bigint"
+)
 
 
 def _encode_partition(generation: int):
@@ -194,7 +197,11 @@ def build_index(
     dict_path = cat.table_path(schema_version, "dictionary")
     seg_path = cat.table_path(schema_version, "segments")
     stats_path = cat.table_path(schema_version, "stats")
-    tf_path = os.path.join(cat.index_dir(schema_version), "_tf")
+    # tf is kept as a real table: it is the forward index (doc -> terms),
+    # clustered by doc_id, which makes delete accounting in incremental
+    # updates a pruned scan (streaming/incremental.py)
+    tf_path = cat.table_path(schema_version, "tf")
+    doclens_path = cat.table_path(schema_version, "doclens")
 
     # ---- phase 1: docmap ---------------------------------------------------
     if not (resume and cat.phase_done(schema_version, "docmap")):
@@ -223,12 +230,20 @@ def build_index(
             "text", extract("html")
         )
         tf = tf_table(hydrated.select("doc_id", "text"))
-        tf.write.mode("overwrite").parquet(tf_path)
+        # cluster the forward index by doc_id: incremental delete accounting
+        # filters tf by tombstoned doc ranges -> row-group pruning
+        tf.repartitionByRange(
+            max(2, int(spark.conf.get("spark.sql.shuffle.partitions")) // 2),
+            "doc_id",
+        ).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(tf_path)
         tf = spark.read.parquet(tf_path)
         build_dictionary(tf).write.mode("overwrite").parquet(dict_path)
         dl = tf.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+        dl.write.mode("overwrite").parquet(doclens_path)
+        dl = spark.read.parquet(doclens_path)
         stats = dl.agg(
             F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("sum_dl"),
             (F.sum("dl") / F.count("*")).cast("double").alias("avgdl"),
             F.min("dl").cast("bigint").alias("dl_min"),
         ).crossJoin(tf.agg(F.count("*").cast("bigint").alias("total_postings")))

@@ -34,7 +34,9 @@ import time
 from dataclasses import dataclass, field
 from typing import Any
 
-TABLES = ("docmap", "dictionary", "segments", "stats", "tombstones")
+TABLES = (
+    "docmap", "dictionary", "segments", "stats", "tombstones", "tf", "doclens"
+)
 
 
 def _atomic_write_json(path: str, obj: Any) -> None:

@@ -167,3 +167,57 @@ def write_corpus(path: str, n_docs: int, seed: int = SEED) -> str:
     """Write the corpus parquet to `path` (a file path). Returns path."""
     pq.write_table(generate_documents(n_docs, seed), path)
     return path
+
+
+def evolve_corpus(
+    tbl: pa.Table,
+    n_new: int = 200,
+    n_update: int = 30,
+    n_flip: int = 20,
+    seed: int = SEED + 1,
+) -> pa.Table:
+    """Deterministically evolve a corpus: the CDC fixture (SURVEY.md §5.2 #4).
+
+    * n_new brand-new urls appended (re-crawl discovers new pages)
+    * n_update existing urls re-crawled with CHANGED text (update path:
+      tombstone old docID + add fresh one)
+    * n_flip existing urls re-crawled with lang flipped to 'de' (delete path:
+      fails the ShouldIndex analog)
+    All changed/new rows get warc_ts strictly greater than every original
+    row — they are exactly the rows a cursor scan picks up.
+    """
+    base_n = tbl.num_rows
+    d = {name: tbl[name].to_pylist() for name in tbl.column_names}
+    max_ts = max(d["warc_ts"])
+    rng = np.random.default_rng(seed)
+    upd = rng.choice(base_n, size=n_update + n_flip, replace=False)
+    update_idx, flip_idx = upd[:n_update], upd[n_update:]
+    t = max_ts
+    for j, i in enumerate(sorted(update_idx)):
+        t = t + timedelta(seconds=7)
+        d["text"][i] = d["text"][i] + f" recrawled updatedcontent w{j % 50:05d}"
+        d["html"][i] = _render_html(d["url"][i], d["text"][i], i)
+        d["warc_ts"][i] = t
+    for i in sorted(flip_idx):
+        t = t + timedelta(seconds=7)
+        d["lang"][i] = "de"
+        d["warc_ts"][i] = t
+    fresh = generate_documents(n_new, seed=seed * 7 + 1)
+    for i in range(n_new):
+        t = t + timedelta(seconds=7)
+        url = f"https://example-new.test/page/{base_n + i:010d}"
+        d["url"].append(url)
+        d["warc_ts"].append(t)
+        txt = fresh["text"][i].as_py()
+        d["text"].append(txt)
+        d["html"].append(_render_html(url, txt, base_n + i))
+        d["lang"].append(fresh["lang"][i].as_py())
+    return pa.table(
+        {
+            "url": pa.array(d["url"], pa.string()),
+            "warc_ts": pa.array(d["warc_ts"], pa.timestamp("us", tz="UTC")),
+            "html": pa.array(d["html"], pa.binary()),
+            "text": pa.array(d["text"], pa.string()),
+            "lang": pa.array(d["lang"], pa.string()),
+        }
+    )

@@ -1,0 +1,201 @@
+"""M5: incremental semantics parity (SURVEY.md §5.2 #4) — cursor-driven
+updates, add/delete routing, idempotence, cutover catch-up, compaction."""
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from osu_elastic_indexer_spark import oracle
+from osu_elastic_indexer_spark.functions.textprep import extract_text
+from osu_elastic_indexer_spark.operators.build import build_index
+from osu_elastic_indexer_spark.operators.wand import wand_topk_with_urls
+from osu_elastic_indexer_spark.sources.catalog import Catalog
+from osu_elastic_indexer_spark.sources.fixtures import (
+    evolve_corpus,
+    generate_documents,
+    reference_queries,
+)
+from osu_elastic_indexer_spark.streaming.incremental import (
+    backfill_with_switch,
+    compact_index,
+    incremental_update,
+)
+
+from util import assert_rank_identical
+
+
+def _oracle_for(tbl):
+    rows = [
+        (u, extract_text(h))
+        for u, h, lang, txt in zip(
+            tbl["url"].to_pylist(),
+            tbl["html"].to_pylist(),
+            tbl["lang"].to_pylist(),
+            tbl["text"].to_pylist(),
+        )
+        if lang == "en" and txt
+    ]
+    rows.sort(key=lambda r: r[0])
+    urls = [u for u, _ in rows]
+    return oracle.build_index(list(enumerate(t for _, t in rows))), urls
+
+
+def _collect_by_query(res_rows):
+    by_q = {}
+    for r in res_rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.url, r.score))
+    return {
+        q: [(u, s) for _rk, u, s in sorted(v)] for q, v in by_q.items()
+    }
+
+
+@pytest.fixture(scope="module")
+def evolved(tmp_path_factory):
+    base = generate_documents(1000)
+    final = evolve_corpus(base, n_new=200, n_update=30, n_flip=20)
+    d = tmp_path_factory.mktemp("cdc")
+    pq.write_table(base, str(d / "base.parquet"))
+    pq.write_table(final, str(d / "final.parquet"))
+    return str(d / "base.parquet"), str(d / "final.parquet"), base, final
+
+
+@pytest.fixture(scope="module")
+def incr_index(spark, evolved, tmp_path_factory):
+    base_p, final_p, _base, _final = evolved
+    root = str(tmp_path_factory.mktemp("idx_incr"))
+    cat = Catalog(root)
+    build_index(spark, spark.read.parquet(base_p), cat, "v1")
+    m = incremental_update(spark, spark.read.parquet(final_p), cat, "v1")
+    return cat, m
+
+
+def _check_all_queries(spark, idx_dir, oracle_idx, oracle_urls, tag):
+    queries = [(qid, q) for qid, q, _k in reference_queries()]
+    queries.append((100, "recrawled updatedcontent"))  # hits updated docs only
+    res = wand_topk_with_urls(spark, idx_dir, queries, k=10).collect()
+    by_q = _collect_by_query(res)
+    for qid, qtext in queries:
+        got = by_q.get(qid, [])
+        expect = [
+            (oracle_urls[d], s) for d, s in oracle.search(oracle_idx, qtext, 10)
+        ]
+        assert_rank_identical(got, expect, msg=f"{tag} q{qid} {qtext!r}")
+
+
+def test_incremental_matches_oracle_on_final_corpus(spark, evolved, incr_index):
+    _bp, _fp, _base, final = evolved
+    cat, m = incr_index
+    oidx, ourls = _oracle_for(final)
+    assert m["generations"] == 2
+    assert m["counters"]["docs"] == oidx.n_docs
+    st = spark.read.parquet(cat.table_path("v1", "stats")).collect()[0]
+    assert st.n_docs == oidx.n_docs
+    assert abs(st.avgdl - oidx.avgdl) < 1e-12
+    _check_all_queries(spark, cat.index_dir("v1"), oidx, ourls, "incr")
+
+
+def test_incremental_equals_full_rebuild(spark, evolved, incr_index, tmp_path_factory):
+    """The acid test: incremental(base -> final) must serve the same
+    (url, score) rankings as a from-scratch build of final."""
+    _bp, final_p, _base, final = evolved
+    cat, _ = incr_index
+    root2 = str(tmp_path_factory.mktemp("idx_full"))
+    cat2 = Catalog(root2)
+    build_index(spark, spark.read.parquet(final_p), cat2, "v1")
+    queries = [(qid, q) for qid, q, _k in reference_queries()]
+    a = _collect_by_query(
+        wand_topk_with_urls(spark, cat.index_dir("v1"), queries, 10).collect()
+    )
+    b = _collect_by_query(
+        wand_topk_with_urls(spark, cat2.index_dir("v1"), queries, 10).collect()
+    )
+    for qid, qtext in queries:
+        assert_rank_identical(
+            a.get(qid, []), b.get(qid, []), msg=f"incr-vs-full q{qid} {qtext!r}"
+        )
+
+
+def test_deleted_docs_absent_from_topk(spark, evolved, incr_index):
+    """Reference routing parity (SURVEY.md §7.4 #6): docs routed to delete
+    must not appear in served top-k."""
+    _bp, _fp, base, final = evolved
+    cat, _ = incr_index
+    flipped_urls = {
+        u for u, l_old, l_new in zip(
+            base["url"].to_pylist(),
+            base["lang"].to_pylist(),
+            final["lang"].to_pylist()[: base.num_rows],
+        )
+        if l_old == "en" and l_new != "en"
+    }
+    assert flipped_urls
+    queries = [(qid, q) for qid, q, _k in reference_queries()]
+    res = wand_topk_with_urls(spark, cat.index_dir("v1"), queries, 50).collect()
+    served = {r.url for r in res}
+    assert not (served & flipped_urls)
+
+
+def test_idempotent_noop_batch(spark, evolved, incr_index):
+    """T7: re-running with an advanced cursor (empty batch) changes nothing."""
+    _bp, final_p, _b, _f = evolved
+    cat, m1 = incr_index
+    m2 = incremental_update(spark, spark.read.parquet(final_p), cat, "v1")
+    assert m2["generations"] == m1["generations"]
+    assert m2["counters"] == m1["counters"]
+
+
+def test_compaction_preserves_results(spark, evolved, incr_index):
+    _bp, _fp, _base, final = evolved
+    cat, _ = incr_index
+    oidx, ourls = _oracle_for(final)
+    compact_index(spark, cat, "v1")
+    import os
+
+    assert not os.path.isdir(cat.table_path("v1", "tombstones")) or not any(
+        f.endswith(".parquet")
+        for f in os.listdir(cat.table_path("v1", "tombstones"))
+    )
+    segs = spark.read.parquet(cat.table_path("v1", "segments"))
+    assert segs.agg(F.max("generation")).collect()[0][0] == 0
+    _check_all_queries(spark, cat.index_dir("v1"), oidx, ourls, "compacted")
+
+
+def test_two_phase_cutover(spark, evolved, tmp_path_factory):
+    """T9: pump-all --switch analog — build at snapshot, catch-up, swap."""
+    base_p, final_p, _b, final = evolved
+    root = str(tmp_path_factory.mktemp("idx_cutover"))
+    cat = Catalog(root)
+    cat.set_current_schema(None)
+    backfill_with_switch(
+        spark,
+        spark.read.parquet(base_p),
+        spark.read.parquet(final_p),
+        cat,
+        "v2",
+    )
+    assert cat.get_current_schema() == "v2"
+    oidx, ourls = _oracle_for(final)
+    _check_all_queries(spark, cat.current_index_dir(), oidx, ourls, "cutover")
+
+
+def test_queue_path_explicit_urls(spark, evolved, tmp_path_factory):
+    """S4/J2: queue-driven update — explicit url list resolved against the
+    source; urls missing from the source become deletes."""
+    base_p, _fp, base, _f = evolved
+    root = str(tmp_path_factory.mktemp("idx_queue"))
+    cat = Catalog(root)
+    docs = spark.read.parquet(base_p)
+    build_index(spark, docs, cat, "v1")
+    # queue: 5 live urls (re-index, LWW no-op semantics) + 2 vanished urls
+    live_urls = [
+        u for u, l in zip(base["url"].to_pylist(), base["lang"].to_pylist())
+        if l == "en"
+    ][:5]
+    gone = ["https://gone.test/1", "https://gone.test/2"]
+    queue = spark.createDataFrame([(u,) for u in live_urls + gone], "url string")
+    m = incremental_update(spark, docs, cat, "v1", queue_urls=queue)
+    # re-indexed live urls stay served under their NEW docIDs; results match
+    # an oracle over the unchanged corpus
+    oidx, ourls = _oracle_for(base)
+    assert m["counters"]["docs"] == oidx.n_docs
+    _check_all_queries(spark, cat.index_dir("v1"), oidx, ourls, "queue")
