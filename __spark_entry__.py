@@ -68,7 +68,8 @@ _TOKS_SQL = f"""
 """
 
 
-def _bm25_sql(query_terms: list[str], k: int = 10) -> str:
+def _bm25_sql(query_terms: list[str], k: int = 10, order_raw: bool = False) -> str:
+    order_col = "SUM(contrib ORDER BY term)" if order_raw else "score"
     terms = ", ".join(f"'{t}'" for t in sorted(set(query_terms)))
     return f"""
 WITH {_TOKS_SQL},
@@ -83,8 +84,12 @@ WITH {_TOKS_SQL},
   )
 SELECT doc_id, ROUND(SUM(contrib ORDER BY term), 4) AS score
 FROM contrib GROUP BY doc_id
-ORDER BY score DESC, doc_id ASC LIMIT {k}
+ORDER BY {order_col} DESC, doc_id ASC LIMIT {k}
 """
+
+
+def _bm25_sql_raw_order(query_terms: list[str], k: int = 10) -> str:
+    return _bm25_sql(query_terms, k, order_raw=True)
 
 
 def _bm25_spark(spark, sf_dir, query_text: str, k: int = 10) -> DataFrame:
@@ -311,6 +316,322 @@ def q_o2_sorted_topn(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (dedup / similarity / analysis / multimodal)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash (hash-groupBy)."""
+    from osu_elastic_indexer_spark.operators.dedup import exact_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        exact_duplicates(d)
+        .orderBy(F.desc("n_docs"), F.asc("content_hash"))
+        .limit(20)
+    )
+
+
+def q_dedup_minhash_bands(spark, sf_dir):
+    """MinHash LSH band buckets (shingle -> minhash -> band)."""
+    from osu_elastic_indexer_spark.operators.dedup import minhash_bands
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    return minhash_bands(d).orderBy("doc_id", "band")
+
+
+def q_dedup_lsh_pairs(spark, sf_dir):
+    """LSH candidate pairs (band-bucket self-join)."""
+    from osu_elastic_indexer_spark.operators.dedup import lsh_candidate_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(d).orderBy("doc_a", "doc_b")
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard over LSH candidate pairs (threshold 0 — surfaces
+    every candidate with its exact similarity)."""
+    from osu_elastic_indexer_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_pairs(d, threshold=0.0)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash signatures (bitwise tf-weighted majority)."""
+    from osu_elastic_indexer_spark.operators.dedup import simhash32
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select("doc_id", simhash32(F.col("text")).alias("simhash")).orderBy(
+        "doc_id"
+    )
+
+
+def q_dedup_embedding_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within LSH sign buckets."""
+    from osu_elastic_indexer_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.25).orderBy("vec_a", "vec_b")
+
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).collect()[0]
+    )
+    return [float(x) for x in row.embedding]
+
+
+def q_ann_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-10 for the vec_id=0 query vector."""
+    from osu_elastic_indexer_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, _query_vec(spark, sf_dir), 10, exclude_vec_id=0)
+
+
+def q_ann_lsh(spark, sf_dir):
+    """ANN: cosine top-10 within the query's sign-LSH bucket."""
+    from osu_elastic_indexer_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(e, _query_vec(spark, sf_dir), 10, bits=8, exclude_vec_id=0)
+
+
+def q_ta_langid(spark, sf_dir):
+    """n-gram-heuristic language ID, counted per prediction."""
+    from osu_elastic_indexer_spark.functions.analysis import lang_id_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(lang_id_expr(F.col("text")).alias("predicted"))
+        .groupBy("predicted")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("predicted")
+    )
+
+
+def q_ta_quality(spark, sf_dir):
+    """Quality scoring (length/stopword/alnum-density bands)."""
+    from osu_elastic_indexer_spark.functions.analysis import quality_score_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", quality_score_expr(F.col("text")).alias("quality"))
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def q_ta_token_counts(spark, sf_dir):
+    """Whitespace + BPE-ish token counting, aggregated per lang."""
+    from osu_elastic_indexer_spark.functions.analysis import token_counts_expr
+
+    d = _t(spark, sf_dir, "documents")
+    ws, bpe = token_counts_expr(F.col("text"))
+    return (
+        d.select(F.col("lang"), ws.alias("ws"), bpe.alias("bpe"))
+        .groupBy("lang")
+        .agg(
+            F.sum("ws").cast("bigint").alias("ws_tokens"),
+            F.sum("bpe").cast("bigint").alias("bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_ta_fingerprint(spark, sf_dir):
+    """Position-weighted rolling document fingerprint (mod 2^31-1)."""
+    from osu_elastic_indexer_spark.functions.analysis import fingerprint_expr
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select("doc_id", fingerprint_expr(F.col("text")).alias("fp")).orderBy(
+        "doc_id"
+    )
+
+
+def q_mm_metadata(spark, sf_dir):
+    """Multimodal plumbing: binary payload -> typed metadata via Arrow-batch
+    mapInPandas (decode kernel stubbed deterministically — no codec libs in
+    this container; see functions/multimodal.py)."""
+    from osu_elastic_indexer_spark.functions.multimodal import attach_metadata
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    return (
+        attach_metadata(d, "doc_id", "payload")
+        .select(
+            F.col("doc_key").cast("bigint").alias("doc_id"),
+            "n_bytes",
+            "content_sha256",
+            "fake_width",
+            "fake_height",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_mm_frames(spark, sf_dir):
+    """Multimodal frame-sampling plumbing (deterministic byte-slice fake)."""
+    from osu_elastic_indexer_spark.functions.multimodal import sample_frames
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    return (
+        sample_frames(d, "doc_id", "payload", n_frames=3)
+        .select(
+            F.col("doc_key").cast("bigint").alias("doc_id"),
+            "frame_idx",
+            "frame_sha256",
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+def q_wand_bm25_topk(spark, sf_dir):
+    """O3 [ours], compressed path: block-max WAND over a REAL built index
+    (SPIMI -> salted merge -> varbyte segments) for the flagship query —
+    checked against the same ANSI-SQL BM25 oracle as the brute-force path,
+    i.e. the full build+query pipeline is oracle-verified end-to-end."""
+    import os
+
+    from osu_elastic_indexer_spark.operators.build import build_index
+    from osu_elastic_indexer_spark.operators.wand import wand_topk
+    from osu_elastic_indexer_spark.sources.catalog import Catalog
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    root = f"/tmp/oei_driver_idx/{os.path.basename(sf_dir.rstrip('/'))}_{n}"
+    cat = Catalog(root)
+    m = cat.read_manifest("v1")
+    if not (m and m.get("phases", {}).get("commit")):
+        # adapt driver table shape -> engine input shape (url PK zero-padded
+        # so dense-rank order == doc_id order; html carries the text bytes)
+        docs = d.select(
+            F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+            F.lit("2025-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+            F.encode(
+                F.concat(F.lit("<body>"), F.col("text"), F.lit("</body>")), "utf-8"
+            ).alias("html"),
+            F.col("text"),
+            F.col("lang"),
+        )
+        build_index(spark, docs, cat, "v1")
+    res = wand_topk(spark, cat.index_dir("v1"), [(0, FLAGSHIP_QUERY)], 10)
+    docmap = spark.read.parquet(f"{cat.index_dir('v1')}/docmap")
+    return (
+        res.join(docmap, "doc_id")
+        .select(
+            F.col("url").cast("bigint").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle-SQL generators for the pipeline operators (mirror the Spark
+# expressions term by term; constants imported from the operator modules so
+# both sides can never drift)
+# ---------------------------------------------------------------------------
+
+
+def _toks_sql(col: str = "text") -> str:
+    return f"list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'), t -> t <> '')"
+
+
+def _hash32_sql(expr: str) -> str:
+    return f"CAST(('0x' || substring(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def _minhash_sql_cte(doc_filter: str = "TRUE") -> str:
+    """CTE chain docs->tokens->shingles->hashes->sig (16 minhash values)."""
+    from osu_elastic_indexer_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        N_HASHES,
+    )
+
+    sig_items = ", ".join(
+        f"list_min(list_transform(hv, h -> ((h % {MINHASH_P}) * {MINHASH_A[j]} + {MINHASH_B[j]}) % {MINHASH_P}))"
+        for j in range(N_HASHES)
+    )
+    return f"""
+  docs AS (SELECT doc_id, text FROM documents WHERE {doc_filter}),
+  tk AS (SELECT doc_id, {_toks_sql()} AS toks FROM docs),
+  sh AS (SELECT doc_id, list_distinct(
+           CASE WHEN len(toks) >= 3
+                THEN list_transform(generate_series(1, len(toks) - 2),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+                ELSE [] END) AS shingles FROM tk),
+  hs AS (SELECT doc_id, list_transform(shingles, s -> {_hash32_sql('s')}) AS hv
+         FROM sh WHERE len(shingles) > 0),
+  sig AS (SELECT doc_id, [{sig_items}] AS sig FROM hs)"""
+
+
+def _bands_sql_cte(doc_filter: str = "TRUE") -> str:
+    """_minhash_sql_cte + bands (UNION ALL, one arm per band)."""
+    from osu_elastic_indexer_spark.operators.dedup import N_BANDS, N_HASHES
+
+    rows = N_HASHES // N_BANDS
+    unions = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws('_', {parts})) AS bucket FROM sig".format(
+            b=b,
+            parts=", ".join(f"sig[{b * rows + r + 1}]" for r in range(rows)),
+        )
+        for b in range(N_BANDS)
+    )
+    return _minhash_sql_cte(doc_filter) + f",\n  bands AS ({unions})"
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    terms = " + ".join(
+        f"CASE WHEN list_sum(list_transform(hv, h -> CASE WHEN (h & (CAST(1 AS BIGINT) << {b})) > 0 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END"
+        for b in range(bits)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+  tk AS (SELECT doc_id, {_toks_sql()} AS toks FROM docs),
+  hs AS (SELECT doc_id, list_transform(toks, t -> {_hash32_sql('t')}) AS hv FROM tk)
+SELECT doc_id, ({terms})::BIGINT AS simhash FROM hs ORDER BY doc_id
+"""
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Ordered-fold cosine matching operators/similarity.py exactly:
+    left fold with init 0.0 over index order."""
+    def fold(expr: str) -> str:
+        return f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {expr}), (acc, x) -> acc + x)"
+
+    dot = fold(f"list_transform(generate_series(1, len({a})), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))")
+    na = fold(f"list_transform(generate_series(1, len({a})), i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))")
+    nb = fold(f"list_transform(generate_series(1, len({b})), i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))")
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+_BUCKET_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(generate_series(0, 7), "
+    "i -> CASE WHEN CAST(embedding[i+1] AS DOUBLE) >= 0 "
+    "THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)), (a, x) -> a + x)"
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ft_bm25_topk": q_ft_bm25_topk,
@@ -329,6 +650,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p6_null_default": q_p6_null_default,
         "a3_counters": q_a3_counters,
         "o2_sorted_topn": q_o2_sorted_topn,
+        "wand_bm25_topk": q_wand_bm25_topk,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_bands": q_dedup_minhash_bands,
+        "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_pairs": q_dedup_embedding_pairs,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
+        "ta_langid": q_ta_langid,
+        "ta_quality": q_ta_quality,
+        "ta_token_counts": q_ta_token_counts,
+        "ta_fingerprint": q_ta_fingerprint,
+        "mm_metadata": q_mm_metadata,
+        "mm_frames": q_mm_frames,
     }
 
 
@@ -407,5 +743,137 @@ ORDER BY l_returnflag, l_linestatus
         "o2_sorted_topn": """
 SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
 ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 20
+""",
+        # WAND over the real compressed index vs the same SQL BM25 truth; the
+        # oracle orders by RAW score (WAND ranks by raw, rounds for output)
+        "wand_bm25_topk": _bm25_sql_raw_order(tokenize(FLAGSHIP_QUERY), 10),
+        "dedup_exact": """
+SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_docs,
+       min(doc_id)::BIGINT AS keep_doc_id
+FROM documents GROUP BY 1 ORDER BY n_docs DESC, content_hash LIMIT 20
+""",
+        "dedup_minhash_bands": f"""
+WITH {_bands_sql_cte("doc_id < 30")}
+SELECT doc_id, band, bucket FROM bands ORDER BY doc_id, band
+""",
+        "dedup_lsh_pairs": f"""
+WITH {_bands_sql_cte()}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b
+""",
+        "dedup_ngram_jaccard": f"""
+WITH {_bands_sql_cte()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
+         AS jaccard
+FROM pairs
+JOIN sh sa ON sa.doc_id = doc_a
+JOIN sh sb ON sb.doc_id = doc_b
+ORDER BY doc_a, doc_b
+""",
+        "dedup_simhash": _simhash_sql(32),
+        "dedup_embedding_pairs": f"""
+WITH eb AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({_cos_sql("a.embedding", "b.embedding")}, 6) AS cos
+FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND({_cos_sql("a.embedding", "b.embedding")}, 6) >= 0.25
+ORDER BY vec_a, vec_b
+""",
+        "ann_bruteforce": f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, ROUND({_cos_sql("embedding", "qe")}, 6) AS cos
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY cos DESC, vec_id ASC LIMIT 10
+""",
+        "ann_lsh": f"""
+WITH eb AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+),
+q AS (SELECT embedding AS qe, bucket AS qb FROM eb WHERE vec_id = 0)
+SELECT vec_id, ROUND({_cos_sql("embedding", "qe")}, 6) AS cos
+FROM eb, q WHERE vec_id <> 0 AND bucket = qb
+ORDER BY cos DESC, vec_id ASC LIMIT 10
+""",
+        "ta_langid": f"""
+WITH tk AS (SELECT doc_id, {_toks_sql()} AS toks FROM documents),
+r AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','is'))) AS DOUBLE) / len(toks) ELSE 0.0 END AS en,
+    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> t IN ('der','und','die','das','ist'))) AS DOUBLE) / len(toks) ELSE 0.0 END AS de,
+    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> t IN ('le','la','et','les','des'))) AS DOUBLE) / len(toks) ELSE 0.0 END AS fr
+  FROM tk
+)
+SELECT CASE WHEN en >= de AND en >= fr AND en > 0.01 THEN 'en'
+            WHEN de >= fr AND de > 0.01 THEN 'de'
+            WHEN fr > 0.01 THEN 'fr'
+            ELSE 'unknown' END AS predicted,
+       count(*)::BIGINT AS n
+FROM r GROUP BY 1 ORDER BY predicted
+""",
+        "ta_quality": f"""
+WITH tk AS (SELECT doc_id, text, {_toks_sql()} AS toks FROM documents),
+r AS (
+  SELECT doc_id,
+    len(toks) AS n,
+    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','for','with','on','that'))) AS DOUBLE) / len(toks) ELSE 0.0 END AS stop,
+    CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS density
+  FROM tk
+)
+SELECT doc_id,
+       ROUND(((CASE WHEN n >= 100 THEN 1.0 WHEN n >= 20 THEN 0.5 ELSE 0.0 END)
+            + (CASE WHEN stop >= 0.01 AND stop <= 0.5 THEN 1.0 ELSE 0.0 END)
+            + density) / 3.0, 4) AS quality
+FROM r ORDER BY quality DESC, doc_id ASC LIMIT 20
+""",
+        "ta_token_counts": f"""
+WITH tk AS (
+  SELECT lang,
+    len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS ws,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform({_toks_sql()},
+        t -> CAST(1 AS BIGINT) + CASE WHEN length(t) > 4 THEN CAST(floor((length(t)-1)/4) AS BIGINT) ELSE 0 END)),
+      (a, x) -> a + x) AS bpe
+  FROM documents
+)
+SELECT lang, sum(ws)::BIGINT AS ws_tokens, sum(bpe)::BIGINT AS bpe_tokens
+FROM tk GROUP BY lang ORDER BY lang
+""",
+        "ta_fingerprint": f"""
+WITH tk AS (SELECT doc_id, {_toks_sql()} AS toks FROM documents WHERE doc_id < 50),
+h AS (SELECT doc_id, list_transform(toks, t -> {_hash32_sql('t')}) AS hv FROM tk)
+SELECT doc_id,
+  (list_reduce(list_prepend(CAST(0 AS BIGINT),
+     list_transform(generate_series(1, len(hv)),
+       i -> ((hv[i] % 2147483647) * (i % 2147483647)) % 2147483647)),
+     (a, x) -> (a + x) % 2147483647)) % 2147483647 AS fp
+FROM h ORDER BY doc_id
+""",
+        "mm_metadata": """
+SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+       sha256(text) AS content_sha256,
+       (1 + (CAST(('0x' || substring(sha256(text), 1, 2)) AS INT) % 64) * 16)::INT AS fake_width,
+       (1 + (CAST(('0x' || substring(sha256(text), 3, 2)) AS INT) % 64) * 16)::INT AS fake_height
+FROM documents WHERE doc_id < 50 ORDER BY doc_id
+""",
+        "mm_frames": """
+WITH d AS (
+  SELECT doc_id, text,
+         greatest(1, CAST(floor(octet_length(encode(text)) / 3) AS INT)) AS step
+  FROM documents WHERE doc_id < 20
+)
+SELECT doc_id, i AS frame_idx,
+       sha256(substring(text, i * step + 1, step)) AS frame_sha256
+FROM d, generate_series(0, 2) t(i)
+ORDER BY doc_id, frame_idx
 """,
     }

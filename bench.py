@@ -1,0 +1,121 @@
+"""Benchmark harness — prints ONE JSON line per run.
+
+Headline numbers (BASELINE.json metric):
+  * index-build throughput (docs/sec): full SPIMI build over the synthetic
+    webtext corpus sized by the scale factor (FIXTURES.md §1)
+  * BM25 top-10 latency: block-max WAND, batch-of-20 reference queries as
+    one Spark job, plus per-query p50 over individual jobs
+  * relational operator sanity: two oracle-checked queries at the sf dir
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+
+Scaling evidence (north_rule, sandbox form) lives in bench/scaling.py —
+same build at local[8] vs local[32] -> BASELINE.md §3.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def corpus_for_sf(sf: float, tmp_root: str = "/tmp/oei_bench") -> tuple[str, int]:
+    """Deterministic corpus parquet for the scale factor, cached across runs."""
+    from osu_elastic_indexer_spark.sources.fixtures import write_corpus
+
+    n_docs = max(1000, int(round(1_000_000 * sf)))
+    os.makedirs(tmp_root, exist_ok=True)
+    path = os.path.join(tmp_root, f"documents_n{n_docs}_v1.parquet")
+    if not os.path.exists(path):
+        t0 = time.time()
+        write_corpus(path, n_docs)
+        print(
+            f"[bench] generated corpus n={n_docs} in {time.time()-t0:.1f}s",
+            file=sys.stderr,
+        )
+    return path, n_docs
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+
+    from osu_elastic_indexer_spark.operators.build import build_index
+    from osu_elastic_indexer_spark.operators.wand import wand_topk
+    from osu_elastic_indexer_spark.session import get_spark
+    from osu_elastic_indexer_spark.sources.catalog import Catalog
+    from osu_elastic_indexer_spark.sources.fixtures import reference_queries
+
+    corpus_path, n_docs = corpus_for_sf(sf)
+    spark = get_spark("bench", cores=cpus)
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # ---- index build ------------------------------------------------------
+    root = f"/tmp/oei_bench/idx_{n_docs}_{cpus}_{os.getpid()}"
+    cat = Catalog(root)
+    docs = spark.read.parquet(corpus_path)
+    t0 = time.time()
+    manifest = build_index(spark, docs, cat, "bench")
+    t_build = time.time() - t0
+    queries["build_index"] = round(t_build, 3)
+    extras["build_docs"] = manifest["counters"]["docs"]
+    extras["build_docs_per_sec"] = round(manifest["counters"]["docs"] / t_build, 1)
+    extras["index_bytes"] = manifest["counters"]["bytes"]
+
+    idx_dir = cat.index_dir("bench")
+    qs = [(qid, q) for qid, q, _k in reference_queries()]
+
+    # ---- WAND batch (all 20 queries, one job) ------------------------------
+    t0 = time.time()
+    n_rows = wand_topk(spark, idx_dir, qs, 10).count()
+    queries["wand_batch20"] = round(time.time() - t0, 3)
+    extras["wand_batch_rows"] = n_rows
+
+    # ---- WAND per-query p50 (individual jobs, warm JVM) --------------------
+    lat = []
+    for qid, q in qs[:10]:
+        t0 = time.time()
+        wand_topk(spark, idx_dir, [(qid, q)], 10).collect()
+        lat.append(time.time() - t0)
+    lat.sort()
+    queries["wand_single_p50"] = round(lat[len(lat) // 2], 3)
+    extras["wand_single_p90"] = round(lat[int(len(lat) * 0.9)], 3)
+
+    # ---- relational sanity at the sf dir ------------------------------------
+    import __spark_entry__ as entry_mod
+
+    for name in ("j1_three_way_join", "a3_counters", "ft_bm25_topk"):
+        fn = entry_mod.queries()[name]
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        queries[name] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        **extras,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

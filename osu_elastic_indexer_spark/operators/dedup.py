@@ -1,0 +1,198 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not present in the reference (its dedup is the per-batch id re-key,
+IndexQueueProcessor.cs:46 — see operators/routing.py); these are the corpus-
+level dedup family a 100 TB webtext pipeline needs, built on the same
+tokenizer as the index (consistent text semantics).
+
+Every hash here is derived from md5 hex prefixes with EXPLICIT arithmetic —
+no engine-native hash() — so results are bit-identical between Spark and any
+ANSI-SQL oracle (the driver's DuckDB check) and stable across JVMs/versions.
+
+Scale notes:
+  * exact dedup: one shuffle on the content hash (groupBy) — optimal.
+  * MinHash/LSH: signatures are per-doc map-side work; the candidate join
+    shuffles on (band, bucket) — bounded by bucket size, the standard LSH
+    bound. Banding keeps the self-join from being O(n^2).
+  * SimHash: per-doc map-side fold over term bits; near-dup = hamming
+    distance on the signature — here surfaced as the signature itself plus
+    a bucket join on the top bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# fixed MinHash permutation constants: h_j(x) = (A[j]*x + B[j]) mod P.
+# P prime > 2^32; A < 2^28 keeps A*x < 2^60 (no int64 overflow).
+MINHASH_P = 4294967311
+MINHASH_A = [
+    217636919, 175914297, 251086399, 233451223,
+    198765431, 151239577, 262144231, 190101121,
+    246809347, 205437103, 169743649, 259814341,
+    228804289, 181422031, 214567561, 240333323,
+]
+MINHASH_B = [
+    104729, 1299709, 15485863, 32452843,
+    49979687, 67867967, 86028121, 104395301,
+    122949823, 141650939, 160481183, 179424673,
+    198491317, 217645177, 236887691, 256203161,
+]
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+
+
+def tokens_expr(text: Column) -> Column:
+    """lower + split on non-alphanumerics, empties removed — the SQL-
+    expressible twin of functions.textprep.tokenize for ASCII corpora."""
+    return F.filter(F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != "")
+
+
+def hash32_expr(s: Column) -> Column:
+    """First 8 hex chars of md5 -> int64 in [0, 2^32) — cross-engine stable."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+
+
+def shingles_expr(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct), as strings; empty if fewer than n
+    tokens (sequence() would run backwards on a negative bound)."""
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def minhash_signature(text: Column, n_shingle: int = 3) -> Column:
+    """array<bigint> of N_HASHES minhash values for the doc text."""
+    toks = tokens_expr(text)
+    sh = shingles_expr(toks, n_shingle)
+    hashes = F.transform(sh, hash32_expr)
+
+    def perm(j: int):  # see _bit_vote for why no default-arg lambdas
+        def fn(h: Column) -> Column:
+            return ((h % MINHASH_P) * MINHASH_A[j] + MINHASH_B[j]) % MINHASH_P
+
+        return fn
+
+    return F.array(
+        *[F.array_min(F.transform(hashes, perm(j))) for j in range(N_HASHES)]
+    )
+
+
+def _bit_vote(b: int):
+    """Two-arg aggregate lambda for bit b. NOTE: default-arg closures
+    (lambda acc, x, b=b) are unusable here — PySpark counts lambda PARAMETERS
+    to pick the higher-order-function arity, so a default arg turns a 2-arg
+    merge into a phantom 3-arg lambda."""
+
+    def vote(acc: Column, x: Column) -> Column:
+        return acc + F.when(x.bitwiseAND(F.lit(1 << b)) > 0, 1).otherwise(-1)
+
+    return vote
+
+
+def simhash32(text: Column) -> Column:
+    """32-bit SimHash over term hashes weighted by tf (map-side only)."""
+    toks = tokens_expr(text)
+    h = F.transform(toks, hash32_expr)
+    bits = F.array(
+        *[
+            F.when(
+                F.aggregate(h, F.lit(0).cast("bigint"), _bit_vote(b)) > 0,
+                F.lit(1 << b).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+            for b in range(32)
+        ]
+    )
+    return F.aggregate(bits, F.lit(0).cast("bigint"), lambda a, x: a + x)
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: (content_hash, n_docs, keep_doc_id).
+    keep = min doc_id (deterministic survivor)."""
+    return (
+        docs.withColumn("content_hash", F.md5(F.col(text_col)))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+        )
+    )
+
+
+def minhash_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, band, bucket): LSH band buckets from the minhash signature.
+    rows-per-band = N_HASHES/N_BANDS; bucket = md5 of the band's slice."""
+    rows = N_HASHES // N_BANDS
+    sig = minhash_signature(F.col(text_col))
+    # docs with no shingles (< n tokens) have no signature — excluding them
+    # also prevents every tiny doc colliding on the all-null bucket
+    out = docs.filter(
+        F.size(shingles_expr(tokens_expr(F.col(text_col)))) > 0
+    ).select("doc_id", sig.alias("sig"))
+    return out.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "_", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any band bucket (doc_a < doc_b),
+    deduplicated across bands."""
+    b = minhash_bands(docs, text_col)
+    a = b.select(
+        F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_a")
+    )
+    c = b.select(
+        F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_b")
+    )
+    return (
+        a.join(c, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.2, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard over LSH candidate pairs:
+    (doc_a, doc_b, jaccard) with jaccard >= threshold."""
+    sh = docs.select(
+        "doc_id", shingles_expr(tokens_expr(F.col(text_col)), n).alias("sh")
+    )
+    pairs = lsh_candidate_pairs(docs, text_col)
+    j = (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold)

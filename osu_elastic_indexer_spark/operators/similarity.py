@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-data-pipeline component (task brief): brute-force cosine top-k as
+the exact baseline, plus an LSH-bucketed variant as the scale path.
+
+Float discipline: cosine is computed as ordered folds over the vector index
+(F.aggregate over zip_with is strictly sequential), matching an ORDER BY
+ordinal sum in the SQL oracle; scores surfaced rounded.
+
+Scale notes:
+  * brute force is one broadcast of the query vector + a TakeOrderedAndProject
+    — exact, O(n·d), the right baseline and the verifier for ANN variants.
+  * sign-LSH buckets (hyperplane = coordinate signs here; swap in random
+    projections for production) cut candidates by ~2^bits; recall measured
+    against the brute-force baseline in tests.
+  * embedding near-dup: pairwise cosine within buckets — the standard
+    blocked self-join, never O(n^2) across the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Ordered-fold dot product of two equal-length double arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Exact cosine top-k: (vec_id, cos). Query vector broadcast as a
+    literal; plan is scan -> project -> TakeOrderedAndProject."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = embeddings.select(
+        "vec_id",
+        F.round(cosine_expr(_as_double(F.col("embedding")), q), 6).alias("cos"),
+    )
+    if exclude_vec_id is not None:
+        out = out.filter(F.col("vec_id") != exclude_vec_id)
+    return out.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+
+
+def sign_bucket_expr(vec: Column, bits: int = 8) -> Column:
+    """LSH bucket: sign bits of the first `bits` coordinates packed into an
+    int. (Production: signs of dot products with seeded random hyperplanes —
+    same shape, same join.)"""
+    total = F.lit(0).cast("bigint")
+    for i in range(bits):
+        total = total + F.when(
+            F.element_at(vec, i + 1) >= 0, F.lit(1 << i).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return total
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 8,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """ANN: brute-force cosine WITHIN the query's sign bucket. Exactness is
+    traded for a ~2^bits candidate cut; tests measure recall vs brute force."""
+    qb = 0
+    for i in range(bits):
+        if float(query_vec[i]) >= 0:
+            qb |= 1 << i
+    cand = embeddings.filter(
+        sign_bucket_expr(_as_double(F.col("embedding")), bits) == qb
+    )
+    return brute_force_topk(cand, query_vec, k, exclude_vec_id)
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.9, bits: int = 8
+) -> DataFrame:
+    """Near-duplicate pairs by cosine within LSH buckets:
+    (vec_a, vec_b, cos) with cos >= threshold, vec_a < vec_b."""
+    withb = embeddings.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("v"),
+        sign_bucket_expr(_as_double(F.col("embedding")), bits).alias("bucket"),
+    )
+    a = withb.select(
+        F.col("bucket"), F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+    )
+    b = withb.select(
+        F.col("bucket"), F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b", F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+    )

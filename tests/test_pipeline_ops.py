@@ -1,0 +1,114 @@
+"""Functional tests for the training-data pipeline operators: planted
+duplicates must be FOUND (not just hash-parity with the oracle), ANN recall
+vs brute force, multimodal stub behavior."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osu_elastic_indexer_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """12 docs: 2 exact-dup groups, one near-dup pair (1 word of 60 changed),
+    rest distinct."""
+    base = " ".join(f"tok{i:03d}" for i in range(60))
+    near = base.replace("tok030", "changed")
+    rows = [
+        (0, base),
+        (1, base),            # exact dup of 0
+        (2, near),            # near dup of 0
+        (3, "totally different words here about cats and dogs " * 3),
+        (4, "another unrelated document with its own vocabulary " * 3),
+        (5, base),            # exact dup of 0
+        (6, "short text"),
+        (7, " ".join(f"x{i}" for i in range(50))),
+        (8, " ".join(f"y{i}" for i in range(50))),
+        (9, "the quick brown fox jumps over the lazy dog " * 5),
+        (10, "the quick brown fox jumps over the lazy dog " * 5),  # dup of 9
+        (11, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup_finds_planted(planted):
+    res = {
+        r.keep_doc_id: r.n_docs
+        for r in dedup.exact_duplicates(planted).collect()
+    }
+    assert res[0] == 3  # docs 0, 1, 5
+    assert res[9] == 2  # docs 9, 10
+
+
+def test_lsh_finds_near_dup(planted):
+    pairs = {
+        (r.doc_a, r.doc_b) for r in dedup.lsh_candidate_pairs(planted).collect()
+    }
+    # exact dups always collide on all bands; the near-dup pair must too
+    assert (0, 1) in pairs and (0, 5) in pairs and (1, 5) in pairs
+    assert (9, 10) in pairs
+    assert (0, 2) in pairs  # 59/60 shingle overlap -> some band agrees
+    # unrelated docs don't collide
+    assert (3, 4) not in pairs
+
+
+def test_ngram_jaccard_scores(planted):
+    j = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(planted, threshold=0.0).collect()
+    }
+    assert j[(0, 1)] == 1.0
+    assert 0.8 < j[(0, 2)] < 1.0  # near dup: high but not exact
+    assert j[(9, 10)] == 1.0
+
+
+def test_simhash_near_dup_close(planted, spark):
+    rows = planted.filter(F.col("doc_id") < 3).select(
+        "doc_id", dedup.simhash32(F.col("text")).alias("s")
+    ).collect()
+    s = {r.doc_id: r.s for r in rows}
+    assert s[0] == s[1]  # identical docs -> identical simhash
+    ham = bin(s[0] ^ s[2]).count("1")
+    assert ham <= 6  # near dup -> small hamming distance
+
+
+def test_ann_lsh_recall(spark):
+    """LSH top-k recall vs brute force on deterministic vectors."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(300, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id bigint, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[0]]
+    brute = [r.vec_id for r in similarity.brute_force_topk(df, q, 10, 0).collect()]
+    approx = [r.vec_id for r in similarity.lsh_topk(df, q, 10, bits=4, exclude_vec_id=0).collect()]
+    recall = len(set(brute) & set(approx)) / 10
+    assert recall >= 0.3  # 4-bit buckets keep ~1/16 of candidates
+    # every ANN hit must be a real doc with correct (exact) cosine
+    got = {r.vec_id: r.cos for r in similarity.lsh_topk(df, q, 10, bits=4, exclude_vec_id=0).collect()}
+    exact = {r.vec_id: r.cos for r in similarity.brute_force_topk(df, q, 300, 0).collect()}
+    for v, c in got.items():
+        assert abs(c - exact[v]) < 1e-9
+
+
+def test_multimodal_stub_contract(spark):
+    from osu_elastic_indexer_spark.functions import multimodal
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"RIFF")
+    # plumbing over real binary html payloads
+    df = spark.createDataFrame(
+        [("a", b"<html>x</html>"), ("b", b""), ("c", None)],
+        "k string, payload binary",
+    )
+    meta = {r.doc_key: r for r in multimodal.attach_metadata(df, "k", "payload").collect()}
+    assert meta["a"].n_bytes == 14
+    assert meta["b"].n_bytes == 0 and meta["c"].n_bytes == 0
+    assert meta["a"].fake_width >= 1 and meta["a"].fake_height >= 1
+    frames = multimodal.sample_frames(df, "k", "payload", n_frames=3).collect()
+    assert len(frames) == 9  # 3 per doc, empties included deterministically
