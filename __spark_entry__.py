@@ -316,6 +316,66 @@ def q_o2_sorted_topn(spark, sf_dir):
     )
 
 
+def q_p3_projection_rename(spark, sf_dir):
+    """P3: projection with rename (country_acronym AS country_code,
+    Score.cs:19-21)."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.select(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .orderBy("customer_id")
+        .limit(50)
+    )
+
+
+def q_u2_tag_concat(spark, sf_dir):
+    """U2: metric-tag concat (item.Tags.Concat(['action:add', ...]),
+    IndexQueueProcessor.cs:52,57) — tags rendered as a sorted joined string
+    for cross-engine hashing."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    tags = F.array(
+        F.concat(F.lit("type:"), F.col("event_type")),
+        F.lit("action:add"),
+        F.concat(F.lit("user:"), F.col("user_id").cast("string")),
+    )
+    return ev.select(
+        "event_id", F.array_join(F.array_sort(tags), ",").alias("tags")
+    ).orderBy("event_id")
+
+
+def q_w1_running_sum(spark, sf_dir):
+    """Window aggregation: running per-user value sum in event-time order
+    (beyond the reference's surface — analytics completeness)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double"), 6
+        ).alias("running_value"),
+    ).orderBy("user_id", "event_id")
+
+
+def q_a2_distinct_users(spark, sf_dir):
+    """Exact distinct aggregation (queue-depth style gauge, A2 analog)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (dedup / similarity / analysis / multimodal)
 # ---------------------------------------------------------------------------
@@ -650,6 +710,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p6_null_default": q_p6_null_default,
         "a3_counters": q_a3_counters,
         "o2_sorted_topn": q_o2_sorted_topn,
+        "p3_projection_rename": q_p3_projection_rename,
+        "u2_tag_concat": q_u2_tag_concat,
+        "w1_running_sum": q_w1_running_sum,
+        "a2_distinct_users": q_a2_distinct_users,
         "wand_bm25_topk": q_wand_bm25_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_bands": q_dedup_minhash_bands,
@@ -743,6 +807,29 @@ ORDER BY l_returnflag, l_linestatus
         "o2_sorted_topn": """
 SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
 ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 20
+""",
+        "p3_projection_rename": """
+SELECT c_custkey AS customer_id, c_name AS customer_name,
+       c_mktsegment AS segment
+FROM customer ORDER BY customer_id LIMIT 50
+""",
+        "u2_tag_concat": """
+SELECT event_id,
+       array_to_string(list_sort(['type:' || event_type, 'action:add',
+                                  'user:' || CAST(user_id AS VARCHAR)]), ',') AS tags
+FROM events WHERE event_id < 100 ORDER BY event_id
+""",
+        "w1_running_sum": """
+SELECT user_id, event_id,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6)))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+         AS running_value
+FROM events WHERE user_id < 20 ORDER BY user_id, event_id
+""",
+        "a2_distinct_users": """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
 """,
         # WAND over the real compressed index vs the same SQL BM25 truth; the
         # oracle orders by RAW score (WAND ranks by raw, rounds for output)

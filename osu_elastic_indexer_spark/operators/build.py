@@ -38,12 +38,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import codec
-from ..functions.textprep import make_extract_text_udf
 from ..sources.catalog import Catalog
 from .dictionary import build_dictionary, encode_terms
-from .docmap import assign_doc_ids
+from .docmap import ranged_with_offsets
 from .routing import split_batch
-from .search import collection_stats, tf_table
+from .search import TF_SCHEMA
 
 SEGMENT_SCHEMA = (
     "term_id bigint, salt int, generation int, n_docs bigint, "
@@ -58,6 +57,68 @@ STATS_SCHEMA = (
     "n_docs bigint, sum_dl bigint, avgdl double, dl_min bigint, "
     "total_postings bigint"
 )
+
+
+def _fused_postings_pass(offsets_bc):
+    """mapInPandas body over url-ranged partitions of (url, warc_ts, html,
+    __pid): dense docID assignment + byte-exact html->text extraction +
+    tokenization + per-doc term-count combine, in ONE python pass.
+
+    Output: TF_SCHEMA rows (doc_id, term, tf, dl)."""
+    from ..functions.textprep import extract_text, tokenize
+
+    def run(batches):
+        local = 0
+        offset = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if offset is None:
+                offset = offsets_bc.value[int(pdf["__pid"].iloc[0])]
+            ids = offset + local + np.arange(len(pdf), dtype=np.int64)
+            local += len(pdf)
+            out_doc: list[int] = []
+            out_term: list[str] = []
+            out_tf: list[int] = []
+            out_dl: list[int] = []
+            for doc_id, html in zip(ids, pdf["html"].values):
+                toks = tokenize(extract_text(html))
+                dl = len(toks)
+                if dl == 0:
+                    continue
+                counts: dict[str, int] = {}
+                for tk in toks:
+                    counts[tk] = counts.get(tk, 0) + 1
+                out_doc.extend([doc_id] * len(counts))
+                out_term.extend(counts.keys())
+                out_tf.extend(counts.values())
+                out_dl.extend([dl] * len(counts))
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "term": out_term, "tf": out_tf, "dl": out_dl}
+            )
+
+    return run
+
+
+def _ids_only_pass(offsets_bc):
+    """mapInPandas body: the docmap projection of the same ranged partitions
+    (url, warc_ts, doc_id) — identical id sequence, no html decode."""
+
+    def run(batches):
+        local = 0
+        offset = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if offset is None:
+                offset = offsets_bc.value[int(pdf["__pid"].iloc[0])]
+            ids = offset + local + np.arange(len(pdf), dtype=np.int64)
+            local += len(pdf)
+            out = pdf.drop(columns=["__pid"]).copy()
+            out["doc_id"] = ids
+            yield out
+
+    return run
 
 
 def _encode_partition(generation: int):
@@ -203,40 +264,36 @@ def build_index(
     tf_path = cat.table_path(schema_version, "tf")
     doclens_path = cat.table_path(schema_version, "doclens")
 
-    # ---- phase 1: docmap ---------------------------------------------------
-    if not (resume and cat.phase_done(schema_version, "docmap")):
-        cat.mark_phase(schema_version, "docmap", "running")
+    # ---- phase 1: postings (docmap + tf + dictionary + stats) --------------
+    # One pass: html rides the docID range shuffle ONCE; extract + tokenize
+    # run on the id-assigned partitions, so the tf forward table inherits
+    # doc_id clustering for free (each output partition covers a contiguous
+    # docID range — the incremental delete accounting relies on that).
+    # Deliberately NOT re-clustered with repartitionByRange: range exchange
+    # samples its child, which would recompute the whole extract+tokenize
+    # pipeline a second time (measured 2x the phase cost at sf0.1).
+    if not (resume and cat.phase_done(schema_version, "postings")):
+        cat.mark_phase(schema_version, "postings", "running")
         adds, _dels = split_batch(docs)
-        with_ids = assign_doc_ids(adds.select("url", "warc_ts"))
-        with_ids.write.mode("overwrite").parquet(docmap_path)
+        part, offsets_bc = ranged_with_offsets(
+            adds.select("url", "warc_ts", "html"), ["url"]
+        )
+        # ONE python stage: id-assign + html->text + tokenize + map-side
+        # combine, fused (chained pandas-UDF stages each spawn a python
+        # worker per task — 3 chained stages at 32 cores = 96 concurrent
+        # python processes, which measurably inverts scaling)
+        tf = part.mapInPandas(_fused_postings_pass(offsets_bc), TF_SCHEMA)
+        tf.write.mode("overwrite").parquet(tf_path)
+        tf = spark.read.parquet(tf_path)
+        # docmap: same partitions, ids only (html never decoded here)
+        part.select("url", "warc_ts", "__pid").mapInPandas(
+            _ids_only_pass(offsets_bc), "url string, warc_ts timestamp, doc_id bigint"
+        ).write.mode("overwrite").parquet(docmap_path)
+        part.unpersist()
         dm = spark.read.parquet(docmap_path)
         agg = dm.agg(
             F.count("*").alias("docs"), F.max("warc_ts").alias("cursor")
         ).collect()[0]
-        cat.mark_phase(
-            schema_version, "docmap", "done",
-            docs=int(agg.docs), cursor=str(agg.cursor),
-        )
-
-    # ---- phase 2: postings (tf + dictionary + stats) -----------------------
-    if not (resume and cat.phase_done(schema_version, "postings")):
-        cat.mark_phase(schema_version, "postings", "running")
-        dm = spark.read.parquet(docmap_path)
-        extract = make_extract_text_udf()
-        # S3 re-hydration by key: docmap ⋈ input on url; at scale this join
-        # is co-partitioned on url by the shuffle; html never leaves the
-        # executors (extracted to text before the tokenizer)
-        hydrated = dm.join(docs.select("url", "html"), "url").withColumn(
-            "text", extract("html")
-        )
-        tf = tf_table(hydrated.select("doc_id", "text"))
-        # cluster the forward index by doc_id: incremental delete accounting
-        # filters tf by tombstoned doc ranges -> row-group pruning
-        tf.repartitionByRange(
-            max(2, int(spark.conf.get("spark.sql.shuffle.partitions")) // 2),
-            "doc_id",
-        ).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(tf_path)
-        tf = spark.read.parquet(tf_path)
         build_dictionary(tf).write.mode("overwrite").parquet(dict_path)
         dl = tf.groupBy("doc_id").agg(F.max("dl").alias("dl"))
         dl.write.mode("overwrite").parquet(doclens_path)
@@ -252,6 +309,7 @@ def build_index(
         cat.mark_phase(
             schema_version, "postings", "done",
             postings=int(st.total_postings), n_docs=int(st.n_docs),
+            docs=int(agg.docs), cursor=str(agg.cursor),
         )
 
     # ---- phase 3: segments -------------------------------------------------
@@ -295,11 +353,11 @@ def build_index(
     # ---- phase 4: commit ---------------------------------------------------
     m = cat.read_manifest(schema_version)
     m["counters"] = {
-        "docs": m["phases"]["docmap"].get("docs"),
+        "docs": m["phases"]["postings"].get("docs"),
         "postings": m["phases"]["segments"].get("postings"),
         "bytes": m["phases"]["segments"].get("bytes"),
     }
-    m["cursor"] = m["phases"]["docmap"].get("cursor")
+    m["cursor"] = m["phases"]["postings"].get("cursor")
     m["generations"] = 1
     cat.write_manifest(schema_version, m)
     cat.mark_phase(schema_version, "commit", "done")

@@ -25,19 +25,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def assign_dense_ids(
+def ranged_with_offsets(
     df: DataFrame,
     order_cols: list,
-    id_col: str,
     num_partitions: int | None = None,
     start_id: int = 0,
-) -> DataFrame:
-    """Add a dense-rank int64 ``id_col`` over the total order ``order_cols``.
+):
+    """Range-partition + sort df by ``order_cols`` and compute each
+    partition's dense-rank offset. Returns (part_df_with___pid, offsets_bc).
 
-    ``start_id`` offsets all ids — incremental builds pass max(existing)+1 so
-    new rows extend the id space (streaming/incremental.py).
-    Requires the order to be a total order over rows (unique composite key).
-    """
+    This is the shared core of dense-id assignment; build pipelines use it
+    directly so they can FUSE the id computation into their own mapInPandas
+    pass (one python stage instead of chained ones — chained Arrow-python
+    stages each spawn their own worker per task, which at high core counts
+    oversubscribes the box and inverts scaling)."""
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -58,6 +59,23 @@ def assign_dense_ids(
         offsets[pid] = acc
         acc += counts[pid]
     offsets_bc = spark.sparkContext.broadcast(offsets)
+    return part, offsets_bc
+
+
+def assign_dense_ids(
+    df: DataFrame,
+    order_cols: list,
+    id_col: str,
+    num_partitions: int | None = None,
+    start_id: int = 0,
+) -> DataFrame:
+    """Add a dense-rank int64 ``id_col`` over the total order ``order_cols``.
+
+    ``start_id`` offsets all ids — incremental builds pass max(existing)+1 so
+    new rows extend the id space (streaming/incremental.py).
+    Requires the order to be a total order over rows (unique composite key).
+    """
+    part, offsets_bc = ranged_with_offsets(df, order_cols, num_partitions, start_id)
 
     out_schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]

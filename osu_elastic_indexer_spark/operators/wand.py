@@ -156,6 +156,61 @@ class _Box:  # tiny mutable holder so _TermCursor.contribution sees avgdl
 _AVGDL = _Box()
 
 
+def taat_topk(
+    term_lists: list[tuple[str, float, list[dict]]],
+    k: int,
+    avgdl: float,
+    tombstones: frozenset[int] | None = None,
+) -> list[tuple[int, float]]:
+    """Exact exhaustive term-at-a-time top-k, fully numpy-vectorized.
+
+    Per-doc sums are accumulated one TERM at a time (sorted term order) into
+    a dense candidate array — each posting contributes via exactly one
+    `+=`, so the accumulation is the same left fold as the oracle/BMW paths
+    (bit-identical scores). NOTE: np.add.reduceat/np.sum are NOT usable here
+    — numpy reductions are pairwise, which reorders float addition.
+
+    This is the fast path for small candidate sets: BMW's per-posting python
+    loop costs ~5-10us/doc, which loses to vectorized decode below ~10^6
+    candidates. The dispatcher in run_query() picks per query; at 10^12-doc
+    scale selective queries route to BMW, where skipping wins.
+    """
+    per_term: list[tuple[np.ndarray, np.ndarray]] = []
+    for t, idf, rows in sorted(term_lists, key=lambda e: e[0]):
+        ds, tfs, dls = [], [], []
+        for enc in rows:  # caller orders rows by doc_min
+            d, tf, dl = codec.decode_postings(enc)
+            ds.append(d)
+            tfs.append(tf)
+            dls.append(dl)
+        if not ds:
+            continue
+        d = np.concatenate(ds)
+        tf = np.concatenate(tfs).astype(np.float64)
+        dl = np.concatenate(dls).astype(np.float64)
+        # elementwise twin of _tf_norm's scalar expression tree
+        contrib = idf * (tf / (tf + K1 * ((1.0 - B) + (B * dl) / avgdl)))
+        per_term.append((d, contrib))
+    if not per_term:
+        return []
+    uniq = np.unique(np.concatenate([d for d, _c in per_term]))
+    sums = np.zeros(uniq.size, dtype=np.float64)
+    for d, contrib in per_term:  # sorted-term order: one += per term
+        sums[np.searchsorted(uniq, d)] += contrib
+    if tombstones:
+        keep = np.array([d not in tombstones for d in uniq], dtype=bool)
+        uniq, sums = uniq[keep], sums[keep]
+    if uniq.size == 0:
+        return []
+    top = np.lexsort((uniq, -sums))[:k]
+    return [(float(sums[i]), int(uniq[i])) for i in top]
+
+
+# BMW pays off above this many total candidate postings (decode-everything
+# cost crosses the python-loop cost); tuned on local[32] at sf0.1
+TAAT_MAX_POSTINGS = 1_000_000
+
+
 def bmw_topk(
     term_lists: list[tuple[str, float, list[dict]]],
     k: int,
@@ -269,6 +324,37 @@ def _row_to_enc(row) -> dict:
     }
 
 
+# driver-side cache of small per-index state (stats row + tombstone set),
+# keyed by the manifest mtime so any committed change invalidates it —
+# repeated queries skip two Spark jobs each (the p50-latency win)
+_INDEX_STATE_CACHE: dict[tuple, tuple] = {}
+
+
+def _index_state(spark: SparkSession, index_dir: str):
+    import os
+
+    mpath = f"{index_dir}/manifest.json"
+    key = (index_dir, os.path.getmtime(mpath) if os.path.exists(mpath) else 0)
+    if key in _INDEX_STATE_CACHE:
+        return _INDEX_STATE_CACHE[key]
+    stats = spark.read.parquet(f"{index_dir}/stats").collect()[0]
+    # tombstones: deleted docIDs excluded at evaluation time (reference
+    # semantics: deletes remove docs from served top-k, SURVEY.md §7.4 #6).
+    # Toy-scale: plain broadcast set; scale path: partitioned bitmap.
+    tomb: frozenset[int] = frozenset()
+    tomb_path = f"{index_dir}/tombstones"
+    if os.path.isdir(tomb_path) and any(
+        f.endswith(".parquet") for f in os.listdir(tomb_path)
+    ):
+        tomb = frozenset(
+            r.doc_id for r in spark.read.parquet(tomb_path).collect()
+        )
+    state = (int(stats.n_docs), float(stats.avgdl), tomb)
+    _INDEX_STATE_CACHE.clear()  # keep at most a handful of indexes
+    _INDEX_STATE_CACHE[key] = state
+    return state
+
+
 def wand_topk(
     spark: SparkSession,
     index_dir: str,
@@ -283,22 +369,7 @@ def wand_topk(
     from ..session import ship_package
 
     ship_package(spark)
-    stats = spark.read.parquet(f"{index_dir}/stats").collect()[0]
-    n_docs, avgdl = int(stats.n_docs), float(stats.avgdl)
-
-    # tombstones: deleted docIDs excluded at evaluation time (reference
-    # semantics: deletes remove docs from served top-k, SURVEY.md §7.4 #6).
-    # Toy-scale: plain broadcast set; scale path: partitioned bitmap.
-    import os
-
-    tomb: frozenset[int] = frozenset()
-    tomb_path = f"{index_dir}/tombstones"
-    if os.path.isdir(tomb_path) and any(
-        f.endswith(".parquet") for f in os.listdir(tomb_path)
-    ):
-        tomb = frozenset(
-            r.doc_id for r in spark.read.parquet(tomb_path).collect()
-        )
+    n_docs, avgdl, tomb = _index_state(spark, index_dir)
 
     # per-query sorted unique terms (scoring dedups terms — oracle parity)
     qterms = [(qid, t) for qid, text in queries for t in sorted(set(tokenize(text)))]
@@ -347,10 +418,17 @@ def wand_topk(
                 _row_to_enc(row)
             )
         entries = []
+        total_postings = 0
         for t, (tidf, rows) in sorted(term_lists.items()):
             rows.sort(key=lambda e: e["doc_min"])  # disjoint ranges, ordered
+            total_postings += sum(len(e["block_first"]) for e in rows) * 128
             entries.append((t, tidf, rows))
-        top = bmw_topk(entries, kk, avgdl_b, tomb_b)
+        # dispatch: vectorized exhaustive TAAT for small candidate sets,
+        # block-max WAND when skipping pays (both exact, same fold order)
+        if total_postings <= TAAT_MAX_POSTINGS:
+            top = taat_topk(entries, kk, avgdl_b, tomb_b)
+        else:
+            top = bmw_topk(entries, kk, avgdl_b, tomb_b)
         return pd.DataFrame(
             {
                 "query_id": [qid] * len(top),

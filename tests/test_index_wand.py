@@ -167,3 +167,8 @@ def test_bmw_pure_random_vs_oracle():
         k = int(rng.integers(1, 15))
         got = bmw_topk(terms, k, avgdl)
         assert got == brute[:k], f"trial {trial}: {got} != {brute[:k]}"
+        # the vectorized TAAT path must be bit-identical to BMW
+        from osu_elastic_indexer_spark.operators.wand import taat_topk
+
+        got2 = taat_topk(terms, k, avgdl)
+        assert got2 == brute[:k], f"trial {trial} taat: {got2} != {brute[:k]}"
