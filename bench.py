@@ -56,6 +56,9 @@ def main() -> None:
 
     corpus_path, n_docs = corpus_for_sf(sf)
     spark = get_spark("bench", cores=cpus)
+    from osu_elastic_indexer_spark.session import warm_python_workers
+
+    warm_python_workers(spark, cpus)
     queries: dict[str, float] = {}
     extras: dict[str, float] = {}
 

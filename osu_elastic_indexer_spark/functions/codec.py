@@ -28,6 +28,17 @@ BLOCK = 128
 # ---------------------------------------------------------------------------
 
 
+def varbyte_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (vectorized)."""
+    v = np.asarray(values, dtype=np.uint64)
+    lengths = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        lengths += (tmp > 0).astype(np.int64)
+        tmp = tmp >> np.uint64(7)
+    return lengths
+
+
 def varbyte_encode(values: np.ndarray) -> bytes:
     """Vectorized varbyte encode of a uint64 array (values >= 0)."""
     v = np.asarray(values, dtype=np.uint64)
@@ -137,42 +148,43 @@ def encode_postings(
     n = doc_ids.size
     assert n > 0 and tfs.size == n and dls.size == n
     n_blocks = (n + BLOCK - 1) // BLOCK
-    docs_parts: list[bytes] = []
-    tfs_parts: list[bytes] = []
-    dls_parts: list[bytes] = []
-    doc_offs = np.zeros(n_blocks + 1, dtype=np.int64)
-    tf_offs = np.zeros(n_blocks + 1, dtype=np.int64)
-    dl_offs = np.zeros(n_blocks + 1, dtype=np.int64)
-    block_first = np.empty(n_blocks, dtype=np.int64)
-    block_last = np.empty(n_blocks, dtype=np.int64)
-    block_max_tf = np.empty(n_blocks, dtype=np.int64)
-    block_min_dl = np.empty(n_blocks, dtype=np.int64)
-    for b in range(n_blocks):
-        lo, hi = b * BLOCK, min((b + 1) * BLOCK, n)
-        ids_b, tfs_b, dls_b = doc_ids[lo:hi], tfs[lo:hi], dls[lo:hi]
-        db = varbyte_encode(delta_encode(ids_b))
-        tb = varbyte_encode(tfs_b.astype(np.uint64))
-        lb = varbyte_encode(dls_b.astype(np.uint64))
-        docs_parts.append(db)
-        tfs_parts.append(tb)
-        dls_parts.append(lb)
-        doc_offs[b + 1] = doc_offs[b] + len(db)
-        tf_offs[b + 1] = tf_offs[b] + len(tb)
-        dl_offs[b + 1] = dl_offs[b] + len(lb)
-        block_first[b] = ids_b[0]
-        block_last[b] = ids_b[-1]
-        block_max_tf[b] = tfs_b.max()
-        block_min_dl[b] = dls_b.min()
+    starts = np.arange(0, n, BLOCK, dtype=np.int64)
+    ends = np.minimum(starts + BLOCK, n)
+
+    # block-local delta gaps computed in ONE vectorized pass: ordinary diff,
+    # then every block's first entry reset to doc_id+1 (encode/decode are
+    # O(list) with no per-block python loop — this is the build hot path)
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = np.uint64(doc_ids[0] + 1)
+    if n > 1:
+        gaps[1:] = np.diff(doc_ids).astype(np.uint64)
+    gaps[starts] = (doc_ids[starts] + 1).astype(np.uint64)
+
+    tfs_u = tfs.astype(np.uint64)
+    dls_u = dls.astype(np.uint64)
+
+    def offs_for(vals: np.ndarray) -> np.ndarray:
+        prefix = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(varbyte_lengths(vals), out=prefix[1:])
+        out = np.empty(n_blocks + 1, dtype=np.int64)
+        out[:-1] = prefix[starts]
+        out[-1] = prefix[n]
+        return out
+
+    # per-block extrema via ufunc.reduceat (ints — order-independent)
+    block_max_tf = np.maximum.reduceat(tfs, starts)
+    block_min_dl = np.minimum.reduceat(dls, starts)
+
     return {
         "n_docs": int(n),
-        "docs_blob": b"".join(docs_parts),
-        "tfs_blob": b"".join(tfs_parts),
-        "dls_blob": b"".join(dls_parts),
-        "doc_offs": doc_offs,
-        "tf_offs": tf_offs,
-        "dl_offs": dl_offs,
-        "block_first": block_first,
-        "block_last": block_last,
+        "docs_blob": varbyte_encode(gaps),
+        "tfs_blob": varbyte_encode(tfs_u),
+        "dls_blob": varbyte_encode(dls_u),
+        "doc_offs": offs_for(gaps),
+        "tf_offs": offs_for(tfs_u),
+        "dl_offs": offs_for(dls_u),
+        "block_first": doc_ids[starts].copy(),
+        "block_last": doc_ids[ends - 1].copy(),
         "block_max_tf": block_max_tf,
         "block_min_dl": block_min_dl,
         "max_tf": int(tfs.max()),

@@ -7,16 +7,17 @@ part the reference delegates to Lucene: building the inverted index itself.
 
 Pipeline (phases are individually checkpointed in the manifest — T8 resume):
 
-  docmap     route (P1) -> extract text from html (pandas UDF) ->
-             dense docIDs (range partition, no global sort) -> docmap parquet
-  postings   docmap ⋈ input (S3 re-hydration by key) -> tokenize + map-side
-             combine (one row per (doc, term)) -> tf parquet; dictionary
-             (term_id by df-desc dense rank); collection stats
-  segments   tf ⋈ dictionary (broadcast at small scale) -> RANGE-salt head
-             terms over disjoint docID intervals -> shuffle on
-             (term_id, salt) -> applyInPandas: sort by doc_id, delta-gap
-             varbyte encode with per-block (max_tf, min_dl) -> segments
-             parquet range-partitioned by term_id
+  postings   route (P1) -> ONE fused Arrow pass per input partition
+             (docID assign + byte-exact html->text + tokenize + per-doc
+             combine) -> doc-grouped FORWARD table
+             fwd(doc_id, dl, terms[], tfs[]); docmap; dictionary (term_id by
+             df-desc dense rank over the JVM-exploded posting view); stats
+  segments   explode fwd JVM-side -> ⋈ broadcast dictionary -> RANGE-salt
+             head terms over disjoint docID intervals -> groupBy(term_id,
+             salt) collect_list+sort_array (all JVM) -> mapInArrow encodes
+             each group to delta-gap varbyte blocks with per-block
+             (max_tf, min_dl) -> segments parquet range-partitioned by
+             term_id
   commit     counters + cursor into the manifest
 
 Skew handling (north_rule "skew handled explicitly"): a head term like 'the'
@@ -24,25 +25,30 @@ has df ~ N and would put one reducer group at corpus scale. Each term gets
 n_salts = ceil(df / salt_group_cap) salts; salt = doc_id * n_salts / id_span
 — RANGE-based, so each salted group covers a disjoint, ordered docID
 interval, and the term's global posting list is simply its segment rows
-ordered by doc_min. No second merge pass is required for query correctness;
-`compact generations` (incremental path) uses codec.merge_encoded.
+ordered by doc_min. The cap is also the collect_list group memory bound.
+
+Bridge discipline (measured on local[32]): the JVM<->Python Arrow bridge
+costs ~0.4us per ROW each way regardless of width, so row-heavy relational
+work (explode, join, salt, groupBy, sort) stays JVM-side and Python sees
+only doc-grouped or term-grouped rows — 10^5 rows over the bridge instead of
+10^7 postings. That single decision is worth ~3x on the whole build.
 """
 
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import codec
 from ..sources.catalog import Catalog
 from .dictionary import build_dictionary, encode_terms
-from .docmap import ranged_with_offsets
-from .routing import split_batch
-from .search import TF_SCHEMA
+from .docmap import input_order_offsets
 
 SEGMENT_SCHEMA = (
     "term_id bigint, salt int, generation int, n_docs bigint, "
@@ -53,56 +59,124 @@ SEGMENT_SCHEMA = (
     "block_max_tf array<bigint>, block_min_dl array<bigint>"
 )
 
+_SEGMENT_PA_SCHEMA = pa.schema(
+    [
+        ("term_id", pa.int64()),
+        ("salt", pa.int32()),
+        ("generation", pa.int32()),
+        ("n_docs", pa.int64()),
+        ("doc_min", pa.int64()),
+        ("doc_max", pa.int64()),
+        ("max_tf", pa.int64()),
+        ("docs_blob", pa.binary()),
+        ("tfs_blob", pa.binary()),
+        ("dls_blob", pa.binary()),
+        ("doc_offs", pa.list_(pa.int64())),
+        ("tf_offs", pa.list_(pa.int64())),
+        ("dl_offs", pa.list_(pa.int64())),
+        ("block_first", pa.list_(pa.int64())),
+        ("block_last", pa.list_(pa.int64())),
+        ("block_max_tf", pa.list_(pa.int64())),
+        ("block_min_dl", pa.list_(pa.int64())),
+    ]
+)
+
 STATS_SCHEMA = (
     "n_docs bigint, sum_dl bigint, avgdl double, dl_min bigint, "
     "total_postings bigint"
 )
 
+# forward index: one row per doc, terms deduped with counts (the per-doc
+# combine); doc_id-ordered within partitions by construction
+FWD_SCHEMA = "doc_id bigint, dl bigint, terms array<string>, tfs array<bigint>"
 
-def _fused_postings_pass(offsets_bc):
-    """mapInPandas body over url-ranged partitions of (url, warc_ts, html,
-    __pid): dense docID assignment + byte-exact html->text extraction +
-    tokenization + per-doc term-count combine, in ONE python pass.
+_FWD_PA_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("dl", pa.int64()),
+        ("terms", pa.list_(pa.string())),
+        ("tfs", pa.list_(pa.int64())),
+    ]
+)
 
-    Output: TF_SCHEMA rows (doc_id, term, tf, dl)."""
+
+@contextmanager
+def arrow_batch_rows(spark, n: int):
+    """Scoped override of the Arrow batch size: group-carrying passes want
+    small row counts (each row is a whole posting group); narrow passes want
+    large ones. The session default (10k) suits blob-per-doc passes."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+GROUP_BATCH_ROWS = 256  # segment groups per Arrow batch (bounded by salt cap)
+
+
+def _fused_forward_pass(offsets_bc):
+    """mapInArrow body over input partitions of (html, __pid): dense docID
+    assignment + byte-exact extraction + tokenization + per-doc combine, in
+    ONE python pass, emitting doc-GROUPED rows (FWD_SCHEMA) so the return
+    bridge carries one row per document, not one per posting."""
     from ..functions.textprep import extract_text, tokenize
 
     def run(batches):
         local = 0
         offset = None
-        for pdf in batches:
-            if len(pdf) == 0:
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
                 continue
             if offset is None:
-                offset = offsets_bc.value[int(pdf["__pid"].iloc[0])]
-            ids = offset + local + np.arange(len(pdf), dtype=np.int64)
-            local += len(pdf)
-            out_doc: list[int] = []
-            out_term: list[str] = []
-            out_tf: list[int] = []
-            out_dl: list[int] = []
-            for doc_id, html in zip(ids, pdf["html"].values):
-                toks = tokenize(extract_text(html))
+                offset = offsets_bc.value[int(batch.column("__pid")[0].as_py())]
+            ids = offset + local + np.arange(n, dtype=np.int64)
+            local += n
+            htmls = batch.column("html")
+            doc_ids: list[int] = []
+            dls: list[int] = []
+            term_offsets = [0]
+            flat_terms: list[str] = []
+            flat_tfs: list[int] = []
+            for i in range(n):
+                h = htmls[i].as_py()
+                toks = tokenize(extract_text(h))
                 dl = len(toks)
                 if dl == 0:
                     continue
                 counts: dict[str, int] = {}
                 for tk in toks:
                     counts[tk] = counts.get(tk, 0) + 1
-                out_doc.extend([doc_id] * len(counts))
-                out_term.extend(counts.keys())
-                out_tf.extend(counts.values())
-                out_dl.extend([dl] * len(counts))
-            yield pd.DataFrame(
-                {"doc_id": out_doc, "term": out_term, "tf": out_tf, "dl": out_dl}
+                doc_ids.append(int(ids[i]))
+                dls.append(dl)
+                flat_terms.extend(counts.keys())
+                flat_tfs.extend(counts.values())
+                term_offsets.append(len(flat_terms))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids, pa.int64()),
+                    pa.array(dls, pa.int64()),
+                    pa.ListArray.from_arrays(
+                        pa.array(term_offsets, pa.int32()),
+                        pa.array(flat_terms, pa.string()),
+                    ),
+                    pa.ListArray.from_arrays(
+                        pa.array(term_offsets, pa.int32()),
+                        pa.array(flat_tfs, pa.int64()),
+                    ),
+                ],
+                schema=_FWD_PA_SCHEMA,
             )
 
     return run
 
 
 def _ids_only_pass(offsets_bc):
-    """mapInPandas body: the docmap projection of the same ranged partitions
-    (url, warc_ts, doc_id) — identical id sequence, no html decode."""
+    """mapInPandas body: the docmap projection of the same partitions
+    (url, warc_ts, doc_id) — identical id sequence, html pruned from scan."""
 
     def run(batches):
         local = 0
@@ -121,81 +195,74 @@ def _ids_only_pass(offsets_bc):
     return run
 
 
-def _encode_partition(generation: int):
-    """mapInPandas body over a partition pre-sorted by (term_id, salt,
-    doc_id): encode each contiguous (term_id, salt) run into one segment row.
+def exploded_postings(fwd: DataFrame) -> DataFrame:
+    """fwd -> (doc_id, term, tf, dl) posting view, entirely JVM-side
+    (explode of zipped arrays — whole-stage codegen, never Python)."""
+    return fwd.select(
+        "doc_id",
+        "dl",
+        F.explode(F.arrays_zip("terms", "tfs")).alias("p"),
+    ).select(
+        "doc_id",
+        F.col("p.terms").alias("term"),
+        F.col("p.tfs").cast("bigint").alias("tf"),
+        "dl",
+    )
 
-    This is the SPIMI merge proper: the shuffle delivered every (term, salt)
-    group to one partition; one vectorized pass over the sorted stream emits
-    compressed posting lists — no per-group python-function dispatch (a
-    groupBy().applyInPandas here costs ~10ms of pandas overhead per TERM,
-    which at 10^8 terms is the whole job)."""
 
-    def encode(batches):
-        cols = [
-            "term_id", "salt", "generation", "n_docs", "doc_min", "doc_max",
-            "max_tf", "docs_blob", "tfs_blob", "dls_blob", "doc_offs",
-            "tf_offs", "dl_offs", "block_first", "block_last",
-            "block_max_tf", "block_min_dl",
-        ]
-        out: dict[str, list] = {c: [] for c in cols}
-        pend: pd.DataFrame | None = None
+def _encode_groups_arrow(generation: int):
+    """mapInArrow body over grouped rows (term_id, salt, postings:
+    list<struct<doc_id,tf,dl>> sorted by doc_id): vectorized flatten of the
+    Arrow nested arrays (zero-copy) -> codec.encode_postings per group."""
 
-        def emit(g: pd.DataFrame) -> None:
-            doc_ids = g["doc_id"].values
-            enc = codec.encode_postings(doc_ids, g["tf"].values, g["dl"].values)
-            out["term_id"].append(int(g["term_id"].iloc[0]))
-            out["salt"].append(int(g["salt"].iloc[0]))
-            out["generation"].append(generation)
-            out["n_docs"].append(enc["n_docs"])
-            out["doc_min"].append(int(doc_ids[0]))
-            out["doc_max"].append(int(doc_ids[-1]))
-            out["max_tf"].append(enc["max_tf"])
-            out["docs_blob"].append(enc["docs_blob"])
-            out["tfs_blob"].append(enc["tfs_blob"])
-            out["dls_blob"].append(enc["dls_blob"])
-            out["doc_offs"].append(enc["doc_offs"].tolist())
-            out["tf_offs"].append(enc["tf_offs"].tolist())
-            out["dl_offs"].append(enc["dl_offs"].tolist())
-            out["block_first"].append(enc["block_first"].tolist())
-            out["block_last"].append(enc["block_last"].tolist())
-            out["block_max_tf"].append(enc["block_max_tf"].tolist())
-            out["block_min_dl"].append(enc["block_min_dl"].tolist())
-
-        def drain() -> pd.DataFrame:
-            pdf = pd.DataFrame(out)
-            for c in cols:
-                out[c] = []
-            return pdf
-
-        for pdf in batches:
-            if len(pdf) == 0:
+    def run(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            if pend is not None:
-                pdf = pd.concat([pend, pdf], ignore_index=True)
-                pend = None
-            key = (
-                pdf["term_id"].values.astype(np.int64) << np.int64(16)
-            ) | pdf["salt"].values.astype(np.int64)
-            bounds = np.flatnonzero(np.diff(key)) + 1
-            starts = np.concatenate(([0], bounds))
-            ends = np.concatenate((bounds, [len(pdf)]))
-            # the last run may continue into the next Arrow batch — hold it
-            for s, e in zip(starts[:-1], ends[:-1]):
-                emit(pdf.iloc[s:e])
-            pend = pdf.iloc[starts[-1] :]
-            if len(out["term_id"]) >= 512:
-                yield drain()
-        if pend is not None and len(pend):
-            emit(pend)
-        if out["term_id"]:
-            yield drain()
+            tids = batch.column("term_id").to_numpy()
+            salts = batch.column("salt").to_numpy()
+            plist = batch.column("postings")
+            lengths = np.asarray(plist.value_lengths())
+            starts = np.zeros(len(lengths) + 1, dtype=np.int64)
+            np.cumsum(lengths, out=starts[1:])
+            vals = plist.flatten()  # StructArray, offset-adjusted
+            doc = vals.field("doc_id").to_numpy()
+            tf = vals.field("tf").to_numpy()
+            dl = vals.field("dl").to_numpy()
+            cols: dict[str, list] = {n: [] for n in _SEGMENT_PA_SCHEMA.names}
+            for i in range(batch.num_rows):
+                s, e = starts[i], starts[i + 1]
+                enc = codec.encode_postings(doc[s:e], tf[s:e], dl[s:e])
+                cols["term_id"].append(int(tids[i]))
+                cols["salt"].append(int(salts[i]))
+                cols["generation"].append(generation)
+                cols["n_docs"].append(enc["n_docs"])
+                cols["doc_min"].append(int(doc[s]))
+                cols["doc_max"].append(int(doc[e - 1]))
+                cols["max_tf"].append(enc["max_tf"])
+                cols["docs_blob"].append(enc["docs_blob"])
+                cols["tfs_blob"].append(enc["tfs_blob"])
+                cols["dls_blob"].append(enc["dls_blob"])
+                cols["doc_offs"].append(enc["doc_offs"].tolist())
+                cols["tf_offs"].append(enc["tf_offs"].tolist())
+                cols["dl_offs"].append(enc["dl_offs"].tolist())
+                cols["block_first"].append(enc["block_first"].tolist())
+                cols["block_last"].append(enc["block_last"].tolist())
+                cols["block_max_tf"].append(enc["block_max_tf"].tolist())
+                cols["block_min_dl"].append(enc["block_min_dl"].tolist())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols[f.name], f.type)
+                    for f in _SEGMENT_PA_SCHEMA
+                ],
+                schema=_SEGMENT_PA_SCHEMA,
+            )
 
-    return encode
+    return run
 
 
 def encode_segments(
-    encoded_tf: DataFrame,
+    posting_rows: DataFrame,
     dictionary: DataFrame,
     id_span: int,
     salt_group_cap: int = 1_000_000,
@@ -208,10 +275,11 @@ def encode_segments(
     ``id_span`` = max doc_id + 1 (the docID universe for this generation);
     salts partition [0, id_span) into contiguous intervals so each group's
     postings form a sorted, disjoint slice of the term's global list.
-    max_salts fits the (term_id << 16 | salt) run key in _encode_partition.
+
+    The grouping is a JVM collect_list + sort_array (bounded by the salt
+    cap); python receives one ROW PER GROUP via mapInArrow (see module doc).
     """
-    assert max_salts <= (1 << 16)
-    with_df = encoded_tf.join(
+    with_df = posting_rows.join(
         F.broadcast(dictionary.select("term_id", "df")), "term_id"
     )
     n_salts = F.least(
@@ -222,12 +290,12 @@ def encode_segments(
         "salt",
         ((F.col("doc_id") * n_salts) / F.lit(id_span)).cast("int"),
     ).select("term_id", "salt", "doc_id", "tf", "dl")
-    spark = encoded_tf.sparkSession
-    nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    part = salted.repartition(nparts, "term_id", "salt").sortWithinPartitions(
-        "term_id", "salt", "doc_id"
+    grouped = salted.groupBy("term_id", "salt").agg(
+        F.sort_array(
+            F.collect_list(F.struct("doc_id", "tf", "dl"))
+        ).alias("postings")
     )
-    return part.mapInPandas(_encode_partition(generation), schema=SEGMENT_SCHEMA)
+    return grouped.mapInArrow(_encode_groups_arrow(generation), SEGMENT_SCHEMA)
 
 
 def build_index(
@@ -237,7 +305,7 @@ def build_index(
     schema_version: str,
     *,
     resume: bool = False,
-    salt_group_cap: int = 1_000_000,
+    salt_group_cap: int | None = None,
     segment_partitions: int | None = None,
 ) -> dict:
     """Full (backfill) index build — the `queue pump-all` + consume analog.
@@ -258,83 +326,90 @@ def build_index(
     dict_path = cat.table_path(schema_version, "dictionary")
     seg_path = cat.table_path(schema_version, "segments")
     stats_path = cat.table_path(schema_version, "stats")
-    # tf is kept as a real table: it is the forward index (doc -> terms),
-    # clustered by doc_id, which makes delete accounting in incremental
-    # updates a pruned scan (streaming/incremental.py)
-    tf_path = cat.table_path(schema_version, "tf")
-    doclens_path = cat.table_path(schema_version, "doclens")
+    # fwd is the doc-grouped forward index (doc -> terms/tfs/dl): the build
+    # intermediate, the incremental delete-accounting source (clustered by
+    # doc_id by construction), and the compaction input
+    fwd_path = cat.table_path(schema_version, "fwd")
 
-    # ---- phase 1: postings (docmap + tf + dictionary + stats) --------------
-    # One pass: html rides the docID range shuffle ONCE; extract + tokenize
-    # run on the id-assigned partitions, so the tf forward table inherits
-    # doc_id clustering for free (each output partition covers a contiguous
-    # docID range — the incremental delete accounting relies on that).
-    # Deliberately NOT re-clustered with repartitionByRange: range exchange
-    # samples its child, which would recompute the whole extract+tokenize
-    # pipeline a second time (measured 2x the phase cost at sf0.1).
+    # ---- phase 1: postings (docmap + fwd + dictionary + stats) -------------
     if not (resume and cat.phase_done(schema_version, "postings")):
         cat.mark_phase(schema_version, "postings", "running")
-        adds, _dels = split_batch(docs)
-        part, offsets_bc = ranged_with_offsets(
-            adds.select("url", "warc_ts", "html"), ["url"]
+        # P1 routing, split for cost: the cheap half (lang + null checks —
+        # parquet def-levels, no blob decode) gates id assignment; the
+        # text-emptiness half falls out of the fused pass (dl==0 docs emit
+        # no forward row). docmap may thus carry a rare zero-token url —
+        # harmless: it has no postings and counters use stats.n_docs.
+        adds = docs.filter(
+            (F.col("lang") == "en") & F.col("text").isNotNull()
         )
-        # ONE python stage: id-assign + html->text + tokenize + map-side
-        # combine, fused (chained pandas-UDF stages each spawn a python
-        # worker per task — 3 chained stages at 32 cores = 96 concurrent
-        # python processes, which measurably inverts scaling)
-        tf = part.mapInPandas(_fused_postings_pass(offsets_bc), TF_SCHEMA)
-        tf.write.mode("overwrite").parquet(tf_path)
-        tf = spark.read.parquet(tf_path)
-        # docmap: same partitions, ids only (html never decoded here)
+        # docIDs in input order (reference-faithful: scores.id is arrival
+        # order) — one metadata-cheap count pass, NO shuffle of raw blobs
+        part, offsets_bc = input_order_offsets(
+            adds.select("url", "warc_ts", "html")
+        )
+        fwd = part.select("html", "__pid").mapInArrow(
+            _fused_forward_pass(offsets_bc), FWD_SCHEMA
+        )
+        fwd.write.mode("overwrite").parquet(fwd_path)
+        fwd = spark.read.parquet(fwd_path)
         part.select("url", "warc_ts", "__pid").mapInPandas(
-            _ids_only_pass(offsets_bc), "url string, warc_ts timestamp, doc_id bigint"
+            _ids_only_pass(offsets_bc),
+            "url string, warc_ts timestamp, doc_id bigint",
         ).write.mode("overwrite").parquet(docmap_path)
-        part.unpersist()
         dm = spark.read.parquet(docmap_path)
         agg = dm.agg(
             F.count("*").alias("docs"), F.max("warc_ts").alias("cursor")
         ).collect()[0]
-        build_dictionary(tf).write.mode("overwrite").parquet(dict_path)
-        dl = tf.groupBy("doc_id").agg(F.max("dl").alias("dl"))
-        dl.write.mode("overwrite").parquet(doclens_path)
-        dl = spark.read.parquet(doclens_path)
-        stats = dl.agg(
+        tf_view = exploded_postings(fwd)
+        build_dictionary(tf_view).write.mode("overwrite").parquet(dict_path)
+        st = fwd.agg(
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum("dl").cast("bigint").alias("sum_dl"),
             (F.sum("dl") / F.count("*")).cast("double").alias("avgdl"),
             F.min("dl").cast("bigint").alias("dl_min"),
-        ).crossJoin(tf.agg(F.count("*").cast("bigint").alias("total_postings")))
-        stats.write.mode("overwrite").parquet(stats_path)
-        st = spark.read.parquet(stats_path).collect()[0]
+            F.sum(F.size("terms")).cast("bigint").alias("total_postings"),
+        ).collect()[0]
+        spark.createDataFrame([tuple(st)], STATS_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(stats_path)
         cat.mark_phase(
             schema_version, "postings", "done",
             postings=int(st.total_postings), n_docs=int(st.n_docs),
-            docs=int(agg.docs), cursor=str(agg.cursor),
+            docs=int(st.n_docs), docmap_rows=int(agg.docs),
+            cursor=str(agg.cursor),
         )
 
-    # ---- phase 3: segments -------------------------------------------------
+    # ---- phase 2: segments --------------------------------------------------
     if not (resume and cat.phase_done(schema_version, "segments")):
         cat.mark_phase(schema_version, "segments", "running")
-        tf = spark.read.parquet(tf_path)
+        fwd = spark.read.parquet(fwd_path)
         dictionary = spark.read.parquet(dict_path)
         dm = spark.read.parquet(docmap_path)
         id_span = int(dm.agg(F.max("doc_id")).collect()[0][0]) + 1
-        enc_tf = encode_terms(tf, dictionary)
-        segments = encode_segments(
-            enc_tf, dictionary, id_span,
-            salt_group_cap=salt_group_cap, generation=0,
-        )
         nparts = segment_partitions or max(
             2, int(spark.conf.get("spark.sql.shuffle.partitions")) // 2
         )
-        # range-partition + sort by term_id: row-group pruning for query-time
-        # term_id IN (...) filters (the Lucene term-dictionary seek analog)
-        (
-            segments.repartitionByRange(nparts, "term_id")
-            .sortWithinPartitions("term_id", "salt")
-            .write.mode("overwrite")
-            .parquet(seg_path)
+        # adaptive skew cap: the heaviest term (df ~ N) spreads over ~2x the
+        # reduce partitions so no single reducer owns a whole head term —
+        # this is both the skew fix and the group memory bound
+        cap = salt_group_cap or max(50_000, id_span // (2 * nparts))
+        enc_tf = encode_terms(exploded_postings(fwd), dictionary)
+        segments = encode_segments(
+            enc_tf, dictionary, id_span,
+            salt_group_cap=cap, generation=0,
         )
+        # sort within the groupBy's hash partitions by term_id: each output
+        # file then has narrow per-row-group term_id ranges, so query-time
+        # term_id IN (...) filters prune row groups (the Lucene
+        # term-dictionary seek analog) WITHOUT a second shuffle — a
+        # repartitionByRange here would range-SAMPLE its child and run the
+        # whole encode pipeline twice (measured ~8s of 17s at sf0.4)
+        with arrow_batch_rows(spark, GROUP_BATCH_ROWS):
+            (
+                segments.sortWithinPartitions("term_id", "salt")
+                .write.mode("overwrite")
+                .parquet(seg_path)
+            )
         seg = spark.read.parquet(seg_path)
         counters = seg.agg(
             F.count("*").alias("rows"),
@@ -350,7 +425,7 @@ def build_index(
             bytes=int(counters.bytes),
         )
 
-    # ---- phase 4: commit ---------------------------------------------------
+    # ---- phase 3: commit ----------------------------------------------------
     m = cat.read_manifest(schema_version)
     m["counters"] = {
         "docs": m["phases"]["postings"].get("docs"),

@@ -75,9 +75,28 @@ def get_spark(
         # bound pandas-UDF group/batch memory (SURVEY §4: per-partition SPIMI
         # segments must fit executor memory); 10k == reference BATCH_SIZE
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # smaller scan splits: html-carrying inputs decode ~4x slower than
+        # they read, so scan parallelism, not IO, bounds the build
+        .config("spark.sql.files.maxPartitionBytes", "33554432")
         .config("spark.sql.session.timeZone", "UTC")
         # local-mode memory headroom for the 32-thread bench JVM
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
+
+
+def warm_python_workers(spark: SparkSession, n: int | None = None) -> None:
+    """Spin up (and import numpy/pandas in) one Python worker per core so
+    the first real Arrow stage doesn't pay the spawn storm. Benchmarks call
+    this after session creation; production jobs don't care."""
+    if n is None:
+        n = os.cpu_count() or 8
+
+    def touch(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        yield from batches
+
+    spark.range(0, n * 4, 1, n).mapInPandas(touch, "id long").count()

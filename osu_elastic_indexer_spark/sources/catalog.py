@@ -35,7 +35,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 TABLES = (
-    "docmap", "dictionary", "segments", "stats", "tombstones", "tf", "doclens"
+    "docmap", "dictionary", "segments", "stats", "tombstones", "fwd"
 )
 
 

@@ -164,8 +164,12 @@ def reference_queries() -> list[tuple[int, str, int]]:
 
 
 def write_corpus(path: str, n_docs: int, seed: int = SEED) -> str:
-    """Write the corpus parquet to `path` (a file path). Returns path."""
-    pq.write_table(generate_documents(n_docs, seed), path)
+    """Write the corpus parquet to `path` (a file path). Returns path.
+
+    Small row groups (8192 docs) keep the file SPLITTABLE: parquet scans
+    parallelize at row-group granularity, and a single-row-group file forces
+    every reader through one task regardless of cluster size."""
+    pq.write_table(generate_documents(n_docs, seed), path, row_group_size=8192)
     return path
 
 

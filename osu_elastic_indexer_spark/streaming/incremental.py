@@ -23,14 +23,20 @@ Design decisions for exactness at scale:
     disjoint per generation, so a term's segment rows still concatenate into
     a sorted global posting list (operators/wand.py reads them as one).
   * collection statistics (N, sum_dl, per-term df) are maintained EXACTLY by
-    deltas: additions contribute their own tf rows; deletions contribute the
-    tf rows of the tombstoned docIDs, which are a PRUNED scan of the tf
-    forward table (clustered by doc_id at build time). This is what keeps
-    incremental results rank-identical to a from-scratch rebuild — Lucene by
-    contrast lets df drift until merge; our oracle defines truth over live
-    docs, so drift would fail the golden tests.
-  * compaction (``compact_index``) rewrites segments from live tf rows only,
-    clearing tombstones — the segment-merge analog.
+    deltas: additions contribute their own forward rows; deletions
+    contribute the forward rows of the tombstoned docIDs — a PRUNED scan of
+    the doc_id-clustered fwd table. This is what keeps incremental results
+    rank-identical to a from-scratch rebuild — Lucene by contrast lets df
+    drift until merge; our oracle defines truth over live docs, so drift
+    would fail the golden tests.
+  * compaction (``compact_index``) rewrites segments from live forward rows
+    only, clearing tombstones — the segment-merge analog.
+
+Write-ordering discipline: collect every scalar BEFORE the first table
+write, then write in dependency order (Spark refreshes — i.e. invalidates —
+all cached plans reading a path the moment that path is written; an
+aggregate evaluated after an append would silently re-read appended files).
+Self-appends (tombstones) are staged through a temp dir.
 """
 
 from __future__ import annotations
@@ -38,17 +44,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.textprep import make_extract_text_udf
-from ..operators.build import encode_segments
-from ..operators.docmap import assign_dense_ids
+from ..operators.build import (
+    FWD_SCHEMA,
+    GROUP_BATCH_ROWS,
+    _fused_forward_pass,
+    _ids_only_pass,
+    arrow_batch_rows,
+    encode_segments,
+    exploded_postings,
+)
+from ..operators.docmap import assign_dense_ids, input_order_offsets
 from ..operators.routing import with_should_index
-from ..operators.search import tf_table
 from ..sources.catalog import Catalog
 
 
 def _paths(cat: Catalog, schema: str) -> dict[str, str]:
     return {t: cat.table_path(schema, t) for t in (
-        "docmap", "dictionary", "segments", "stats", "tombstones", "tf", "doclens"
+        "docmap", "dictionary", "segments", "stats", "tombstones", "fwd"
     )}
 
 
@@ -59,7 +71,7 @@ def incremental_update(
     schema_version: str,
     *,
     queue_urls: DataFrame | None = None,
-    salt_group_cap: int = 1_000_000,
+    salt_group_cap: int | None = None,
 ) -> dict:
     """Apply one incremental batch to an existing index.
 
@@ -88,7 +100,6 @@ def incremental_update(
     batch = with_should_index(batch).persist()
 
     adds = batch.filter(F.col("should_index")).select("url", "warc_ts", "html")
-    dels = batch.filter(~F.col("should_index")).select("url")
 
     docmap = spark.read.parquet(p["docmap"])
     old_tombs = (
@@ -108,49 +119,56 @@ def incremental_update(
     # ---- fresh docIDs for additions (ids extend the space: start=max+1) ---
     max_doc = docmap.agg(F.max("doc_id")).collect()[0][0]
     start_id = int(max_doc) + 1 if max_doc is not None else 0
-    extract = make_extract_text_udf()
-    add_docs = adds.withColumn("text", extract("html")).select(
-        "url", "warc_ts", "text"
+    part, offsets_bc = input_order_offsets(
+        adds.select("url", "warc_ts", "html"), start_id=start_id
     )
-    with_ids = assign_dense_ids(add_docs, ["url"], "doc_id", start_id=start_id)
-    with_ids = with_ids.persist()
-    n_add = with_ids.count()
+    fwd_new = part.select("html", "__pid").mapInArrow(
+        _fused_forward_pass(offsets_bc), FWD_SCHEMA
+    ).persist()
+    dm_new = part.select("url", "warc_ts", "__pid").mapInPandas(
+        _ids_only_pass(offsets_bc),
+        "url string, warc_ts timestamp, doc_id bigint",
+    ).persist()
+    n_add = dm_new.count()
 
     if n_add == 0 and n_del == 0:
-        batch.unpersist(); new_tombs.unpersist(); with_ids.unpersist()
+        for df_ in (batch, new_tombs, fwd_new, dm_new):
+            df_.unpersist()
         return m
 
     # ---- stats deltas (exact; see module doc) ------------------------------
-    tf_old = spark.read.parquet(p["tf"])
-    doclens_old = spark.read.parquet(p["doclens"])
+    fwd_old = spark.read.parquet(p["fwd"])
     st = spark.read.parquet(p["stats"]).collect()[0]
 
-    tf_new = tf_table(with_ids.select("doc_id", "text")).persist()
-    dl_new = tf_new.groupBy("doc_id").agg(F.max("dl").alias("dl"))
-    add_stats = dl_new.agg(
-        F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
+    add_stats = fwd_new.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
         F.min("dl").alias("dl_min"),
+        F.coalesce(F.sum(F.size("terms")), F.lit(0)).alias("postings"),
     ).collect()[0]
-    # deleted docs' lengths: pruned lookup in doclens
-    del_stats = (
-        doclens_old.join(F.broadcast(new_tombs), "doc_id", "left_semi")
-        .agg(F.count("*").alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"))
-        .collect()[0]
-    )
+    # deleted docs' forward rows: pruned lookup in the doc-clustered fwd
+    fwd_dead = fwd_old.join(F.broadcast(new_tombs), "doc_id", "left_semi")
+    del_stats = fwd_dead.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
+        F.coalesce(F.sum(F.size("terms")), F.lit(0)).alias("postings"),
+    ).collect()[0]
     n_docs2 = int(st.n_docs) + int(add_stats.n) - int(del_stats.n)
     sum_dl2 = int(st.sum_dl) + int(add_stats.sum_dl) - int(del_stats.sum_dl)
     dl_min2 = int(st.dl_min)
     if add_stats.dl_min is not None:
         dl_min2 = min(dl_min2, int(add_stats.dl_min))
+    total_postings2 = (
+        int(st.total_postings) + int(add_stats.postings) - int(del_stats.postings)
+    )
 
     # ---- dictionary deltas --------------------------------------------------
     dictionary = spark.read.parquet(p["dictionary"])
-    add_df = tf_new.groupBy("term").agg(F.count("*").alias("adds"))
-    # terms of deleted docs: pruned scan of the clustered tf forward table
-    del_df = (
-        tf_old.join(F.broadcast(new_tombs), "doc_id", "left_semi")
-        .groupBy("term")
-        .agg(F.count("*").alias("dels"))
+    add_df = exploded_postings(fwd_new).groupBy("term").agg(
+        F.count("*").alias("adds")
+    )
+    del_df = exploded_postings(fwd_dead).groupBy("term").agg(
+        F.count("*").alias("dels")
     )
     merged = (
         dictionary.join(add_df, "term", "full")
@@ -175,16 +193,6 @@ def incremental_update(
     ).select("term_id", "term", "df")
     dict2 = known.select("term_id", "term", "df").unionByName(fresh).persist()
     n_terms2 = dict2.count()
-
-    # ---- collect ALL remaining scalars BEFORE any write --------------------
-    # Spark refreshes (and thereby invalidates) every cached/derived plan
-    # that reads a path the moment that path is written; an aggregate
-    # evaluated after an append would silently re-read the appended files.
-    total_postings_add = tf_new.count()
-    del_postings = int(
-        del_df.agg(F.coalesce(F.sum("dels"), F.lit(0))).collect()[0][0]
-    )
-    total_postings2 = int(st.total_postings) + int(total_postings_add) - del_postings
     new_cursor = batch.agg(F.max("warc_ts")).collect()[0][0]
 
     # ---- writes, ordered so nothing reads an already-modified path ---------
@@ -196,27 +204,25 @@ def incremental_update(
         spark.read.parquet(tomb_tmp).write.mode("append").parquet(p["tombstones"])
     # 2) new-generation segments (reads old dictionary via dict2 -> must
     #    precede the dictionary swap)
-    if total_postings_add > 0:
-        enc_tf = tf_new.join(dict2.select("term", "term_id"), "term").select(
-            "term_id", "doc_id", "tf", "dl"
-        )
+    if int(add_stats.postings) > 0:
+        enc_tf = exploded_postings(fwd_new).join(
+            F.broadcast(dict2.select("term", "term_id")), "term"
+        ).select("term_id", "doc_id", "tf", "dl")
         id_span = start_id + n_add
+        cap = salt_group_cap or max(50_000, max(n_add, 1) // 8)
         segs = encode_segments(
-            enc_tf, dict2, id_span,
-            salt_group_cap=salt_group_cap, generation=gen,
+            enc_tf, dict2, id_span, salt_group_cap=cap, generation=gen,
         )
-        segs.write.mode("append").parquet(p["segments"])
+        with arrow_batch_rows(spark, GROUP_BATCH_ROWS):
+            segs.write.mode("append").parquet(p["segments"])
     # 3) dictionary swap (dict2 reads the old dictionary: stage then copy)
     dict2.write.mode("overwrite").parquet(p["dictionary"] + "_next")
     spark.read.parquet(p["dictionary"] + "_next").write.mode("overwrite").parquet(
         p["dictionary"]
     )
-    # 4) forward-table appends (sources: batch/with_ids only — safe)
-    with_ids.select("url", "warc_ts", "doc_id").write.mode("append").parquet(
-        p["docmap"]
-    )
-    tf_new.write.mode("append").parquet(p["tf"])
-    dl_new.write.mode("append").parquet(p["doclens"])
+    # 4) forward-table appends (sources: the input batch only — safe)
+    dm_new.write.mode("append").parquet(p["docmap"])
+    fwd_new.write.mode("append").parquet(p["fwd"])
     # 5) stats (pure literal)
     stats2 = spark.createDataFrame(
         [(n_docs2, sum_dl2, float(sum_dl2) / n_docs2 if n_docs2 else 0.0,
@@ -245,7 +251,7 @@ def incremental_update(
         schema_version, f"incremental_gen{gen}", "done",
         adds=int(n_add), deletes=int(n_del), terms=int(n_terms2),
     )
-    for df_ in (batch, new_tombs, with_ids, tf_new, merged, dict2):
+    for df_ in (batch, new_tombs, fwd_new, dm_new, merged, dict2):
         df_.unpersist()
     return cat.read_manifest(schema_version)
 
@@ -277,10 +283,10 @@ def compact_index(
     spark: SparkSession,
     catalog: Catalog,
     schema_version: str,
-    salt_group_cap: int = 1_000_000,
+    salt_group_cap: int | None = None,
 ) -> dict:
-    """Segment-merge analog: rewrite segments from live tf rows only, clear
-    tombstones, drop dead rows from tf/doclens/docmap. Query results are
+    """Segment-merge analog: rewrite segments from live forward rows only,
+    clear tombstones, drop dead rows from fwd/docmap. Query results are
     unchanged (stats were already exact)."""
     cat = catalog
     cat.assert_writable(schema_version)
@@ -290,24 +296,25 @@ def compact_index(
         if _exists(p["tombstones"])
         else spark.createDataFrame([], "doc_id bigint")
     )
-    tf = spark.read.parquet(p["tf"]).join(tombs, "doc_id", "left_anti")
+    fwd = spark.read.parquet(p["fwd"]).join(tombs, "doc_id", "left_anti")
     dictionary = spark.read.parquet(p["dictionary"]).filter(F.col("df") > 0)
-    enc_tf = tf.join(dictionary.select("term", "term_id"), "term").select(
-        "term_id", "doc_id", "tf", "dl"
-    )
+    enc_tf = exploded_postings(fwd).join(
+        F.broadcast(dictionary.select("term", "term_id")), "term"
+    ).select("term_id", "doc_id", "tf", "dl")
     docmap = spark.read.parquet(p["docmap"]).join(tombs, "doc_id", "left_anti")
     id_span = int(docmap.agg(F.max("doc_id")).collect()[0][0]) + 1
+    cap = salt_group_cap or max(50_000, id_span // 64)
     segs = encode_segments(
-        enc_tf, dictionary, id_span, salt_group_cap=salt_group_cap, generation=0
+        enc_tf, dictionary, id_span, salt_group_cap=cap, generation=0
     )
     for name, df_ in (
         ("segments", segs),
-        ("tf", tf),
+        ("fwd", fwd),
         ("docmap", docmap),
-        ("doclens", spark.read.parquet(p["doclens"]).join(tombs, "doc_id", "left_anti")),
         ("dictionary", dictionary),
     ):
-        df_.write.mode("overwrite").parquet(p[name] + "_next")
+        with arrow_batch_rows(spark, GROUP_BATCH_ROWS):
+            df_.write.mode("overwrite").parquet(p[name] + "_next")
         spark.read.parquet(p[name] + "_next").write.mode("overwrite").parquet(p[name])
     import shutil
 

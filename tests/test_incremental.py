@@ -79,7 +79,14 @@ def _check_all_queries(spark, idx_dir, oracle_idx, oracle_urls, tag):
         expect = [
             (oracle_urls[d], s) for d, s in oracle.search(oracle_idx, qtext, 10)
         ]
-        assert_rank_identical(got, expect, msg=f"{tag} q{qid} {qtext!r}")
+        # engine/oracle id spaces differ -> ties may permute; check boundary
+        # ties against a deeper oracle ranking
+        full = [
+            (oracle_urls[d], s) for d, s in oracle.search(oracle_idx, qtext, 200)
+        ]
+        assert_rank_identical(
+            got, expect, msg=f"{tag} q{qid} {qtext!r}", expect_full=full
+        )
 
 
 def test_incremental_matches_oracle_on_final_corpus(spark, evolved, incr_index):
@@ -102,6 +109,7 @@ def test_incremental_equals_full_rebuild(spark, evolved, incr_index, tmp_path_fa
     root2 = str(tmp_path_factory.mktemp("idx_full"))
     cat2 = Catalog(root2)
     build_index(spark, spark.read.parquet(final_p), cat2, "v1")
+    oidx, ourls = _oracle_for(final)
     queries = [(qid, q) for qid, q, _k in reference_queries()]
     a = _collect_by_query(
         wand_topk_with_urls(spark, cat.index_dir("v1"), queries, 10).collect()
@@ -110,8 +118,10 @@ def test_incremental_equals_full_rebuild(spark, evolved, incr_index, tmp_path_fa
         wand_topk_with_urls(spark, cat2.index_dir("v1"), queries, 10).collect()
     )
     for qid, qtext in queries:
+        full = [(ourls[d], s) for d, s in oracle.search(oidx, qtext, 200)]
         assert_rank_identical(
-            a.get(qid, []), b.get(qid, []), msg=f"incr-vs-full q{qid} {qtext!r}"
+            a.get(qid, []), b.get(qid, []),
+            msg=f"incr-vs-full q{qid} {qtext!r}", expect_full=full,
         )
 
 

@@ -16,10 +16,18 @@ from util import assert_rank_identical
 
 
 @pytest.fixture(scope="module")
-def oracle_index(corpus_path):
+def oracle_index(corpus_path, built_index, spark):
+    """Oracle over the same docs in the ENGINE's id space (docmap url->id):
+    the oracle defines scoring truth, the engine defines the id assignment
+    (reference parity: scores.id is an arrival-order surrogate)."""
+    cat, _ = built_index
+    id_by_url = {
+        r.url: r.doc_id
+        for r in spark.read.parquet(cat.table_path("v1", "docmap")).collect()
+    }
     tbl = pq.read_table(corpus_path)
     rows = [
-        (u, extract_text(h))
+        (id_by_url[u], extract_text(h))
         for u, h, lang, txt in zip(
             tbl["url"].to_pylist(),
             tbl["html"].to_pylist(),
@@ -28,8 +36,7 @@ def oracle_index(corpus_path):
         )
         if lang == "en" and txt
     ]
-    rows.sort(key=lambda r: r[0])
-    return oracle.build_index([(i, t) for i, (u, t) in enumerate(rows)])
+    return oracle.build_index(rows)
 
 
 @pytest.fixture(scope="module")

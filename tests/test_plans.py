@@ -1,0 +1,71 @@
+"""Physical-plan assertions (SURVEY.md §4): the optimizations we rely on must
+actually appear in the plan — filter pushdown to the parquet scan, broadcast
+joins for dims, TakeOrderedAndProject for top-N (no global sort), column
+pruning of unused blobs."""
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_cursor_filter_pushed_to_scan(spark):
+    df = entry_mod.queries()["s1_cursor_scan"](spark, SF)
+    plan = df._jdf.queryExecution().toString()
+    assert "PushedFilters" in plan
+    assert "GreaterThan(event_id,5000)" in plan.replace(" ", "")
+
+
+def test_j1_broadcasts_dimensions(spark):
+    df = entry_mod.queries()["j1_three_way_join"](spark, SF)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # customer and nation
+    assert "SortMergeJoin" not in plan
+
+
+def test_o2_topn_is_take_ordered(spark):
+    df = entry_mod.queries()["o2_sorted_topn"](spark, SF)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_bm25_brute_no_cartesian_beyond_stats(spark):
+    """The only cross join in the brute scorer is the broadcast of the
+    1-row stats — everything else is (broadcast) hash joins."""
+    df = entry_mod.queries()["ft_bm25_topk"](spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_column_pruning_docmap_scan(spark, corpus_path):
+    """Reading only (url, warc_ts) from the corpus must prune html from the
+    parquet ReadSchema — blobs never move unless needed."""
+    df = spark.read.parquet(corpus_path).select("url", "warc_ts")
+    plan = df._jdf.queryExecution().toString()
+    assert "html" not in plan.split("ReadSchema")[-1]
+
+
+def test_segments_scan_prunes_by_term_id(spark, tmp_path):
+    """Query-time term_id IN (...) must reach the segments scan as a pushed
+    filter (the Lucene term-seek analog)."""
+    from pyspark.sql import functions as F
+
+    from osu_elastic_indexer_spark.operators.build import build_index
+    from osu_elastic_indexer_spark.sources.catalog import Catalog
+    from osu_elastic_indexer_spark.sources.fixtures import write_corpus
+
+    p = write_corpus(str(tmp_path / "c.parquet"), 300)
+    cat = Catalog(str(tmp_path / "idx"))
+    build_index(spark, spark.read.parquet(p), cat, "v1")
+    segs = spark.read.parquet(cat.table_path("v1", "segments")).filter(
+        F.col("term_id").isin([1, 2, 3])
+    )
+    plan = segs._jdf.queryExecution().toString()
+    assert "PushedFilters" in plan and "term_id" in plan.split("PushedFilters")[-1]
