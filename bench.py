@@ -93,6 +93,20 @@ def main() -> None:
     queries["wand_single_p50"] = round(lat[len(lat) // 2], 3)
     extras["wand_single_p90"] = round(lat[int(len(lat) * 0.9)], 3)
 
+    # ---- serving-tier p50 (no Spark job per query; the ES-analog path) -----
+    from osu_elastic_indexer_spark.operators.serve import LocalSearcher
+
+    searcher = LocalSearcher(idx_dir)
+    searcher.search("zebra", 10)  # warm
+    lat = []
+    for _qid, q, k in reference_queries():
+        t0 = time.time()
+        searcher.search(q, k)
+        lat.append(time.time() - t0)
+    lat.sort()
+    extras["serve_p50_ms"] = round(lat[len(lat) // 2] * 1000, 2)
+    extras["serve_p90_ms"] = round(lat[int(len(lat) * 0.9)] * 1000, 2)
+
     # ---- relational sanity at the sf dir ------------------------------------
     import __spark_entry__ as entry_mod
 

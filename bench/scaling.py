@@ -32,14 +32,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import corpus_for_sf  # noqa: E402
 
 
-def run_level(cores: int, corpus_path: str, tag: str) -> dict:
+def run_level(
+    n_executors: int, corpus_path: str, tag: str, executor_cores: int = 2
+) -> dict:
+    """One level = local-cluster[n_executors, executor_cores, mem]: separate
+    executor JVMs with their own heaps — the faithful in-sandbox stand-in
+    for N vs 4N cluster executors (plain local[N] shares one heap, which
+    flattens shuffle-heavy stages at high thread counts)."""
     from osu_elastic_indexer_spark.operators.build import build_index
     from osu_elastic_indexer_spark.operators.wand import wand_topk
     from osu_elastic_indexer_spark.session import get_spark, warm_python_workers
     from osu_elastic_indexer_spark.sources.catalog import Catalog
     from osu_elastic_indexer_spark.sources.fixtures import reference_queries
 
-    spark = get_spark(f"scaling-{cores}", cores=cores)
+    cores = n_executors * executor_cores
+    spark = get_spark(
+        f"scaling-{n_executors}x{executor_cores}",
+        executors=n_executors,
+        executor_cores=executor_cores,
+    )
     warm_python_workers(spark, cores)
     root = f"/tmp/oei_bench/scal_{tag}_{cores}_{os.getpid()}"
     cat = Catalog(root)
@@ -57,6 +68,7 @@ def run_level(cores: int, corpus_path: str, tag: str) -> dict:
 
     shutil.rmtree(root, ignore_errors=True)
     return {
+        "executors": n_executors,
         "cores": cores,
         "docs": n,
         "build_sec": round(t_build, 2),
@@ -65,15 +77,15 @@ def run_level(cores: int, corpus_path: str, tag: str) -> dict:
     }
 
 
-def best_of(cores: int, corpus_path: str, repeats: int) -> dict:
-    runs = [run_level(cores, corpus_path, f"r{i}") for i in range(repeats)]
+def best_of(n_executors: int, corpus_path: str, repeats: int) -> dict:
+    runs = [run_level(n_executors, corpus_path, f"r{i}") for i in range(repeats)]
     return max(runs, key=lambda r: r["docs_per_sec"])
 
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_600_000
-    lo_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    hi_cores = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    lo_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 2   # N executors
+    hi_cores = int(sys.argv[3]) if len(sys.argv) > 3 else 8   # 4N executors
     repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     corpus_path, n_docs = corpus_for_sf(n_docs / 1_000_000)
     lo = best_of(lo_cores, corpus_path, repeats)
@@ -84,10 +96,10 @@ def main() -> None:
            "scaling_efficiency": round(eff, 3)}
     print(json.dumps(out))
     print(
-        f"\n| level | cores | docs | build sec | docs/sec | wand batch20 sec |\n"
+        f"\n| level | executors x cores | docs | build sec | docs/sec | wand batch20 sec |\n"
         f"|---|---|---|---|---|---|\n"
-        f"| N | {lo['cores']} | {lo['docs']} | {lo['build_sec']} | {lo['docs_per_sec']} | {lo['wand_batch20_sec']} |\n"
-        f"| {factor:.0f}N | {hi['cores']} | {hi['docs']} | {hi['build_sec']} | {hi['docs_per_sec']} | {hi['wand_batch20_sec']} |\n"
+        f"| N | {lo['executors']}x2 | {lo['docs']} | {lo['build_sec']} | {lo['docs_per_sec']} | {lo['wand_batch20_sec']} |\n"
+        f"| {factor:.0f}N | {hi['executors']}x2 | {hi['docs']} | {hi['build_sec']} | {hi['docs_per_sec']} | {hi['wand_batch20_sec']} |\n"
         f"\nscaling efficiency = {hi['docs_per_sec']}/({factor:.0f}x{lo['docs_per_sec']}) = {eff:.3f}"
     )
 

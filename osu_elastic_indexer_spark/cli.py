@@ -49,12 +49,21 @@ def cmd_build(args) -> int:
 
 
 def cmd_search(args) -> int:
-    from .operators.wand import wand_topk_with_urls
     from .sources.catalog import Catalog
 
-    spark = _spark(args)
     cat = Catalog(args.root, alias=args.alias)
     idx = cat.index_dir(args.schema) if args.schema else cat.current_index_dir()
+    if args.local:
+        # serving path: no Spark session, millisecond latency
+        from .operators.serve import LocalSearcher
+
+        res = LocalSearcher(idx).search(args.query, args.k)
+        for rank, (doc_id, score) in enumerate(res, 1):
+            print(json.dumps({"rank": rank, "doc_id": doc_id, "score": score}))
+        return 0
+    from .operators.wand import wand_topk_with_urls
+
+    spark = _spark(args)
     rows = (
         wand_topk_with_urls(spark, idx, [(0, args.query)], args.k)
         .orderBy("rank")
@@ -133,6 +142,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("query")
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--schema", default=None)
+    s.add_argument("--local", action="store_true",
+                   help="serve from parquet directly (no Spark job)")
     s.set_defaults(fn=cmd_search)
 
     il = sub.add_parser("index-list", help="list indices + consistency audit")

@@ -218,6 +218,29 @@ def decode_postings(enc: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     )
 
 
+def encode_plain(
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray
+) -> tuple[bytes, bytes, bytes]:
+    """Blockless delta+varbyte encoding for partition-local SUB-segments —
+    the compact wire format for the term-merge shuffle (final segments get
+    block metadata via encode_postings at merge time)."""
+    return (
+        varbyte_encode(delta_encode(np.asarray(doc_ids, dtype=np.int64))),
+        varbyte_encode(np.asarray(tfs, dtype=np.uint64)),
+        varbyte_encode(np.asarray(dls, dtype=np.uint64)),
+    )
+
+
+def decode_plain(
+    docs_blob: bytes, tfs_blob: bytes, dls_blob: bytes
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    return (
+        delta_decode(varbyte_decode(docs_blob)),
+        varbyte_decode(tfs_blob).astype(np.int64),
+        varbyte_decode(dls_blob).astype(np.int64),
+    )
+
+
 def merge_encoded(parts: list[dict]) -> dict:
     """Merge encoded postings of ONE term whose doc_id ranges are disjoint
     and given in ascending range order — concatenation is then order-safe

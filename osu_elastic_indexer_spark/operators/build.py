@@ -114,7 +114,8 @@ def arrow_batch_rows(spark, n: int):
         spark.conf.set(key, old)
 
 
-GROUP_BATCH_ROWS = 256  # segment groups per Arrow batch (bounded by salt cap)
+GROUP_BATCH_ROWS = 256       # rows/batch when each row is a whole group
+SORT_BATCH_ROWS = 262_144    # rows/batch for the narrow sorted-run stream
 
 
 def _fused_forward_pass(offsets_bc):
@@ -210,6 +211,219 @@ def exploded_postings(fwd: DataFrame) -> DataFrame:
     )
 
 
+SUBSEG_SCHEMA = (
+    "term string, salt int, doc_min bigint, doc_max bigint, n_docs bigint, "
+    "docs_blob binary, tfs_blob binary, dls_blob binary"
+)
+
+_SUBSEG_PA_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("salt", pa.int32()),
+        ("doc_min", pa.int64()),
+        ("doc_max", pa.int64()),
+        ("n_docs", pa.int64()),
+        ("docs_blob", pa.binary()),
+        ("tfs_blob", pa.binary()),
+        ("dls_blob", pa.binary()),
+    ]
+)
+
+
+def _local_invert_pass(id_span: int, grid_salts: int):
+    """mapInArrow body over fwd partitions: the SPIMI local inversion.
+
+    Each partition is inverted IN PYTHON into per-(term, salt-cell) posting
+    sub-lists and emitted as compressed sub-segment rows. The term-merge
+    shuffle then moves ~|vocab| x |partitions| blob rows instead of one row
+    per posting — measured at sf1.6 that is ~1.4M rows / ~0.4 GB instead of
+    96M rows / ~4 GB, and the posting-grained shuffle was THE non-scaling
+    cost.
+
+    The salt is a FIXED docID grid (cell = doc * grid_salts // id_span),
+    applied by CLIPPING each term's postings at cell boundaries here, so a
+    (term, salt) merge group covers exactly one disjoint docID interval
+    regardless of how the scan packed fwd files into partitions. (Scan
+    partitions are NOT contiguous docID ranges — Spark packs small files by
+    size — so postings are fully sorted here and merge-sorted again at merge
+    time; no ordering assumption survives the file layout.)"""
+
+    def run(batches):
+        doc_parts, term_parts, tf_parts, dl_parts = [], [], [], []
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            doc_ids = batch.column("doc_id").to_numpy()
+            dls = batch.column("dl").to_numpy()
+            terms_col = batch.column("terms")
+            tfs_col = batch.column("tfs")
+            lengths = np.asarray(terms_col.value_lengths())
+            doc_parts.append(np.repeat(doc_ids, lengths))
+            dl_parts.append(np.repeat(dls, lengths))
+            term_parts.append(terms_col.flatten())
+            tf_parts.append(tfs_col.flatten().to_numpy())
+        if not doc_parts:
+            return
+        docs = np.concatenate(doc_parts)
+        dl_rep = np.concatenate(dl_parts)
+        tfs = np.concatenate(tf_parts)
+        terms = pa.concat_arrays(term_parts)  # arrow string array, no objects
+        # group by (term, salt-cell), docs sorted within: dictionary-encode
+        # the strings (C), then one lexsort
+        dict_arr = terms.dictionary_encode()
+        codes = dict_arr.indices.to_numpy().astype(np.int64)
+        uniq = dict_arr.dictionary  # StringArray of unique terms
+        cells = (docs * np.int64(grid_salts)) // np.int64(id_span)
+        order = np.lexsort((docs, cells, codes))
+        g_docs, g_tfs, g_dls = docs[order], tfs[order], dl_rep[order]
+        g_codes, g_cells = codes[order], cells[order]
+        key = g_codes * np.int64(grid_salts) + g_cells
+        bounds = np.flatnonzero(np.diff(key)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [key.size]))
+        out_terms, out_salt, out_min, out_max, out_n = [], [], [], [], []
+        out_db, out_tb, out_lb = [], [], []
+        for s, e in zip(starts, ends):
+            db, tb, lb = codec.encode_plain(g_docs[s:e], g_tfs[s:e], g_dls[s:e])
+            out_terms.append(uniq[int(g_codes[s])].as_py())
+            out_salt.append(int(g_cells[s]))
+            out_min.append(int(g_docs[s]))
+            out_max.append(int(g_docs[e - 1]))
+            out_n.append(int(e - s))
+            out_db.append(db)
+            out_tb.append(tb)
+            out_lb.append(lb)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(out_terms, pa.string()),
+                pa.array(out_salt, pa.int32()),
+                pa.array(out_min, pa.int64()),
+                pa.array(out_max, pa.int64()),
+                pa.array(out_n, pa.int64()),
+                pa.array(out_db, pa.binary()),
+                pa.array(out_tb, pa.binary()),
+                pa.array(out_lb, pa.binary()),
+            ],
+            schema=_SUBSEG_PA_SCHEMA,
+        )
+
+    return run
+
+
+def _merge_subsegments_arrow(generation: int):
+    """mapInArrow body over grouped sub-segments (term_id, salt,
+    subs: list<struct<doc_min, n_docs, docs_blob, tfs_blob, dls_blob>>):
+    decode each sub-list (vectorized), concatenate in doc_min order
+    (disjoint ascending partition ranges -> order-safe), encode the final
+    block-addressed posting list."""
+
+    def run(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            tids = batch.column("term_id").to_numpy()
+            salts = batch.column("salt").to_numpy()
+            subs = batch.column("subs")
+            lengths = np.asarray(subs.value_lengths())
+            starts = np.zeros(len(lengths) + 1, dtype=np.int64)
+            np.cumsum(lengths, out=starts[1:])
+            vals = subs.flatten()
+            sub_db = vals.field("docs_blob")
+            sub_tb = vals.field("tfs_blob")
+            sub_lb = vals.field("dls_blob")
+            cols: dict[str, list] = {n: [] for n in _SEGMENT_PA_SCHEMA.names}
+            for i in range(batch.num_rows):
+                s, e = int(starts[i]), int(starts[i + 1])
+                ds, ts, ls = [], [], []
+                for j in range(s, e):
+                    d, t, l = codec.decode_plain(
+                        sub_db[j].as_py(), sub_tb[j].as_py(), sub_lb[j].as_py()
+                    )
+                    ds.append(d)
+                    ts.append(t)
+                    ls.append(l)
+                doc = np.concatenate(ds)
+                # full merge-sort: sub-blob doc RANGES may interleave (scan
+                # partitions are arbitrary file packings), docs never repeat
+                order = np.argsort(doc, kind="stable")
+                doc = doc[order]
+                enc = codec.encode_postings(
+                    doc,
+                    np.concatenate(ts)[order],
+                    np.concatenate(ls)[order],
+                )
+                cols["term_id"].append(int(tids[i]))
+                cols["salt"].append(int(salts[i]))
+                cols["generation"].append(generation)
+                cols["n_docs"].append(enc["n_docs"])
+                cols["doc_min"].append(int(doc[0]))
+                cols["doc_max"].append(int(doc[-1]))
+                cols["max_tf"].append(enc["max_tf"])
+                cols["docs_blob"].append(enc["docs_blob"])
+                cols["tfs_blob"].append(enc["tfs_blob"])
+                cols["dls_blob"].append(enc["dls_blob"])
+                cols["doc_offs"].append(enc["doc_offs"].tolist())
+                cols["tf_offs"].append(enc["tf_offs"].tolist())
+                cols["dl_offs"].append(enc["dl_offs"].tolist())
+                cols["block_first"].append(enc["block_first"].tolist())
+                cols["block_last"].append(enc["block_last"].tolist())
+                cols["block_max_tf"].append(enc["block_max_tf"].tolist())
+                cols["block_min_dl"].append(enc["block_min_dl"].tolist())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], f.type) for f in _SEGMENT_PA_SCHEMA],
+                schema=_SEGMENT_PA_SCHEMA,
+            )
+
+    return run
+
+
+def build_segments_spimi(
+    spark: SparkSession,
+    fwd: DataFrame,
+    id_span: int,
+    salt_group_cap: int,
+    generation: int = 0,
+    max_salts: int = 1024,
+    dictionary: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """fwd -> (segments, dictionary, sub): local SPIMI inversion,
+    blob-grained salted term merge. If ``dictionary`` is given (incremental
+    generations), term_ids come from it; otherwise the dictionary is derived
+    from the sub-segment stats (df = sum of local n_docs) and returned.
+
+    Salting: a FIXED docID grid of grid_salts = ceil(id_span /
+    salt_group_cap) cells (<= max_salts); the invert pass CLIPS every
+    sub-list at cell boundaries, so a (term, salt) merge group covers
+    exactly one disjoint interval — each group's decoded size is bounded by
+    the docs in one cell (skew bound == memory bound), and a term's final
+    segment rows are disjoint ascending ranges (the WAND reader contract)."""
+    grid_salts = max(1, min(max_salts, -(-id_span // max(salt_group_cap, 1))))
+    # sub-segments are ~index-sized (compressed blobs) — persist so the
+    # dictionary derivation and the merge share one inversion pass
+    sub = fwd.mapInArrow(
+        _local_invert_pass(id_span, grid_salts), SUBSEG_SCHEMA
+    ).persist()
+    if dictionary is None:
+        df_stats = sub.groupBy("term").agg(F.sum("n_docs").alias("df"))
+        from .docmap import assign_dense_ids
+
+        dictionary = assign_dense_ids(
+            df_stats, [F.desc("df"), F.asc("term")], "term_id"
+        ).select("term_id", "term", F.col("df").cast("bigint").alias("df"))
+        dictionary = dictionary.persist()
+        dictionary.count()
+    with_ids = sub.join(F.broadcast(dictionary.select("term", "term_id")), "term")
+    grouped = with_ids.groupBy("term_id", "salt").agg(
+        F.collect_list(
+            F.struct("docs_blob", "tfs_blob", "dls_blob")
+        ).alias("subs")
+    )
+    segments = grouped.mapInArrow(
+        _merge_subsegments_arrow(generation), SEGMENT_SCHEMA
+    )
+    return segments, dictionary, sub
+
+
 def _encode_groups_arrow(generation: int):
     """mapInArrow body over grouped rows (term_id, salt, postings:
     list<struct<doc_id,tf,dl>> sorted by doc_id): vectorized flatten of the
@@ -261,6 +475,75 @@ def _encode_groups_arrow(generation: int):
     return run
 
 
+def _encode_sorted_arrow(generation: int):
+    """mapInArrow body over partitions pre-sorted by (term_id, salt,
+    doc_id): detect (term_id, salt) runs vectorized and encode each — the
+    object-agg-free alternative to collect_list (ObjectHashAggregate holds
+    every group's row objects on the reduce side; with small executor heaps
+    that becomes GC thrash — measured 3x slower than this path at 8
+    executors x 3.5 GB)."""
+
+    def run(batches):
+        pend: tuple | None = None  # (tid, salt, doc, tf, dl) numpy arrays
+
+        def encode_runs(arrs, final: bool):
+            nonlocal pend
+            tid, salt, doc, tf, dl = arrs
+            key = (tid << np.int64(16)) | salt
+            bounds = np.flatnonzero(np.diff(key)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [key.size]))
+            if not final:  # last run may continue into the next batch
+                pend = tuple(a[starts[-1]:] for a in arrs)
+                starts, ends = starts[:-1], ends[:-1]
+            cols: dict[str, list] = {n: [] for n in _SEGMENT_PA_SCHEMA.names}
+            for s, e in zip(starts, ends):
+                enc = codec.encode_postings(doc[s:e], tf[s:e], dl[s:e])
+                cols["term_id"].append(int(tid[s]))
+                cols["salt"].append(int(salt[s]))
+                cols["generation"].append(generation)
+                cols["n_docs"].append(enc["n_docs"])
+                cols["doc_min"].append(int(doc[s]))
+                cols["doc_max"].append(int(doc[e - 1]))
+                cols["max_tf"].append(enc["max_tf"])
+                cols["docs_blob"].append(enc["docs_blob"])
+                cols["tfs_blob"].append(enc["tfs_blob"])
+                cols["dls_blob"].append(enc["dls_blob"])
+                cols["doc_offs"].append(enc["doc_offs"].tolist())
+                cols["tf_offs"].append(enc["tf_offs"].tolist())
+                cols["dl_offs"].append(enc["dl_offs"].tolist())
+                cols["block_first"].append(enc["block_first"].tolist())
+                cols["block_last"].append(enc["block_last"].tolist())
+                cols["block_max_tf"].append(enc["block_max_tf"].tolist())
+                cols["block_min_dl"].append(enc["block_min_dl"].tolist())
+            if cols["term_id"]:
+                return pa.RecordBatch.from_arrays(
+                    [pa.array(cols[f.name], f.type) for f in _SEGMENT_PA_SCHEMA],
+                    schema=_SEGMENT_PA_SCHEMA,
+                )
+            return None
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            arrs = tuple(
+                batch.column(c).to_numpy().astype(np.int64)
+                for c in ("term_id", "salt", "doc_id", "tf", "dl")
+            )
+            if pend is not None:
+                arrs = tuple(np.concatenate([p, a]) for p, a in zip(pend, arrs))
+                pend = None
+            out = encode_runs(arrs, final=False)
+            if out is not None:
+                yield out
+        if pend is not None and pend[0].size:
+            out = encode_runs(pend, final=True)
+            if out is not None:
+                yield out
+
+    return run
+
+
 def encode_segments(
     posting_rows: DataFrame,
     dictionary: DataFrame,
@@ -269,6 +552,7 @@ def encode_segments(
     max_salts: int = 1024,
     generation: int = 0,
     num_partitions: int | None = None,
+    strategy: str = "sort",
 ) -> DataFrame:
     """(term_id, doc_id, tf, dl) -> segment rows, with explicit range salting.
 
@@ -290,12 +574,21 @@ def encode_segments(
         "salt",
         ((F.col("doc_id") * n_salts) / F.lit(id_span)).cast("int"),
     ).select("term_id", "salt", "doc_id", "tf", "dl")
-    grouped = salted.groupBy("term_id", "salt").agg(
-        F.sort_array(
-            F.collect_list(F.struct("doc_id", "tf", "dl"))
-        ).alias("postings")
+    if strategy == "group":
+        grouped = salted.groupBy("term_id", "salt").agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "tf", "dl"))
+            ).alias("postings")
+        )
+        return grouped.mapInArrow(_encode_groups_arrow(generation), SEGMENT_SCHEMA)
+    # default: sort-based — shuffle on (term_id, salt), binary UnsafeRow
+    # sort (spill-friendly, no object agg), vectorized run detection
+    spark = posting_rows.sparkSession
+    nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    part = salted.repartition(nparts, "term_id", "salt").sortWithinPartitions(
+        "term_id", "salt", "doc_id"
     )
-    return grouped.mapInArrow(_encode_groups_arrow(generation), SEGMENT_SCHEMA)
+    return part.mapInArrow(_encode_sorted_arrow(generation), SEGMENT_SCHEMA)
 
 
 def build_index(
@@ -360,8 +653,6 @@ def build_index(
         agg = dm.agg(
             F.count("*").alias("docs"), F.max("warc_ts").alias("cursor")
         ).collect()[0]
-        tf_view = exploded_postings(fwd)
-        build_dictionary(tf_view).write.mode("overwrite").parquet(dict_path)
         st = fwd.agg(
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum("dl").cast("bigint").alias("sum_dl"),
@@ -379,11 +670,10 @@ def build_index(
             cursor=str(agg.cursor),
         )
 
-    # ---- phase 2: segments --------------------------------------------------
+    # ---- phase 2: segments + dictionary -------------------------------------
     if not (resume and cat.phase_done(schema_version, "segments")):
         cat.mark_phase(schema_version, "segments", "running")
         fwd = spark.read.parquet(fwd_path)
-        dictionary = spark.read.parquet(dict_path)
         dm = spark.read.parquet(docmap_path)
         id_span = int(dm.agg(F.max("doc_id")).collect()[0][0]) + 1
         nparts = segment_partitions or max(
@@ -391,25 +681,26 @@ def build_index(
         )
         # adaptive skew cap: the heaviest term (df ~ N) spreads over ~2x the
         # reduce partitions so no single reducer owns a whole head term —
-        # this is both the skew fix and the group memory bound
+        # this is both the skew fix and the merge-group memory bound
         cap = salt_group_cap or max(50_000, id_span // (2 * nparts))
-        enc_tf = encode_terms(exploded_postings(fwd), dictionary)
-        segments = encode_segments(
-            enc_tf, dictionary, id_span,
-            salt_group_cap=cap, generation=0,
+        segments, dictionary, sub = build_segments_spimi(
+            spark, fwd, id_span, cap, generation=0
         )
-        # sort within the groupBy's hash partitions by term_id: each output
+        dictionary.write.mode("overwrite").parquet(dict_path)
+        # sort within the merge's hash partitions by term_id: each output
         # file then has narrow per-row-group term_id ranges, so query-time
         # term_id IN (...) filters prune row groups (the Lucene
         # term-dictionary seek analog) WITHOUT a second shuffle — a
         # repartitionByRange here would range-SAMPLE its child and run the
-        # whole encode pipeline twice (measured ~8s of 17s at sf0.4)
+        # whole merge pipeline twice
         with arrow_batch_rows(spark, GROUP_BATCH_ROWS):
             (
                 segments.sortWithinPartitions("term_id", "salt")
                 .write.mode("overwrite")
                 .parquet(seg_path)
             )
+        dictionary.unpersist()
+        sub.unpersist()
         seg = spark.read.parquet(seg_path)
         counters = seg.agg(
             F.count("*").alias("rows"),

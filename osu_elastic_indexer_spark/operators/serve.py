@@ -1,0 +1,128 @@
+"""Single-node serving tier: millisecond BM25 top-k over a built index.
+
+The reference serves queries from Elasticsearch — a long-lived process with
+the index hot. The Spark jobs in operators/wand.py are the BATCH query path
+(thousands of queries per job); interactive p50 latency is a serving
+concern, so this module reads the SAME segment/dictionary/stats parquet
+directly with pyarrow (predicate pushdown -> row-group pruning — the layout
+was written term_id-sorted for exactly this) and runs the identical
+BMW/TAAT cores. No Spark session involved; results are rank-identical to
+the Spark path by construction (same files, same scoring code).
+
+At real scale this is the searcher fleet next to the object store; each
+query touches only the row groups covering its terms.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import numpy as np
+import pyarrow.dataset as ds
+import pyarrow.parquet as pq
+
+from ..config import DEFAULT
+from ..functions.textprep import tokenize
+from .wand import TAAT_MAX_POSTINGS, bmw_topk, taat_topk
+
+_SEG_COLS = [
+    "term_id", "doc_min", "n_docs", "docs_blob", "tfs_blob", "dls_blob",
+    "doc_offs", "tf_offs", "dl_offs", "block_first", "block_last",
+    "block_max_tf", "block_min_dl",
+]
+
+
+class LocalSearcher:
+    """Loads small index state once; serves top-k queries in milliseconds."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        st = pq.read_table(os.path.join(index_dir, "stats")).to_pylist()[0]
+        self.n_docs = int(st["n_docs"])
+        self.avgdl = float(st["avgdl"])
+        # dictionary: term -> (term_id, df); tiny at toy scale. At 10^8
+        # terms a searcher would mmap an FST / sorted term file instead —
+        # same contract (term -> id, df).
+        d = pq.read_table(
+            os.path.join(index_dir, "dictionary"),
+            columns=["term", "term_id", "df"],
+        )
+        self._dict = dict(
+            zip(
+                d.column("term").to_pylist(),
+                zip(d.column("term_id").to_pylist(), d.column("df").to_pylist()),
+            )
+        )
+        tomb_path = os.path.join(index_dir, "tombstones")
+        self.tombstones: frozenset[int] = frozenset()
+        if os.path.isdir(tomb_path) and any(
+            f.endswith(".parquet") for f in os.listdir(tomb_path)
+        ):
+            self.tombstones = frozenset(
+                pq.read_table(tomb_path).column("doc_id").to_pylist()
+            )
+        self._segments = ds.dataset(os.path.join(index_dir, "segments"))
+
+    def _load_term_rows(self, term_ids: list[int]) -> dict[int, list[dict]]:
+        tbl = self._segments.to_table(
+            columns=_SEG_COLS, filter=ds.field("term_id").isin(term_ids)
+        )
+        rows: dict[int, list[dict]] = {}
+        cols = {c: tbl.column(c) for c in _SEG_COLS}
+        for i in range(tbl.num_rows):
+            enc = {
+                "docs_blob": cols["docs_blob"][i].as_py(),
+                "tfs_blob": cols["tfs_blob"][i].as_py(),
+                "dls_blob": cols["dls_blob"][i].as_py(),
+                "doc_offs": np.asarray(cols["doc_offs"][i].as_py(), np.int64),
+                "tf_offs": np.asarray(cols["tf_offs"][i].as_py(), np.int64),
+                "dl_offs": np.asarray(cols["dl_offs"][i].as_py(), np.int64),
+                "block_first": np.asarray(cols["block_first"][i].as_py(), np.int64),
+                "block_last": np.asarray(cols["block_last"][i].as_py(), np.int64),
+                "block_max_tf": np.asarray(cols["block_max_tf"][i].as_py(), np.int64),
+                "block_min_dl": np.asarray(cols["block_min_dl"][i].as_py(), np.int64),
+                "doc_min": int(cols["doc_min"][i].as_py()),
+                "n_docs": int(cols["n_docs"][i].as_py()),
+            }
+            rows.setdefault(int(cols["term_id"][i].as_py()), []).append(enc)
+        for lst in rows.values():
+            lst.sort(key=lambda e: e["doc_min"])
+        return rows
+
+    def search(self, query_text: str, k: int = 10) -> list[tuple[int, float]]:
+        """-> [(doc_id, score)] — rank-identical to oracle and Spark paths."""
+        terms = sorted(set(tokenize(query_text)))
+        infos = [(t, self._dict[t]) for t in terms if t in self._dict]
+        if not infos:
+            return []
+        rows = self._load_term_rows([tid for _t, (tid, _df) in infos])
+        entries = []
+        total = 0
+        for t, (tid, df) in infos:
+            idf = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+            encs = rows.get(tid, [])
+            total += sum(e["n_docs"] for e in encs)
+            entries.append((t, idf, encs))
+        fn = taat_topk if total <= TAAT_MAX_POSTINGS else bmw_topk
+        return [
+            (doc, score)
+            for score, doc in fn(entries, k, self.avgdl, self.tombstones)
+        ]
+
+
+def searcher_for_catalog(root: str, alias: str = "documents") -> LocalSearcher:
+    """Open the CURRENT index (the alias pointer) for serving."""
+    with open(os.path.join(root, "catalog.json")) as f:
+        current = json.load(f)["current_schema"]
+    assert current, "no current schema (alias not pointed)"
+    # index dir naming matches Catalog.index_name
+    for name in os.listdir(root):
+        p = os.path.join(root, name, "manifest.json")
+        if os.path.exists(p):
+            with open(p) as fh:
+                m = json.load(fh)
+            if m["schema"] == current:
+                return LocalSearcher(os.path.join(root, name))
+    raise FileNotFoundError(f"no index dir for schema {current} under {root}")

@@ -45,18 +45,30 @@ def get_spark(
     app_name: str = "osu-elastic-indexer-spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
+    executors: int | None = None,
+    executor_cores: int = 2,
+    executor_mem_mb: int = 4096,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
     cores: parallelism for local mode; None -> $SPARK_GRAFT_CPUS or '*'.
+    executors: if set, use local-cluster[executors, executor_cores, mem] —
+    SEPARATE executor JVMs with their own heaps, the faithful in-sandbox
+    stand-in for a multi-executor cluster (used by the scaling evidence;
+    plain local[N] shares one heap across all threads, which flattens
+    shuffle-heavy stages at high thread counts).
     """
-    env_cores = os.environ.get("SPARK_GRAFT_CPUS")
-    if cores is None:
-        master = f"local[{env_cores}]" if env_cores else "local[*]"
-        n = int(env_cores) if env_cores else (os.cpu_count() or 8)
+    if executors is not None:
+        master = f"local-cluster[{executors},{executor_cores},{executor_mem_mb}]"
+        n = executors * executor_cores
     else:
-        master = f"local[{cores}]"
-        n = cores
+        env_cores = os.environ.get("SPARK_GRAFT_CPUS")
+        if cores is None:
+            master = f"local[{env_cores}]" if env_cores else "local[*]"
+            n = int(env_cores) if env_cores else (os.cpu_count() or 8)
+        else:
+            master = f"local[{cores}]"
+            n = cores
     if shuffle_partitions is None:
         shuffle_partitions = max(n, 8)
 
@@ -83,6 +95,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if executors is not None:
+        builder = builder.config(
+            "spark.executor.memory", f"{executor_mem_mb - 512}m"
+        )
     return builder.getOrCreate()
 
 

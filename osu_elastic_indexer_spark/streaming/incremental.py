@@ -50,7 +50,7 @@ from ..operators.build import (
     _fused_forward_pass,
     _ids_only_pass,
     arrow_batch_rows,
-    encode_segments,
+    build_segments_spimi,
     exploded_postings,
 )
 from ..operators.docmap import assign_dense_ids, input_order_offsets
@@ -93,7 +93,13 @@ def incremental_update(
 
     # ---- select the batch (T8 cursor or explicit queue) -------------------
     if queue_urls is not None:
-        batch = queue_urls.select("url").distinct().join(docs, "url", "left")
+        from ..operators.routing import dedup_last_write_wins
+
+        # J3 within-batch dedup: a url re-queued twice in one batch keeps
+        # only its newest revision (ToDictionary re-key + LWW, T11)
+        batch = dedup_last_write_wins(
+            queue_urls.select("url").distinct().join(docs, "url", "left")
+        )
     else:
         cursor = m["cursor"]
         batch = docs.filter(F.col("warc_ts") > F.lit(cursor).cast("timestamp"))
@@ -205,16 +211,14 @@ def incremental_update(
     # 2) new-generation segments (reads old dictionary via dict2 -> must
     #    precede the dictionary swap)
     if int(add_stats.postings) > 0:
-        enc_tf = exploded_postings(fwd_new).join(
-            F.broadcast(dict2.select("term", "term_id")), "term"
-        ).select("term_id", "doc_id", "tf", "dl")
         id_span = start_id + n_add
         cap = salt_group_cap or max(50_000, max(n_add, 1) // 8)
-        segs = encode_segments(
-            enc_tf, dict2, id_span, salt_group_cap=cap, generation=gen,
+        segs, _d, sub = build_segments_spimi(
+            spark, fwd_new, id_span, cap, generation=gen, dictionary=dict2,
         )
         with arrow_batch_rows(spark, GROUP_BATCH_ROWS):
             segs.write.mode("append").parquet(p["segments"])
+        sub.unpersist()
     # 3) dictionary swap (dict2 reads the old dictionary: stage then copy)
     dict2.write.mode("overwrite").parquet(p["dictionary"] + "_next")
     spark.read.parquet(p["dictionary"] + "_next").write.mode("overwrite").parquet(
@@ -298,14 +302,11 @@ def compact_index(
     )
     fwd = spark.read.parquet(p["fwd"]).join(tombs, "doc_id", "left_anti")
     dictionary = spark.read.parquet(p["dictionary"]).filter(F.col("df") > 0)
-    enc_tf = exploded_postings(fwd).join(
-        F.broadcast(dictionary.select("term", "term_id")), "term"
-    ).select("term_id", "doc_id", "tf", "dl")
     docmap = spark.read.parquet(p["docmap"]).join(tombs, "doc_id", "left_anti")
     id_span = int(docmap.agg(F.max("doc_id")).collect()[0][0]) + 1
     cap = salt_group_cap or max(50_000, id_span // 64)
-    segs = encode_segments(
-        enc_tf, dictionary, id_span, salt_group_cap=cap, generation=0
+    segs, _d, _sub = build_segments_spimi(
+        spark, fwd, id_span, cap, generation=0, dictionary=dictionary
     )
     for name, df_ in (
         ("segments", segs),

@@ -51,10 +51,12 @@ def built_index(spark, corpus_path, tmp_path_factory):
 @pytest.fixture(scope="module")
 def built_index_salted(spark, corpus_path, tmp_path_factory):
     """salt_group_cap=40 forces every term with df>40 to salt across
-    multiple disjoint docID ranges — the head-term skew path."""
+    multiple disjoint docID ranges — the head-term skew path. The input is
+    spread over several partitions (at toy scale the whole corpus fits one
+    scan split, and sub-segment salting is per-partition-range)."""
     root = str(tmp_path_factory.mktemp("indexes_salted"))
     cat = Catalog(root)
-    docs = spark.read.parquet(corpus_path)
+    docs = spark.read.parquet(corpus_path).repartitionByRange(6, "url")
     manifest = build_index(spark, docs, cat, "v1", salt_group_cap=40)
     return cat, manifest
 
@@ -92,26 +94,43 @@ def test_wand_rank_identical_all_queries(spark, built_index, oracle_index):
         assert_rank_identical(got, expect, msg=f"q{qid} {qtext!r}")
 
 
-def test_wand_salted_rank_identical(spark, built_index_salted, oracle_index):
+def test_wand_salted_rank_identical(spark, built_index_salted, corpus_path):
+    """The salted build repartitions its input, so its docID space differs
+    from the plain build — compare by URL against a url-keyed oracle."""
     cat, _ = built_index_salted
     idx_dir = cat.index_dir("v1")
     # salting actually happened: head terms have multiple segment rows
     segs = spark.read.parquet(cat.table_path("v1", "segments"))
     from pyspark.sql import functions as F
 
+    from osu_elastic_indexer_spark.operators.wand import wand_topk_with_urls
+
     multi = segs.groupBy("term_id").count().filter(F.col("count") > 1).count()
     assert multi > 0, "salting did not split any term"
+    tbl = pq.read_table(corpus_path)
+    rows = [
+        (u, extract_text(h))
+        for u, h, lang, txt in zip(
+            tbl["url"].to_pylist(), tbl["html"].to_pylist(),
+            tbl["lang"].to_pylist(), tbl["text"].to_pylist(),
+        )
+        if lang == "en" and txt
+    ]
+    rows.sort(key=lambda r: r[0])
+    ourls = [u for u, _ in rows]
+    oidx = oracle.build_index(list(enumerate(t for _, t in rows)))
     queries = [(qid, q) for qid, q, _k in reference_queries()]
-    res = wand_topk(spark, idx_dir, queries, k=10).collect()
+    res = wand_topk_with_urls(spark, idx_dir, queries, k=10).collect()
     by_q = {}
     for r in res:
-        by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+        by_q.setdefault(r.query_id, []).append((r.rank, r.url, r.score))
     for qid, qtext, k in reference_queries():
-        got = [
-            (d, s) for _rk, d, s in sorted(by_q.get(qid, []), key=lambda x: x[0])
-        ]
-        expect = oracle.search(oracle_index, qtext, k)
-        assert_rank_identical(got, expect, msg=f"salted q{qid} {qtext!r}")
+        got = [(u, s) for _rk, u, s in sorted(by_q.get(qid, []))]
+        expect = [(ourls[d], s) for d, s in oracle.search(oidx, qtext, k)]
+        full = [(ourls[d], s) for d, s in oracle.search(oidx, qtext, 200)]
+        assert_rank_identical(
+            got, expect, msg=f"salted q{qid} {qtext!r}", expect_full=full
+        )
 
 
 def test_resume_skips_done_phases(spark, corpus_path, built_index):

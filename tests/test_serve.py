@@ -1,0 +1,43 @@
+"""Serving tier: LocalSearcher must be rank-identical to the oracle (and
+thereby to the Spark WAND path) and answer in milliseconds."""
+
+import time
+
+import pytest
+
+from osu_elastic_indexer_spark import oracle
+from osu_elastic_indexer_spark.operators.serve import LocalSearcher
+from osu_elastic_indexer_spark.sources.fixtures import reference_queries
+
+from test_index_wand import built_index, oracle_index  # noqa: F401  (fixtures)
+from util import assert_rank_identical
+
+
+@pytest.fixture(scope="module")
+def searcher(built_index):  # noqa: F811
+    cat, _ = built_index
+    return LocalSearcher(cat.index_dir("v1"))
+
+
+def test_serve_rank_identical(searcher, oracle_index):  # noqa: F811
+    for qid, qtext, k in reference_queries():
+        got = searcher.search(qtext, k)
+        expect = oracle.search(oracle_index, qtext, k)
+        assert_rank_identical(got, expect, msg=f"serve q{qid} {qtext!r}")
+
+
+def test_serve_latency_ms(searcher):
+    # warm
+    searcher.search("zebra", 10)
+    lat = []
+    for qid, qtext, k in reference_queries():
+        t0 = time.time()
+        searcher.search(qtext, k)
+        lat.append(time.time() - t0)
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    assert p50 < 0.25, f"serving p50 {p50:.3f}s — expected milliseconds"
+
+
+def test_serve_absent_term(searcher):
+    assert searcher.search("zzzznotaword", 10) == []

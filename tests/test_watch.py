@@ -1,0 +1,92 @@
+"""Streaming watch mode (S4/T10): file-source queue -> foreachBatch
+incremental updates; schema-move self-stop."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from osu_elastic_indexer_spark import oracle
+from osu_elastic_indexer_spark.functions.textprep import extract_text
+from osu_elastic_indexer_spark.operators.wand import wand_topk_with_urls
+from osu_elastic_indexer_spark.sources.catalog import Catalog
+from osu_elastic_indexer_spark.sources.fixtures import (
+    evolve_corpus,
+    generate_documents,
+)
+from osu_elastic_indexer_spark.streaming.watch import push_batch, watch
+
+from util import assert_rank_identical
+
+
+@pytest.fixture(scope="module")
+def stream_env(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream")
+    base = generate_documents(500)
+    final = evolve_corpus(base, n_new=60, n_update=15, n_flip=10)
+    pq.write_table(base, str(d / "base.parquet"))
+    pq.write_table(final, str(d / "final.parquet"))
+    queue_dir = str(d / "queue")
+    cat = Catalog(str(d / "idx"))
+    return spark, queue_dir, cat, str(d / "base.parquet"), str(d / "final.parquet"), final
+
+
+def test_watch_bootstrap_and_update(stream_env):
+    spark, queue_dir, cat, base_p, final_p, final = stream_env
+    base_df = spark.read.parquet(base_p)
+    final_df = spark.read.parquet(final_p)
+
+    # batch 1: full base corpus -> bootstrap build
+    push_batch(spark, base_df, queue_dir)
+    m1 = watch(spark, queue_dir, cat, "v1", available_now=True)
+    assert m1["phases"]["commit"]["status"] == "done"
+
+    # batch 2: only the changed rows (the queue producer pushes deltas)
+    cursor = m1["cursor"]
+    from pyspark.sql import functions as F
+
+    delta = final_df.filter(F.col("warc_ts") > F.lit(cursor).cast("timestamp"))
+    assert delta.count() > 0
+    push_batch(spark, delta, queue_dir)
+    m2 = watch(spark, queue_dir, cat, "v1", available_now=True)
+    assert m2["generations"] == 2
+
+    # rank-identity vs oracle over the final corpus
+    rows = [
+        (u, extract_text(h))
+        for u, h, lang, txt in zip(
+            final["url"].to_pylist(), final["html"].to_pylist(),
+            final["lang"].to_pylist(), final["text"].to_pylist(),
+        )
+        if lang == "en" and txt
+    ]
+    rows.sort(key=lambda r: r[0])
+    ourls = [u for u, _ in rows]
+    oidx = oracle.build_index(list(enumerate(t for _, t in rows)))
+    res = wand_topk_with_urls(
+        spark, cat.index_dir("v1"), [(0, "recrawled updatedcontent"), (1, "zebra")], 10
+    ).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.url, r.score))
+    for qid, qtext in [(0, "recrawled updatedcontent"), (1, "zebra")]:
+        got = [(u, s) for _rk, u, s in sorted(by_q.get(qid, []))]
+        expect = [(ourls[d], s) for d, s in oracle.search(oidx, qtext, 10)]
+        full = [(ourls[d], s) for d, s in oracle.search(oidx, qtext, 200)]
+        assert_rank_identical(got, expect, msg=f"watch q{qid}", expect_full=full)
+
+
+def test_watch_idempotent_on_empty_queue(stream_env):
+    spark, queue_dir, cat, *_ = stream_env
+    m_before = cat.read_manifest("v1")
+    m_after = watch(spark, queue_dir, cat, "v1", available_now=True)
+    assert m_after["generations"] == m_before["generations"]
+
+
+def test_watch_stops_when_schema_moves(stream_env, tmp_path):
+    """T10: current schema moved to another version -> watcher refuses."""
+    spark, queue_dir, cat, base_p, *_ = stream_env
+    cat.find_or_create_index("v2")
+    cat.update_alias("v2")  # control channel now points elsewhere
+    push_batch(spark, spark.read.parquet(base_p).limit(5), queue_dir)
+    with pytest.raises(Exception, match="schema moved|IndexClosed"):
+        watch(spark, queue_dir, cat, "v1", available_now=True)
+    cat.update_alias("v1")  # restore for other tests
