@@ -465,6 +465,17 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_topk(e, _query_vec(spark, sf_dir), 10, bits=8, exclude_vec_id=0)
 
 
+def q_ann_lsh_multiprobe(spark, sf_dir):
+    """ANN with multi-probe: query bucket + all Hamming-1 neighbor buckets
+    (probes=bits+1) — the recall-preserving scale path for shrinking buckets."""
+    from osu_elastic_indexer_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(
+        e, _query_vec(spark, sf_dir), 10, bits=8, exclude_vec_id=0, probes=9
+    )
+
+
 def q_ta_langid(spark, sf_dir):
     """n-gram-heuristic language ID, counted per prediction."""
     from osu_elastic_indexer_spark.functions.analysis import lang_id_expr
@@ -723,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ta_langid": q_ta_langid,
         "ta_quality": q_ta_quality,
         "ta_token_counts": q_ta_token_counts,
@@ -889,6 +901,17 @@ WITH eb AS (
 q AS (SELECT embedding AS qe, bucket AS qb FROM eb WHERE vec_id = 0)
 SELECT vec_id, ROUND({_cos_sql("embedding", "qe")}, 6) AS cos
 FROM eb, q WHERE vec_id <> 0 AND bucket = qb
+ORDER BY cos DESC, vec_id ASC LIMIT 10
+""",
+        # probes=9 == all buckets within Hamming distance 1 of the query's
+        # (bits=8): the python probe list and this predicate are the same set
+        "ann_lsh_multiprobe": f"""
+WITH eb AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+),
+q AS (SELECT embedding AS qe, bucket AS qb FROM eb WHERE vec_id = 0)
+SELECT vec_id, ROUND({_cos_sql("embedding", "qe")}, 6) AS cos
+FROM eb, q WHERE vec_id <> 0 AND bit_count(xor(bucket, qb)) <= 1
 ORDER BY cos DESC, vec_id ASC LIMIT 10
 """,
         "ta_langid": f"""

@@ -40,14 +40,12 @@ import os
 from contextlib import contextmanager
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import codec
 from ..sources.catalog import Catalog
-from .dictionary import build_dictionary, encode_terms
 from .docmap import input_order_offsets
 
 SEGMENT_SCHEMA = (
@@ -115,7 +113,6 @@ def arrow_batch_rows(spark, n: int):
 
 
 GROUP_BATCH_ROWS = 256       # rows/batch when each row is a whole group
-SORT_BATCH_ROWS = 262_144    # rows/batch for the narrow sorted-run stream
 
 
 def _fused_forward_pass(offsets_bc):
@@ -422,173 +419,6 @@ def build_segments_spimi(
         _merge_subsegments_arrow(generation), SEGMENT_SCHEMA
     )
     return segments, dictionary, sub
-
-
-def _encode_groups_arrow(generation: int):
-    """mapInArrow body over grouped rows (term_id, salt, postings:
-    list<struct<doc_id,tf,dl>> sorted by doc_id): vectorized flatten of the
-    Arrow nested arrays (zero-copy) -> codec.encode_postings per group."""
-
-    def run(batches):
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            tids = batch.column("term_id").to_numpy()
-            salts = batch.column("salt").to_numpy()
-            plist = batch.column("postings")
-            lengths = np.asarray(plist.value_lengths())
-            starts = np.zeros(len(lengths) + 1, dtype=np.int64)
-            np.cumsum(lengths, out=starts[1:])
-            vals = plist.flatten()  # StructArray, offset-adjusted
-            doc = vals.field("doc_id").to_numpy()
-            tf = vals.field("tf").to_numpy()
-            dl = vals.field("dl").to_numpy()
-            cols: dict[str, list] = {n: [] for n in _SEGMENT_PA_SCHEMA.names}
-            for i in range(batch.num_rows):
-                s, e = starts[i], starts[i + 1]
-                enc = codec.encode_postings(doc[s:e], tf[s:e], dl[s:e])
-                cols["term_id"].append(int(tids[i]))
-                cols["salt"].append(int(salts[i]))
-                cols["generation"].append(generation)
-                cols["n_docs"].append(enc["n_docs"])
-                cols["doc_min"].append(int(doc[s]))
-                cols["doc_max"].append(int(doc[e - 1]))
-                cols["max_tf"].append(enc["max_tf"])
-                cols["docs_blob"].append(enc["docs_blob"])
-                cols["tfs_blob"].append(enc["tfs_blob"])
-                cols["dls_blob"].append(enc["dls_blob"])
-                cols["doc_offs"].append(enc["doc_offs"].tolist())
-                cols["tf_offs"].append(enc["tf_offs"].tolist())
-                cols["dl_offs"].append(enc["dl_offs"].tolist())
-                cols["block_first"].append(enc["block_first"].tolist())
-                cols["block_last"].append(enc["block_last"].tolist())
-                cols["block_max_tf"].append(enc["block_max_tf"].tolist())
-                cols["block_min_dl"].append(enc["block_min_dl"].tolist())
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(cols[f.name], f.type)
-                    for f in _SEGMENT_PA_SCHEMA
-                ],
-                schema=_SEGMENT_PA_SCHEMA,
-            )
-
-    return run
-
-
-def _encode_sorted_arrow(generation: int):
-    """mapInArrow body over partitions pre-sorted by (term_id, salt,
-    doc_id): detect (term_id, salt) runs vectorized and encode each — the
-    object-agg-free alternative to collect_list (ObjectHashAggregate holds
-    every group's row objects on the reduce side; with small executor heaps
-    that becomes GC thrash — measured 3x slower than this path at 8
-    executors x 3.5 GB)."""
-
-    def run(batches):
-        pend: tuple | None = None  # (tid, salt, doc, tf, dl) numpy arrays
-
-        def encode_runs(arrs, final: bool):
-            nonlocal pend
-            tid, salt, doc, tf, dl = arrs
-            key = (tid << np.int64(16)) | salt
-            bounds = np.flatnonzero(np.diff(key)) + 1
-            starts = np.concatenate(([0], bounds))
-            ends = np.concatenate((bounds, [key.size]))
-            if not final:  # last run may continue into the next batch
-                pend = tuple(a[starts[-1]:] for a in arrs)
-                starts, ends = starts[:-1], ends[:-1]
-            cols: dict[str, list] = {n: [] for n in _SEGMENT_PA_SCHEMA.names}
-            for s, e in zip(starts, ends):
-                enc = codec.encode_postings(doc[s:e], tf[s:e], dl[s:e])
-                cols["term_id"].append(int(tid[s]))
-                cols["salt"].append(int(salt[s]))
-                cols["generation"].append(generation)
-                cols["n_docs"].append(enc["n_docs"])
-                cols["doc_min"].append(int(doc[s]))
-                cols["doc_max"].append(int(doc[e - 1]))
-                cols["max_tf"].append(enc["max_tf"])
-                cols["docs_blob"].append(enc["docs_blob"])
-                cols["tfs_blob"].append(enc["tfs_blob"])
-                cols["dls_blob"].append(enc["dls_blob"])
-                cols["doc_offs"].append(enc["doc_offs"].tolist())
-                cols["tf_offs"].append(enc["tf_offs"].tolist())
-                cols["dl_offs"].append(enc["dl_offs"].tolist())
-                cols["block_first"].append(enc["block_first"].tolist())
-                cols["block_last"].append(enc["block_last"].tolist())
-                cols["block_max_tf"].append(enc["block_max_tf"].tolist())
-                cols["block_min_dl"].append(enc["block_min_dl"].tolist())
-            if cols["term_id"]:
-                return pa.RecordBatch.from_arrays(
-                    [pa.array(cols[f.name], f.type) for f in _SEGMENT_PA_SCHEMA],
-                    schema=_SEGMENT_PA_SCHEMA,
-                )
-            return None
-
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            arrs = tuple(
-                batch.column(c).to_numpy().astype(np.int64)
-                for c in ("term_id", "salt", "doc_id", "tf", "dl")
-            )
-            if pend is not None:
-                arrs = tuple(np.concatenate([p, a]) for p, a in zip(pend, arrs))
-                pend = None
-            out = encode_runs(arrs, final=False)
-            if out is not None:
-                yield out
-        if pend is not None and pend[0].size:
-            out = encode_runs(pend, final=True)
-            if out is not None:
-                yield out
-
-    return run
-
-
-def encode_segments(
-    posting_rows: DataFrame,
-    dictionary: DataFrame,
-    id_span: int,
-    salt_group_cap: int = 1_000_000,
-    max_salts: int = 1024,
-    generation: int = 0,
-    num_partitions: int | None = None,
-    strategy: str = "sort",
-) -> DataFrame:
-    """(term_id, doc_id, tf, dl) -> segment rows, with explicit range salting.
-
-    ``id_span`` = max doc_id + 1 (the docID universe for this generation);
-    salts partition [0, id_span) into contiguous intervals so each group's
-    postings form a sorted, disjoint slice of the term's global list.
-
-    The grouping is a JVM collect_list + sort_array (bounded by the salt
-    cap); python receives one ROW PER GROUP via mapInArrow (see module doc).
-    """
-    with_df = posting_rows.join(
-        F.broadcast(dictionary.select("term_id", "df")), "term_id"
-    )
-    n_salts = F.least(
-        F.lit(max_salts),
-        F.ceil(F.col("df") / F.lit(salt_group_cap)).cast("int"),
-    )
-    salted = with_df.withColumn(
-        "salt",
-        ((F.col("doc_id") * n_salts) / F.lit(id_span)).cast("int"),
-    ).select("term_id", "salt", "doc_id", "tf", "dl")
-    if strategy == "group":
-        grouped = salted.groupBy("term_id", "salt").agg(
-            F.sort_array(
-                F.collect_list(F.struct("doc_id", "tf", "dl"))
-            ).alias("postings")
-        )
-        return grouped.mapInArrow(_encode_groups_arrow(generation), SEGMENT_SCHEMA)
-    # default: sort-based — shuffle on (term_id, salt), binary UnsafeRow
-    # sort (spill-friendly, no object agg), vectorized run detection
-    spark = posting_rows.sparkSession
-    nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    part = salted.repartition(nparts, "term_id", "salt").sortWithinPartitions(
-        "term_id", "salt", "doc_id"
-    )
-    return part.mapInArrow(_encode_sorted_arrow(generation), SEGMENT_SCHEMA)
 
 
 def build_index(

@@ -68,10 +68,11 @@ def shingles_expr(toks: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(text: Column, n_shingle: int = 3) -> Column:
-    """array<bigint> of N_HASHES minhash values for the doc text."""
-    toks = tokens_expr(text)
-    sh = shingles_expr(toks, n_shingle)
+def signature_from_shingles(sh: Column) -> Column:
+    """array<bigint> of N_HASHES minhash values from a shingle array column —
+    the shared kernel, so callers that already materialized shingles don't
+    recompute tokenize->shingle (the md5-per-shingle work dominates at
+    corpus scale)."""
     hashes = F.transform(sh, hash32_expr)
 
     def perm(j: int):  # see _bit_vote for why no default-arg lambdas
@@ -83,6 +84,11 @@ def minhash_signature(text: Column, n_shingle: int = 3) -> Column:
     return F.array(
         *[F.array_min(F.transform(hashes, perm(j))) for j in range(N_HASHES)]
     )
+
+
+def minhash_signature(text: Column, n_shingle: int = 3) -> Column:
+    """array<bigint> of N_HASHES minhash values for the doc text."""
+    return signature_from_shingles(shingles_expr(tokens_expr(text), n_shingle))
 
 
 def _bit_vote(b: int):
@@ -126,16 +132,25 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def minhash_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, band, bucket): LSH band buckets from the minhash signature.
+def shingle_table(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, sh): per-doc distinct shingle arrays — THE shared intermediate
+    of the minhash/LSH/jaccard family. Callers running more than one
+    downstream op should persist() this so tokenize->shingle->md5 happens
+    once, not once per consumer."""
+    return docs.select(
+        "doc_id", shingles_expr(tokens_expr(F.col(text_col)), n).alias("sh")
+    )
+
+
+def bands_from_shingles(sh_df: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) LSH band buckets from a (doc_id, sh) frame.
     rows-per-band = N_HASHES/N_BANDS; bucket = md5 of the band's slice."""
     rows = N_HASHES // N_BANDS
-    sig = minhash_signature(F.col(text_col))
     # docs with no shingles (< n tokens) have no signature — excluding them
     # also prevents every tiny doc colliding on the all-null bucket
-    out = docs.filter(
-        F.size(shingles_expr(tokens_expr(F.col(text_col)))) > 0
-    ).select("doc_id", sig.alias("sig"))
+    out = sh_df.filter(F.size("sh") > 0).select(
+        "doc_id", signature_from_shingles(F.col("sh")).alias("sig")
+    )
     return out.select(
         "doc_id",
         F.explode(
@@ -156,10 +171,20 @@ def minhash_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
-def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def minhash_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, band, bucket): LSH band buckets from the minhash signature."""
+    return bands_from_shingles(shingle_table(docs, text_col))
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame | None = None,
+    text_col: str = "text",
+    bands: DataFrame | None = None,
+) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any band bucket (doc_a < doc_b),
-    deduplicated across bands."""
-    b = minhash_bands(docs, text_col)
+    deduplicated across bands. Pass precomputed ``bands`` (ideally persisted)
+    to avoid re-deriving signatures."""
+    b = bands if bands is not None else minhash_bands(docs, text_col)
     a = b.select(
         F.col("band"), F.col("bucket"), F.col("doc_id").alias("doc_a")
     )
@@ -178,11 +203,14 @@ def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float = 0.2, text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """Exact n-gram Jaccard over LSH candidate pairs:
-    (doc_a, doc_b, jaccard) with jaccard >= threshold."""
-    sh = docs.select(
-        "doc_id", shingles_expr(tokens_expr(F.col(text_col)), n).alias("sh")
-    )
-    pairs = lsh_candidate_pairs(docs, text_col)
+    (doc_a, doc_b, jaccard) with jaccard >= threshold.
+
+    The shingle table is computed ONCE and persisted: the band derivation,
+    the pairs join, and both verify-join sides all read the cached frame —
+    at corpus scale the md5-per-shingle work dominates, so recomputing it
+    per consumer (3x) was the plan's biggest waste."""
+    sh = shingle_table(docs, text_col, n).persist()
+    pairs = lsh_candidate_pairs(bands=bands_from_shingles(sh))
     j = (
         pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")

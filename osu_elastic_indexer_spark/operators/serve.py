@@ -113,16 +113,19 @@ class LocalSearcher:
 
 
 def searcher_for_catalog(root: str, alias: str = "documents") -> LocalSearcher:
-    """Open the CURRENT index (the alias pointer) for serving."""
-    with open(os.path.join(root, "catalog.json")) as f:
-        current = json.load(f)["current_schema"]
+    """Open the CURRENT index (the alias pointer) for serving.
+
+    Resolves the directory via Catalog naming ({prefix}{alias}_{schema}) so
+    multiple aliases sharing one catalog root open THEIR index, never another
+    alias's index that happens to share the schema version string."""
+    from ..sources.catalog import Catalog
+
+    cat = Catalog(root, alias=alias)
+    current = cat.get_current_schema()
     assert current, "no current schema (alias not pointed)"
-    # index dir naming matches Catalog.index_name
-    for name in os.listdir(root):
-        p = os.path.join(root, name, "manifest.json")
-        if os.path.exists(p):
-            with open(p) as fh:
-                m = json.load(fh)
-            if m["schema"] == current:
-                return LocalSearcher(os.path.join(root, name))
-    raise FileNotFoundError(f"no index dir for schema {current} under {root}")
+    idx_dir = cat.index_dir(current)
+    if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
+        raise FileNotFoundError(
+            f"no index dir {idx_dir} for schema {current} under {root}"
+        )
+    return LocalSearcher(idx_dir)

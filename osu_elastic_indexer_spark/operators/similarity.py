@@ -74,21 +74,47 @@ def sign_bucket_expr(vec: Column, bits: int = 8) -> Column:
     return total
 
 
+def query_bucket(query_vec: list[float], bits: int = 8) -> int:
+    qb = 0
+    for i in range(bits):
+        if float(query_vec[i]) >= 0:
+            qb |= 1 << i
+    return qb
+
+
+def probe_buckets(bucket: int, bits: int, probes: int) -> list[int]:
+    """Multi-probe sequence: the query's own bucket, then every bucket at
+    Hamming distance 1 (ascending flipped-bit index), then distance 2 —
+    truncated to ``probes``. Near neighbors that fall just across a
+    hyperplane land in a distance-1 bucket, so probing them recovers the
+    recall a single-bucket lookup loses as buckets shrink (the standard
+    multi-probe LSH argument, Lv et al., VLDB'07)."""
+    out = [bucket]
+    for i in range(bits):
+        out.append(bucket ^ (1 << i))
+    for i in range(bits):
+        for j in range(i + 1, bits):
+            out.append(bucket ^ (1 << i) ^ (1 << j))
+    return out[: max(1, probes)]
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],
     k: int = 10,
     bits: int = 8,
     exclude_vec_id: int | None = None,
+    probes: int = 1,
 ) -> DataFrame:
-    """ANN: brute-force cosine WITHIN the query's sign bucket. Exactness is
-    traded for a ~2^bits candidate cut; tests measure recall vs brute force."""
-    qb = 0
-    for i in range(bits):
-        if float(query_vec[i]) >= 0:
-            qb |= 1 << i
+    """ANN: brute-force cosine within the query's sign bucket plus its
+    ``probes-1`` nearest (Hamming-adjacent) buckets. probes=1 is the classic
+    single-bucket lookup (recall falls off a cliff as buckets shrink);
+    probes=bits+1 covers all Hamming-1 neighbors — tests assert the recall
+    difference vs the brute-force baseline. The IN-list stays a pushable
+    scan filter, so the candidate cut is still ~probes/2^bits of the corpus."""
+    buckets = probe_buckets(query_bucket(query_vec, bits), bits, probes)
     cand = embeddings.filter(
-        sign_bucket_expr(_as_double(F.col("embedding")), bits) == qb
+        sign_bucket_expr(_as_double(F.col("embedding")), bits).isin(buckets)
     )
     return brute_force_topk(cand, query_vec, k, exclude_vec_id)
 

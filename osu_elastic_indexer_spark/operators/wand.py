@@ -218,7 +218,8 @@ def bmw_topk(
     tombstones: frozenset[int] | None = None,
 ) -> list[tuple[int, float]]:
     """Exact block-max WAND. term_lists: [(term, idf, segment-row dicts)].
-    Returns [(doc_id, score)] by (score desc, doc_id asc).
+    Returns [(score, doc_id)] tuples ordered by (score desc, doc_id asc) —
+    same element order as taat_topk (callers unpack ``for score, doc in``).
     """
     _AVGDL.val = avgdl
     cursors = [
@@ -325,16 +326,29 @@ def _row_to_enc(row) -> dict:
 
 
 # driver-side cache of small per-index state (stats row + tombstone set),
-# keyed by the manifest mtime so any committed change invalidates it —
-# repeated queries skip two Spark jobs each (the p50-latency win)
+# keyed by the manifest's monotonic commit_seq so any committed change
+# invalidates it (mtime is unreliable: coarse-granularity filesystems would
+# serve stale state for two commits in the same second) — repeated queries
+# skip two Spark jobs each (the p50-latency win)
 _INDEX_STATE_CACHE: dict[tuple, tuple] = {}
+
+
+def manifest_commit_seq(index_dir: str) -> int:
+    """The index's monotonic commit counter (0 if no manifest)."""
+    import json
+    import os
+
+    mpath = f"{index_dir}/manifest.json"
+    if not os.path.exists(mpath):
+        return 0
+    with open(mpath) as f:
+        return int(json.load(f).get("commit_seq", 0))
 
 
 def _index_state(spark: SparkSession, index_dir: str):
     import os
 
-    mpath = f"{index_dir}/manifest.json"
-    key = (index_dir, os.path.getmtime(mpath) if os.path.exists(mpath) else 0)
+    key = (index_dir, manifest_commit_seq(index_dir))
     if key in _INDEX_STATE_CACHE:
         return _INDEX_STATE_CACHE[key]
     stats = spark.read.parquet(f"{index_dir}/stats").collect()[0]
@@ -412,10 +426,13 @@ def wand_topk(
     def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["query_id"].iloc[0])
         term_lists: dict[str, tuple[float, list]] = {}
-        for _, row in pdf.iterrows():
-            t = row["term"]
-            term_lists.setdefault(t, (float(row["idf"]), []))[1].append(
-                _row_to_enc(row)
+        # column-array access, not iterrows (row-at-a-time pandas is the
+        # slow path even for small segment-row groups)
+        cols = {c: pdf[c].to_numpy() for c in pdf.columns}
+        for i in range(len(pdf)):
+            t = cols["term"][i]
+            term_lists.setdefault(t, (float(cols["idf"][i]), []))[1].append(
+                _row_to_enc({c: cols[c][i] for c in pdf.columns})
             )
         entries = []
         total_postings = 0

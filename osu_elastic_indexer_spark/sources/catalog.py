@@ -117,6 +117,10 @@ class Catalog:
 
     def write_manifest(self, schema: str, manifest: dict) -> None:
         os.makedirs(self.index_dir(schema), exist_ok=True)
+        # monotonic commit counter: query-side caches key on this (NOT on
+        # file mtime — coarse-granularity filesystems would serve stale
+        # state for two commits landing in the same second)
+        manifest["commit_seq"] = int(manifest.get("commit_seq", 0)) + 1
         _atomic_write_json(self._manifest_path(schema), manifest)
 
     def find_or_create_index(self, schema: str) -> dict:

@@ -138,9 +138,18 @@ def incremental_update(
     n_add = dm_new.count()
 
     if n_add == 0 and n_del == 0:
+        # still advance the cursor past a batch of purely non-indexable rows
+        # — otherwise every subsequent cursor batch re-scans them forever
+        if queue_urls is None:
+            seen_cursor = batch.agg(F.max("warc_ts")).collect()[0][0]
+            if seen_cursor is not None and (
+                m["cursor"] is None or str(seen_cursor) > m["cursor"]
+            ):
+                m["cursor"] = str(seen_cursor)
+                cat.write_manifest(schema_version, m)
         for df_ in (batch, new_tombs, fwd_new, dm_new):
             df_.unpersist()
-        return m
+        return cat.read_manifest(schema_version)
 
     # ---- stats deltas (exact; see module doc) ------------------------------
     fwd_old = spark.read.parquet(p["fwd"])

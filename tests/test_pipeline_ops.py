@@ -94,6 +94,55 @@ def test_ann_lsh_recall(spark):
         assert abs(c - exact[v]) < 1e-9
 
 
+def test_ann_multiprobe_recovers_recall(spark):
+    """probes=bits+1 (all Hamming-1 neighbor buckets) must lift recall@10 to
+    >=0.9 in exactly the regime single-probe loses: true near neighbors whose
+    sign pattern differs by one bit (a coordinate sitting just across its
+    hyperplane)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    bits = 8
+    q = rng.normal(size=16)
+    q[:bits] = np.sign(q[:bits]) * np.maximum(np.abs(q[:bits]), 0.5)
+    vecs = {0: q}
+    # 7 same-bucket near copies, 5 neighbors with ONE bucket bit flipped
+    for i in range(1, 8):
+        vecs[i] = q + rng.normal(size=16) * 0.01
+    for j in range(5):
+        v = q + rng.normal(size=16) * 0.01
+        v[j] = -0.05 * np.sign(q[j])  # flips exactly bucket bit j
+        vecs[8 + j] = v
+    for i in range(13, 500):
+        vecs[i] = rng.normal(size=16)  # background noise, cos << planted
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id bigint, embedding array<float>",
+    )
+    ql = [float(x) for x in q]
+    brute = {r.vec_id for r in similarity.brute_force_topk(df, ql, 10, 0).collect()}
+    assert brute <= set(range(1, 13)), "planted construction broken"
+    recalls = {}
+    for probes in (1, bits + 1):
+        approx = {
+            r.vec_id
+            for r in similarity.lsh_topk(
+                df, ql, 10, bits=bits, exclude_vec_id=0, probes=probes
+            ).collect()
+        }
+        recalls[probes] = len(brute & approx) / 10
+    assert recalls[1] < 0.9, f"single-probe unexpectedly fine: {recalls}"
+    assert recalls[bits + 1] >= 0.9, f"multi-probe recall too low: {recalls}"
+
+
+def test_ngram_jaccard_reuses_shingles(planted):
+    """The jaccard plan must read the persisted shingle table (InMemory
+    scans), not recompute tokenize->shingle->md5 per consumer."""
+    df = dedup.ngram_jaccard_pairs(planted, threshold=0.0)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("InMemoryRelation") >= 3  # bands + both join sides
+
+
 def test_multimodal_stub_contract(spark):
     from osu_elastic_indexer_spark.functions import multimodal
 
