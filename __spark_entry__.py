@@ -581,13 +581,16 @@ def q_wand_bm25_topk(spark, sf_dir):
 
     from osu_elastic_indexer_spark.operators.build import build_index
     from osu_elastic_indexer_spark.operators.wand import wand_topk
-    from osu_elastic_indexer_spark.sources.catalog import Catalog
+    from osu_elastic_indexer_spark.sources.catalog import FORMAT_VERSION, Catalog
 
     d = _t(spark, sf_dir, "documents")
     n = d.count()
     root = f"/tmp/oei_driver_idx/{os.path.basename(sf_dir.rstrip('/'))}_{n}"
     cat = Catalog(root)
     m = cat.read_manifest("v1")
+    if m is not None and m.get("format") != FORMAT_VERSION:
+        cat.delete_index("v1")  # stale on-disk format: rebuild from scratch
+        m = None
     if not (m and m.get("phases", {}).get("commit")):
         # adapt driver table shape -> engine input shape (url PK zero-padded
         # so dense-rank order == doc_id order; html carries the text bytes)

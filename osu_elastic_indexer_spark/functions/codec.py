@@ -126,16 +126,18 @@ def encode_postings(
 ) -> dict:
     """Encode one term's postings (doc_ids sorted strictly ascending).
 
-    ``dls`` (per-posting document length) is stored alongside tf — the analog
-    of Lucene's per-doc norms — so BM25 scoring is self-contained per block
-    with no docmap join at query time. Per-block (max_tf, min_dl) give a
-    tight, avgdl-independent score upper bound for block-max WAND:
-    tfnorm(tf, dl) is increasing in tf and decreasing in dl, so
-    tfnorm(max_tf, min_dl) bounds every posting in the block.
+    ``dls`` (per-posting document length) is consumed for METADATA ONLY: the
+    per-block min_dl that, with max_tf, gives a tight avgdl-independent
+    score upper bound for block-max WAND (tfnorm is increasing in tf and
+    decreasing in dl, so tfnorm(max_tf, min_dl) bounds every posting in the
+    block). The dl VALUES themselves are not stored per posting — a doc's
+    length is the same for every term it appears in, so repeating it per
+    posting inflated the index ~1/3; scoring reads the doc-indexed norms
+    array instead (operators/state.load_norms, the Lucene-norms analog).
 
     Returns the segments-table payload:
-      docs_blob, tfs_blob, dls_blob : bytes
-      doc_offs, tf_offs, dl_offs    : int64[n_blocks+1] byte offsets
+      docs_blob, tfs_blob           : bytes
+      doc_offs, tf_offs             : int64[n_blocks+1] byte offsets
       block_first/last              : int64[n_blocks]
       block_max_tf, block_min_dl    : int64[n_blocks]
       n_docs, max_tf                : ints
@@ -161,7 +163,6 @@ def encode_postings(
     gaps[starts] = (doc_ids[starts] + 1).astype(np.uint64)
 
     tfs_u = tfs.astype(np.uint64)
-    dls_u = dls.astype(np.uint64)
 
     def offs_for(vals: np.ndarray) -> np.ndarray:
         prefix = np.zeros(n + 1, dtype=np.int64)
@@ -179,10 +180,8 @@ def encode_postings(
         "n_docs": int(n),
         "docs_blob": varbyte_encode(gaps),
         "tfs_blob": varbyte_encode(tfs_u),
-        "dls_blob": varbyte_encode(dls_u),
         "doc_offs": offs_for(gaps),
         "tf_offs": offs_for(tfs_u),
-        "dl_offs": offs_for(dls_u),
         "block_first": doc_ids[starts].copy(),
         "block_last": doc_ids[ends - 1].copy(),
         "block_max_tf": block_max_tf,
@@ -191,63 +190,56 @@ def encode_postings(
     }
 
 
-def decode_block(enc: dict, b: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode block b only -> (doc_ids, tfs, dls). O(block), not O(list)."""
-    do, to, lo = enc["doc_offs"], enc["tf_offs"], enc["dl_offs"]
+def decode_block(enc: dict, b: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode block b only -> (doc_ids, tfs). O(block), not O(list).
+    Document lengths come from the doc-indexed norms array: norms[doc_ids]."""
+    do, to = enc["doc_offs"], enc["tf_offs"]
     docs = delta_decode(varbyte_decode(memoryview(enc["docs_blob"])[do[b] : do[b + 1]]))
     tfs = varbyte_decode(memoryview(enc["tfs_blob"])[to[b] : to[b + 1]]).astype(
         np.int64
     )
-    dls = varbyte_decode(memoryview(enc["dls_blob"])[lo[b] : lo[b + 1]]).astype(
-        np.int64
-    )
-    return docs, tfs, dls
+    return docs, tfs
 
 
-def decode_postings(enc: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode all blocks -> (doc_ids int64 ascending, tfs, dls)."""
+def decode_postings(enc: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Decode all blocks -> (doc_ids int64 ascending, tfs)."""
     n_blocks = len(enc["block_first"])
     if n_blocks == 0:
         z = np.empty(0, dtype=np.int64)
-        return z, z.copy(), z.copy()
+        return z, z.copy()
     parts = [decode_block(enc, b) for b in range(n_blocks)]
     return (
         np.concatenate([p[0] for p in parts]),
         np.concatenate([p[1] for p in parts]),
-        np.concatenate([p[2] for p in parts]),
     )
 
 
-def encode_plain(
-    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray
-) -> tuple[bytes, bytes, bytes]:
+def encode_plain(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
     """Blockless delta+varbyte encoding for partition-local SUB-segments —
     the compact wire format for the term-merge shuffle (final segments get
-    block metadata via encode_postings at merge time)."""
+    block metadata via encode_postings at merge time). dl never rides the
+    shuffle: the merge derives block_min_dl from the norms array."""
     return (
         varbyte_encode(delta_encode(np.asarray(doc_ids, dtype=np.int64))),
         varbyte_encode(np.asarray(tfs, dtype=np.uint64)),
-        varbyte_encode(np.asarray(dls, dtype=np.uint64)),
     )
 
 
-def decode_plain(
-    docs_blob: bytes, tfs_blob: bytes, dls_blob: bytes
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def decode_plain(docs_blob: bytes, tfs_blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     return (
         delta_decode(varbyte_decode(docs_blob)),
         varbyte_decode(tfs_blob).astype(np.int64),
-        varbyte_decode(dls_blob).astype(np.int64),
     )
 
 
-def merge_encoded(parts: list[dict]) -> dict:
+def merge_encoded(parts: list[dict], norms: np.ndarray | None = None) -> dict:
     """Merge encoded postings of ONE term whose doc_id ranges are disjoint
     and given in ascending range order — concatenation is then order-safe
     (SURVEY.md §4 custom #1: salted sub-segments cover disjoint docID
-    ranges, so the global list is the ordered concat)."""
+    ranges, so the global list is the ordered concat). ``norms`` (doc-indexed
+    dl array) supplies the block_min_dl metadata; defaults to all-ones."""
     decoded = [decode_postings(p) for p in parts]
     docs = np.concatenate([d[0] for d in decoded])
     tfs = np.concatenate([d[1] for d in decoded])
-    dls = np.concatenate([d[2] for d in decoded])
+    dls = norms[docs] if norms is not None else None
     return encode_postings(docs, tfs, dls)

@@ -51,8 +51,8 @@ from .docmap import input_order_offsets
 SEGMENT_SCHEMA = (
     "term_id bigint, salt int, generation int, n_docs bigint, "
     "doc_min bigint, doc_max bigint, max_tf bigint, "
-    "docs_blob binary, tfs_blob binary, dls_blob binary, "
-    "doc_offs array<bigint>, tf_offs array<bigint>, dl_offs array<bigint>, "
+    "docs_blob binary, tfs_blob binary, "
+    "doc_offs array<bigint>, tf_offs array<bigint>, "
     "block_first array<bigint>, block_last array<bigint>, "
     "block_max_tf array<bigint>, block_min_dl array<bigint>"
 )
@@ -68,10 +68,8 @@ _SEGMENT_PA_SCHEMA = pa.schema(
         ("max_tf", pa.int64()),
         ("docs_blob", pa.binary()),
         ("tfs_blob", pa.binary()),
-        ("dls_blob", pa.binary()),
         ("doc_offs", pa.list_(pa.int64())),
         ("tf_offs", pa.list_(pa.int64())),
-        ("dl_offs", pa.list_(pa.int64())),
         ("block_first", pa.list_(pa.int64())),
         ("block_last", pa.list_(pa.int64())),
         ("block_max_tf", pa.list_(pa.int64())),
@@ -210,7 +208,7 @@ def exploded_postings(fwd: DataFrame) -> DataFrame:
 
 SUBSEG_SCHEMA = (
     "term string, salt int, doc_min bigint, doc_max bigint, n_docs bigint, "
-    "docs_blob binary, tfs_blob binary, dls_blob binary"
+    "docs_blob binary, tfs_blob binary"
 )
 
 _SUBSEG_PA_SCHEMA = pa.schema(
@@ -222,7 +220,6 @@ _SUBSEG_PA_SCHEMA = pa.schema(
         ("n_docs", pa.int64()),
         ("docs_blob", pa.binary()),
         ("tfs_blob", pa.binary()),
-        ("dls_blob", pa.binary()),
     ]
 )
 
@@ -246,23 +243,20 @@ def _local_invert_pass(id_span: int, grid_salts: int):
     time; no ordering assumption survives the file layout.)"""
 
     def run(batches):
-        doc_parts, term_parts, tf_parts, dl_parts = [], [], [], []
+        doc_parts, term_parts, tf_parts = [], [], []
         for batch in batches:
             if batch.num_rows == 0:
                 continue
             doc_ids = batch.column("doc_id").to_numpy()
-            dls = batch.column("dl").to_numpy()
             terms_col = batch.column("terms")
             tfs_col = batch.column("tfs")
             lengths = np.asarray(terms_col.value_lengths())
             doc_parts.append(np.repeat(doc_ids, lengths))
-            dl_parts.append(np.repeat(dls, lengths))
             term_parts.append(terms_col.flatten())
             tf_parts.append(tfs_col.flatten().to_numpy())
         if not doc_parts:
             return
         docs = np.concatenate(doc_parts)
-        dl_rep = np.concatenate(dl_parts)
         tfs = np.concatenate(tf_parts)
         terms = pa.concat_arrays(term_parts)  # arrow string array, no objects
         # group by (term, salt-cell), docs sorted within: dictionary-encode
@@ -272,16 +266,16 @@ def _local_invert_pass(id_span: int, grid_salts: int):
         uniq = dict_arr.dictionary  # StringArray of unique terms
         cells = (docs * np.int64(grid_salts)) // np.int64(id_span)
         order = np.lexsort((docs, cells, codes))
-        g_docs, g_tfs, g_dls = docs[order], tfs[order], dl_rep[order]
+        g_docs, g_tfs = docs[order], tfs[order]
         g_codes, g_cells = codes[order], cells[order]
         key = g_codes * np.int64(grid_salts) + g_cells
         bounds = np.flatnonzero(np.diff(key)) + 1
         starts = np.concatenate(([0], bounds))
         ends = np.concatenate((bounds, [key.size]))
         out_terms, out_salt, out_min, out_max, out_n = [], [], [], [], []
-        out_db, out_tb, out_lb = [], [], []
+        out_db, out_tb = [], []
         for s, e in zip(starts, ends):
-            db, tb, lb = codec.encode_plain(g_docs[s:e], g_tfs[s:e], g_dls[s:e])
+            db, tb = codec.encode_plain(g_docs[s:e], g_tfs[s:e])
             out_terms.append(uniq[int(g_codes[s])].as_py())
             out_salt.append(int(g_cells[s]))
             out_min.append(int(g_docs[s]))
@@ -289,7 +283,6 @@ def _local_invert_pass(id_span: int, grid_salts: int):
             out_n.append(int(e - s))
             out_db.append(db)
             out_tb.append(tb)
-            out_lb.append(lb)
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(out_terms, pa.string()),
@@ -299,7 +292,6 @@ def _local_invert_pass(id_span: int, grid_salts: int):
                 pa.array(out_n, pa.int64()),
                 pa.array(out_db, pa.binary()),
                 pa.array(out_tb, pa.binary()),
-                pa.array(out_lb, pa.binary()),
             ],
             schema=_SUBSEG_PA_SCHEMA,
         )
@@ -307,17 +299,25 @@ def _local_invert_pass(id_span: int, grid_salts: int):
     return run
 
 
-def _merge_subsegments_arrow(generation: int):
+def _merge_subsegments_arrow(generation: int, norms_path: str, norms_version: int):
     """mapInArrow body over grouped sub-segments (term_id, salt,
-    subs: list<struct<doc_min, n_docs, docs_blob, tfs_blob, dls_blob>>):
+    subs: list<struct<doc_min, n_docs, docs_blob, tfs_blob>>):
     decode each sub-list (vectorized), concatenate in doc_min order
     (disjoint ascending partition ranges -> order-safe), encode the final
-    block-addressed posting list."""
+    block-addressed posting list. block_min_dl metadata comes from the
+    doc-indexed norms array (operators/state.load_norms over ``norms_path``'s
+    (doc_id, dl) columns) — dl never rides the merge shuffle."""
 
     def run(batches):
+        # absolute import: this body executes on executors (shipped zip)
+        from osu_elastic_indexer_spark.operators.state import load_norms
+
+        norms = None
         for batch in batches:
             if batch.num_rows == 0:
                 continue
+            if norms is None:
+                norms = load_norms(norms_path, norms_version)
             tids = batch.column("term_id").to_numpy()
             salts = batch.column("salt").to_numpy()
             subs = batch.column("subs")
@@ -327,18 +327,16 @@ def _merge_subsegments_arrow(generation: int):
             vals = subs.flatten()
             sub_db = vals.field("docs_blob")
             sub_tb = vals.field("tfs_blob")
-            sub_lb = vals.field("dls_blob")
             cols: dict[str, list] = {n: [] for n in _SEGMENT_PA_SCHEMA.names}
             for i in range(batch.num_rows):
                 s, e = int(starts[i]), int(starts[i + 1])
-                ds, ts, ls = [], [], []
+                ds, ts = [], []
                 for j in range(s, e):
-                    d, t, l = codec.decode_plain(
-                        sub_db[j].as_py(), sub_tb[j].as_py(), sub_lb[j].as_py()
+                    d, t = codec.decode_plain(
+                        sub_db[j].as_py(), sub_tb[j].as_py()
                     )
                     ds.append(d)
                     ts.append(t)
-                    ls.append(l)
                 doc = np.concatenate(ds)
                 # full merge-sort: sub-blob doc RANGES may interleave (scan
                 # partitions are arbitrary file packings), docs never repeat
@@ -347,7 +345,7 @@ def _merge_subsegments_arrow(generation: int):
                 enc = codec.encode_postings(
                     doc,
                     np.concatenate(ts)[order],
-                    np.concatenate(ls)[order],
+                    norms[doc],
                 )
                 cols["term_id"].append(int(tids[i]))
                 cols["salt"].append(int(salts[i]))
@@ -358,10 +356,8 @@ def _merge_subsegments_arrow(generation: int):
                 cols["max_tf"].append(enc["max_tf"])
                 cols["docs_blob"].append(enc["docs_blob"])
                 cols["tfs_blob"].append(enc["tfs_blob"])
-                cols["dls_blob"].append(enc["dls_blob"])
                 cols["doc_offs"].append(enc["doc_offs"].tolist())
                 cols["tf_offs"].append(enc["tf_offs"].tolist())
-                cols["dl_offs"].append(enc["dl_offs"].tolist())
                 cols["block_first"].append(enc["block_first"].tolist())
                 cols["block_last"].append(enc["block_last"].tolist())
                 cols["block_max_tf"].append(enc["block_max_tf"].tolist())
@@ -374,19 +370,38 @@ def _merge_subsegments_arrow(generation: int):
     return run
 
 
+# above this many dictionary rows the tokens⋈dictionary join stops
+# broadcasting (a 10^8-term dictionary OOMs driver+executors) and becomes a
+# shuffle join — AQE's skew splitting handles head terms
+DICT_BROADCAST_MAX = 5_000_000
+
+
 def build_segments_spimi(
     spark: SparkSession,
     fwd: DataFrame,
     id_span: int,
     salt_group_cap: int,
+    norms_path: str,
+    norms_version: int,
     generation: int = 0,
     max_salts: int = 1024,
     dictionary: DataFrame | None = None,
+    n_terms: int | None = None,
+    dict_broadcast_max: int = DICT_BROADCAST_MAX,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """fwd -> (segments, dictionary, sub): local SPIMI inversion,
     blob-grained salted term merge. If ``dictionary`` is given (incremental
     generations), term_ids come from it; otherwise the dictionary is derived
     from the sub-segment stats (df = sum of local n_docs) and returned.
+
+    ``norms_path`` is a parquet table carrying (doc_id, dl) for every doc in
+    ``fwd`` (normally the index's fwd table itself) — the merge reads it
+    executor-side for block_min_dl metadata (operators/state.load_norms).
+
+    The sub⋈dictionary join broadcasts only below ``dict_broadcast_max``
+    rows (pass ``n_terms`` if the caller already counted); above it the join
+    is a plain shuffle equi-join — at 10^12-doc scale the dictionary is
+    ~10^8 terms and broadcasting it would OOM the cluster.
 
     Salting: a FIXED docID grid of grid_salts = ceil(id_span /
     salt_group_cap) cells (<= max_salts); the invert pass CLIPS every
@@ -408,15 +423,21 @@ def build_segments_spimi(
             df_stats, [F.desc("df"), F.asc("term")], "term_id"
         ).select("term_id", "term", F.col("df").cast("bigint").alias("df"))
         dictionary = dictionary.persist()
-        dictionary.count()
-    with_ids = sub.join(F.broadcast(dictionary.select("term", "term_id")), "term")
+        n_terms = dictionary.count()
+    elif n_terms is None:
+        n_terms = dictionary.count()
+    dict_ids = dictionary.select("term", "term_id")
+    if n_terms <= dict_broadcast_max:
+        dict_ids = F.broadcast(dict_ids)
+    with_ids = sub.join(dict_ids, "term")
     grouped = with_ids.groupBy("term_id", "salt").agg(
         F.collect_list(
-            F.struct("docs_blob", "tfs_blob", "dls_blob")
+            F.struct("docs_blob", "tfs_blob")
         ).alias("subs")
     )
     segments = grouped.mapInArrow(
-        _merge_subsegments_arrow(generation), SEGMENT_SCHEMA
+        _merge_subsegments_arrow(generation, norms_path, norms_version),
+        SEGMENT_SCHEMA,
     )
     return segments, dictionary, sub
 
@@ -513,8 +534,9 @@ def build_index(
         # reduce partitions so no single reducer owns a whole head term —
         # this is both the skew fix and the merge-group memory bound
         cap = salt_group_cap or max(50_000, id_span // (2 * nparts))
+        norms_ver = int((cat.read_manifest(schema_version) or {}).get("commit_seq", 0))
         segments, dictionary, sub = build_segments_spimi(
-            spark, fwd, id_span, cap, generation=0
+            spark, fwd, id_span, cap, fwd_path, norms_ver, generation=0
         )
         dictionary.write.mode("overwrite").parquet(dict_path)
         # sort within the merge's hash partitions by term_id: each output
@@ -536,7 +558,7 @@ def build_index(
             F.count("*").alias("rows"),
             F.sum("n_docs").alias("postings"),
             F.sum(
-                F.length("docs_blob") + F.length("tfs_blob") + F.length("dls_blob")
+                F.length("docs_blob") + F.length("tfs_blob")
             ).alias("bytes"),
         ).collect()[0]
         cat.mark_phase(

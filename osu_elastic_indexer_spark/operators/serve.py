@@ -15,7 +15,6 @@ query touches only the row groups covering its terms.
 
 from __future__ import annotations
 
-import json
 import math
 import os
 
@@ -28,8 +27,8 @@ from ..functions.textprep import tokenize
 from .wand import TAAT_MAX_POSTINGS, bmw_topk, taat_topk
 
 _SEG_COLS = [
-    "term_id", "doc_min", "n_docs", "docs_blob", "tfs_blob", "dls_blob",
-    "doc_offs", "tf_offs", "dl_offs", "block_first", "block_last",
+    "term_id", "doc_min", "n_docs", "docs_blob", "tfs_blob",
+    "doc_offs", "tf_offs", "block_first", "block_last",
     "block_max_tf", "block_min_dl",
 ]
 
@@ -38,7 +37,20 @@ class LocalSearcher:
     """Loads small index state once; serves top-k queries in milliseconds."""
 
     def __init__(self, index_dir: str):
+        import json
+
+        from ..sources.catalog import FORMAT_VERSION
+
         self.index_dir = index_dir
+        mpath = os.path.join(index_dir, "manifest.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                fmt = json.load(f).get("format")
+            if fmt != FORMAT_VERSION:
+                raise RuntimeError(
+                    f"index at {index_dir} has on-disk format {fmt}, searcher "
+                    f"expects {FORMAT_VERSION} — rebuild the index"
+                )
         st = pq.read_table(os.path.join(index_dir, "stats")).to_pylist()[0]
         self.n_docs = int(st["n_docs"])
         self.avgdl = float(st["avgdl"])
@@ -55,14 +67,17 @@ class LocalSearcher:
                 zip(d.column("term_id").to_pylist(), d.column("df").to_pylist()),
             )
         )
-        tomb_path = os.path.join(index_dir, "tombstones")
-        self.tombstones: frozenset[int] = frozenset()
-        if os.path.isdir(tomb_path) and any(
-            f.endswith(".parquet") for f in os.listdir(tomb_path)
-        ):
-            self.tombstones = frozenset(
-                pq.read_table(tomb_path).column("doc_id").to_pylist()
-            )
+        # norms + tombstones via the shared executor-side loaders (sorted
+        # int64 arrays; the Lucene live-docs/norms analog a searcher keeps
+        # hot) — keyed by the manifest's monotonic commit_seq
+        from .state import load_norms, load_tombstones
+        from .wand import manifest_commit_seq
+
+        seq = manifest_commit_seq(index_dir)
+        self.norms = load_norms(os.path.join(index_dir, "fwd"), seq)
+        self.tombstones = load_tombstones(
+            os.path.join(index_dir, "tombstones"), seq
+        )
         self._segments = ds.dataset(os.path.join(index_dir, "segments"))
 
     def _load_term_rows(self, term_ids: list[int]) -> dict[int, list[dict]]:
@@ -75,10 +90,8 @@ class LocalSearcher:
             enc = {
                 "docs_blob": cols["docs_blob"][i].as_py(),
                 "tfs_blob": cols["tfs_blob"][i].as_py(),
-                "dls_blob": cols["dls_blob"][i].as_py(),
                 "doc_offs": np.asarray(cols["doc_offs"][i].as_py(), np.int64),
                 "tf_offs": np.asarray(cols["tf_offs"][i].as_py(), np.int64),
-                "dl_offs": np.asarray(cols["dl_offs"][i].as_py(), np.int64),
                 "block_first": np.asarray(cols["block_first"][i].as_py(), np.int64),
                 "block_last": np.asarray(cols["block_last"][i].as_py(), np.int64),
                 "block_max_tf": np.asarray(cols["block_max_tf"][i].as_py(), np.int64),
@@ -108,7 +121,9 @@ class LocalSearcher:
         fn = taat_topk if total <= TAAT_MAX_POSTINGS else bmw_topk
         return [
             (doc, score)
-            for score, doc in fn(entries, k, self.avgdl, self.tombstones)
+            for score, doc in fn(
+                entries, k, self.avgdl, self.norms, self.tombstones
+            )
         ]
 
 

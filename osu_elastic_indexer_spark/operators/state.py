@@ -1,0 +1,102 @@
+"""Executor-side per-index state: doc-indexed norms and the tombstone set.
+
+Both are loaded ON THE WORKER that needs them, straight from the index's
+parquet tables with pyarrow — never collected on the driver and never
+captured in a task closure (SURVEY.md §7.4 #5: at 100 TB-with-churn scale a
+driver-side tombstone collect is a job-killer; the reference's analog is
+Lucene live-docs bitmaps + norms, which searchers load per segment).
+
+* norms: dense ``doc_id -> dl`` int64 array (the Lucene norms analog),
+  built from the forward table's (doc_id, dl) columns — a column-pruned
+  read; the terms/tfs list columns never move. docIDs are dense by
+  construction (operators/docmap.py), so direct indexing works.
+* tombstones: sorted int64 array of deleted docIDs; membership via
+  searchsorted (vectorized in TAAT, binary-search in BMW).
+
+Caching: one entry per (kind, path); the cache key carries the index's
+monotonic manifest ``commit_seq`` so a committed change invalidates, while a
+batch of queries/merge-groups on the same worker pays one load. A newer
+version evicts the older one (bounded memory).
+
+Sharding note for 10^12 docs: a single dense norms array is per-SHARD state
+(docID ranges partition across searchers, exactly as segments do); the
+salted docID-grid used by the build/merge keys every group to a bounded
+docID interval, so a range-pruned loader (filter doc_id between cell bounds)
+drops in here without touching callers.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+_CACHE: dict[tuple, tuple[int, object]] = {}
+
+
+def _cached(kind: str, path: str, version: int, loader):
+    key = (kind, path)
+    hit = _CACHE.get(key)
+    if hit is not None and hit[0] == version:
+        return hit[1]
+    val = loader()
+    _CACHE[key] = (version, val)
+    return val
+
+
+def _has_parquet(path: str) -> bool:
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
+
+
+def load_norms(fwd_path: str, version: int) -> np.ndarray:
+    """Dense doc_id -> dl array from the fwd table (column-pruned read)."""
+
+    def load() -> np.ndarray:
+        import pyarrow.dataset as ds
+
+        t = ds.dataset(fwd_path).to_table(columns=["doc_id", "dl"])
+        ids = t.column("doc_id").to_numpy()
+        if ids.size == 0:
+            return np.zeros(1, dtype=np.int64)
+        arr = np.zeros(int(ids.max()) + 1, dtype=np.int64)
+        arr[ids] = t.column("dl").to_numpy()
+        return arr
+
+    return _cached("norms", fwd_path, version, load)
+
+
+def load_tombstones(tomb_path: str, version: int) -> np.ndarray | None:
+    """Sorted deleted-docID array; None when the index has no tombstones."""
+
+    def load() -> np.ndarray | None:
+        import pyarrow.dataset as ds
+
+        if not os.path.isdir(tomb_path) or not _has_parquet(tomb_path):
+            return None
+        ids = ds.dataset(tomb_path).to_table(columns=["doc_id"]).column(
+            "doc_id"
+        ).to_numpy()
+        if ids.size == 0:
+            return None
+        return np.sort(ids.astype(np.int64))
+
+    return _cached("tombstones", tomb_path, version, load)
+
+
+def tomb_contains(tomb: np.ndarray | None, doc: int) -> bool:
+    """Single-doc membership in a sorted tombstone array (binary search)."""
+    if tomb is None or tomb.size == 0:
+        return False
+    i = int(np.searchsorted(tomb, doc))
+    return i < tomb.size and int(tomb[i]) == doc
+
+
+def tomb_mask(tomb: np.ndarray | None, docs: np.ndarray) -> np.ndarray | None:
+    """Vectorized keep-mask (True = live) for an array of candidate docIDs;
+    None when there is nothing to filter."""
+    if tomb is None or tomb.size == 0:
+        return None
+    return ~np.isin(docs, tomb)

@@ -44,18 +44,28 @@ def _tf_norm(tf: float, dl: float, avgdl: float) -> float:
 
 class _TermCursor:
     """Iterator over one term's virtual posting list (segment rows ordered by
-    doc_min), with block-level skipping and lazy per-block decode."""
+    doc_min), with block-level skipping and lazy per-block decode. Document
+    lengths come from the doc-indexed ``norms`` array (state.load_norms) —
+    postings store (doc gaps, tf) only."""
 
     __slots__ = (
-        "term", "idf", "encs", "blk_row", "blk_in_row", "blk_first",
+        "term", "idf", "encs", "norms", "blk_row", "blk_in_row", "blk_first",
         "blk_last", "blk_ub", "n_blocks", "cur_blk", "docs", "tfs", "dls",
         "pos", "cur_doc", "ub",
     )
 
-    def __init__(self, term: str, idf: float, rows: list[dict], avgdl: float):
+    def __init__(
+        self,
+        term: str,
+        idf: float,
+        rows: list[dict],
+        avgdl: float,
+        norms: np.ndarray,
+    ):
         self.term = term
         self.idf = idf
         self.encs = rows
+        self.norms = norms
         blk_row, blk_in_row, firsts, lasts, ubs = [], [], [], [], []
         for ri, enc in enumerate(rows):
             nb = len(enc["block_first"])
@@ -87,9 +97,8 @@ class _TermCursor:
             return
         self.cur_blk = b
         enc = self.encs[self.blk_row[b]]
-        self.docs, self.tfs, self.dls = codec.decode_block(
-            enc, int(self.blk_in_row[b])
-        )
+        self.docs, self.tfs = codec.decode_block(enc, int(self.blk_in_row[b]))
+        self.dls = self.norms[self.docs]
         self.pos = 0
         self.cur_doc = int(self.docs[0])
 
@@ -160,9 +169,14 @@ def taat_topk(
     term_lists: list[tuple[str, float, list[dict]]],
     k: int,
     avgdl: float,
-    tombstones: frozenset[int] | None = None,
+    norms: np.ndarray,
+    tombstones: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Exact exhaustive term-at-a-time top-k, fully numpy-vectorized.
+
+    ``norms``: doc-indexed dl array (state.load_norms). ``tombstones``:
+    sorted deleted-docID array or None — filtered with a vectorized isin
+    mask, never a python per-element loop.
 
     Per-doc sums are accumulated one TERM at a time (sorted term order) into
     a dense candidate array — each posting contributes via exactly one
@@ -175,19 +189,20 @@ def taat_topk(
     candidates. The dispatcher in run_query() picks per query; at 10^12-doc
     scale selective queries route to BMW, where skipping wins.
     """
+    from .state import tomb_mask
+
     per_term: list[tuple[np.ndarray, np.ndarray]] = []
     for t, idf, rows in sorted(term_lists, key=lambda e: e[0]):
-        ds, tfs, dls = [], [], []
+        ds, tfs = [], []
         for enc in rows:  # caller orders rows by doc_min
-            d, tf, dl = codec.decode_postings(enc)
+            d, tf = codec.decode_postings(enc)
             ds.append(d)
             tfs.append(tf)
-            dls.append(dl)
         if not ds:
             continue
         d = np.concatenate(ds)
         tf = np.concatenate(tfs).astype(np.float64)
-        dl = np.concatenate(dls).astype(np.float64)
+        dl = norms[d].astype(np.float64)
         # elementwise twin of _tf_norm's scalar expression tree
         contrib = idf * (tf / (tf + K1 * ((1.0 - B) + (B * dl) / avgdl)))
         per_term.append((d, contrib))
@@ -197,8 +212,8 @@ def taat_topk(
     sums = np.zeros(uniq.size, dtype=np.float64)
     for d, contrib in per_term:  # sorted-term order: one += per term
         sums[np.searchsorted(uniq, d)] += contrib
-    if tombstones:
-        keep = np.array([d not in tombstones for d in uniq], dtype=bool)
+    keep = tomb_mask(tombstones, uniq)
+    if keep is not None:
         uniq, sums = uniq[keep], sums[keep]
     if uniq.size == 0:
         return []
@@ -215,20 +230,25 @@ def bmw_topk(
     term_lists: list[tuple[str, float, list[dict]]],
     k: int,
     avgdl: float,
-    tombstones: frozenset[int] | None = None,
+    norms: np.ndarray,
+    tombstones: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
-    """Exact block-max WAND. term_lists: [(term, idf, segment-row dicts)].
+    """Exact block-max WAND. term_lists: [(term, idf, segment-row dicts)];
+    ``norms``: doc-indexed dl array; ``tombstones``: sorted array or None.
     Returns [(score, doc_id)] tuples ordered by (score desc, doc_id asc) —
     same element order as taat_topk (callers unpack ``for score, doc in``).
     """
+    from .state import tomb_contains
+
     _AVGDL.val = avgdl
     cursors = [
-        _TermCursor(t, idf, rows, avgdl) for t, idf, rows in term_lists if rows
+        _TermCursor(t, idf, rows, avgdl, norms)
+        for t, idf, rows in term_lists
+        if rows
     ]
     cursors = [c for c in cursors if not c.exhausted]
     if not cursors or k <= 0:
         return []
-    tomb = tombstones or frozenset()
 
     heap: list[tuple[float, int]] = []  # kept sorted by (-score, doc)
 
@@ -273,7 +293,7 @@ def bmw_topk(
                 # full evaluation, fold in sorted-term order
                 aligned = [c for c in cursors if c.cur_doc == pivot_doc]
                 aligned.sort(key=lambda c: c.term)
-                if pivot_doc not in tomb:
+                if not tomb_contains(tombstones, pivot_doc):
                     score = 0.0
                     for c in aligned:
                         score += c.contribution()
@@ -313,10 +333,8 @@ def _row_to_enc(row) -> dict:
     return {
         "docs_blob": bytes(row["docs_blob"]),
         "tfs_blob": bytes(row["tfs_blob"]),
-        "dls_blob": bytes(row["dls_blob"]),
         "doc_offs": np.asarray(row["doc_offs"], dtype=np.int64),
         "tf_offs": np.asarray(row["tf_offs"], dtype=np.int64),
-        "dl_offs": np.asarray(row["dl_offs"], dtype=np.int64),
         "block_first": np.asarray(row["block_first"], dtype=np.int64),
         "block_last": np.asarray(row["block_last"], dtype=np.int64),
         "block_max_tf": np.asarray(row["block_max_tf"], dtype=np.int64),
@@ -346,24 +364,16 @@ def manifest_commit_seq(index_dir: str) -> int:
 
 
 def _index_state(spark: SparkSession, index_dir: str):
-    import os
-
+    """Driver-side state is SCALARS ONLY (n_docs, avgdl, commit_seq) — the
+    tombstone set and the norms array are loaded executor-side from the
+    index tables (operators/state.py), never collected to the driver: at
+    100 TB with churn a driver collect proportional to delete volume is
+    exactly what SURVEY §7.4 #5 forbids."""
     key = (index_dir, manifest_commit_seq(index_dir))
     if key in _INDEX_STATE_CACHE:
         return _INDEX_STATE_CACHE[key]
     stats = spark.read.parquet(f"{index_dir}/stats").collect()[0]
-    # tombstones: deleted docIDs excluded at evaluation time (reference
-    # semantics: deletes remove docs from served top-k, SURVEY.md §7.4 #6).
-    # Toy-scale: plain broadcast set; scale path: partitioned bitmap.
-    tomb: frozenset[int] = frozenset()
-    tomb_path = f"{index_dir}/tombstones"
-    if os.path.isdir(tomb_path) and any(
-        f.endswith(".parquet") for f in os.listdir(tomb_path)
-    ):
-        tomb = frozenset(
-            r.doc_id for r in spark.read.parquet(tomb_path).collect()
-        )
-    state = (int(stats.n_docs), float(stats.avgdl), tomb)
+    state = (int(stats.n_docs), float(stats.avgdl), key[1])
     _INDEX_STATE_CACHE.clear()  # keep at most a handful of indexes
     _INDEX_STATE_CACHE[key] = state
     return state
@@ -383,7 +393,7 @@ def wand_topk(
     from ..session import ship_package
 
     ship_package(spark)
-    n_docs, avgdl, tomb = _index_state(spark, index_dir)
+    n_docs, avgdl, commit_seq = _index_state(spark, index_dir)
 
     # per-query sorted unique terms (scoring dedups terms — oracle parity)
     qterms = [(qid, t) for qid, text in queries for t in sorted(set(tokenize(text)))]
@@ -420,10 +430,22 @@ def wand_topk(
     grouped = segs.join(F.broadcast(qmap), "term_id")
 
     kk = int(k)
-    tomb_b = tomb
     avgdl_b = avgdl
+    # executor-side state handles: workers load norms/tombstones themselves
+    # from these paths (cached per worker per commit_seq) — only strings
+    # cross the closure, never data
+    fwd_path = f"{index_dir}/fwd"
+    tomb_path = f"{index_dir}/tombstones"
+    seq = int(commit_seq)
 
     def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        from osu_elastic_indexer_spark.operators.state import (
+            load_norms,
+            load_tombstones,
+        )
+
+        norms = load_norms(fwd_path, seq)
+        tomb = load_tombstones(tomb_path, seq)
         qid = int(pdf["query_id"].iloc[0])
         term_lists: dict[str, tuple[float, list]] = {}
         # column-array access, not iterrows (row-at-a-time pandas is the
@@ -443,9 +465,9 @@ def wand_topk(
         # dispatch: vectorized exhaustive TAAT for small candidate sets,
         # block-max WAND when skipping pays (both exact, same fold order)
         if total_postings <= TAAT_MAX_POSTINGS:
-            top = taat_topk(entries, kk, avgdl_b, tomb_b)
+            top = taat_topk(entries, kk, avgdl_b, norms, tomb)
         else:
-            top = bmw_topk(entries, kk, avgdl_b, tomb_b)
+            top = bmw_topk(entries, kk, avgdl_b, norms, tomb)
         return pd.DataFrame(
             {
                 "query_id": [qid] * len(top),

@@ -38,6 +38,11 @@ TABLES = (
     "docmap", "dictionary", "segments", "stats", "tombstones", "fwd"
 )
 
+# on-disk index format version: bump when the segment/table layout changes
+# so cached indexes from older builds are rebuilt, not misread
+# (3 = doc-indexed norms: postings store docs+tfs only, dl read from fwd)
+FORMAT_VERSION = 3
+
 
 def _atomic_write_json(path: str, obj: Any) -> None:
     tmp = f"{path}.tmp.{os.getpid()}"
@@ -131,6 +136,7 @@ class Catalog:
             m = {
                 "index_name": self.index_name(schema),
                 "schema": schema,
+                "format": FORMAT_VERSION,
                 "status": "building",  # building | open | closed
                 "created_utc": time.time(),
                 "phases": {},  # phase -> {status, counters...}

@@ -217,26 +217,32 @@ def incremental_update(
         tomb_tmp = p["tombstones"] + "_staged"
         new_tombs.write.mode("overwrite").parquet(tomb_tmp)
         spark.read.parquet(tomb_tmp).write.mode("append").parquet(p["tombstones"])
-    # 2) new-generation segments (reads old dictionary via dict2 -> must
+    # 2) stage the new forward rows: the segment merge loads the NEW docs'
+    #    norms (doc_id, dl) executor-side from this path (they are not in
+    #    the fwd table yet), and the fwd append below reuses the staged copy
+    fwd_tmp = p["fwd"] + "_staged"
+    fwd_new.write.mode("overwrite").parquet(fwd_tmp)
+    # 3) new-generation segments (reads old dictionary via dict2 -> must
     #    precede the dictionary swap)
     if int(add_stats.postings) > 0:
         id_span = start_id + n_add
         cap = salt_group_cap or max(50_000, max(n_add, 1) // 8)
         segs, _d, sub = build_segments_spimi(
-            spark, fwd_new, id_span, cap, generation=gen, dictionary=dict2,
+            spark, fwd_new, id_span, cap, fwd_tmp, gen,
+            generation=gen, dictionary=dict2, n_terms=int(n_terms2),
         )
         with arrow_batch_rows(spark, GROUP_BATCH_ROWS):
             segs.write.mode("append").parquet(p["segments"])
         sub.unpersist()
-    # 3) dictionary swap (dict2 reads the old dictionary: stage then copy)
+    # 4) dictionary swap (dict2 reads the old dictionary: stage then copy)
     dict2.write.mode("overwrite").parquet(p["dictionary"] + "_next")
     spark.read.parquet(p["dictionary"] + "_next").write.mode("overwrite").parquet(
         p["dictionary"]
     )
-    # 4) forward-table appends (sources: the input batch only — safe)
+    # 5) forward-table appends (docmap from the input batch; fwd from stage)
     dm_new.write.mode("append").parquet(p["docmap"])
-    fwd_new.write.mode("append").parquet(p["fwd"])
-    # 5) stats (pure literal)
+    spark.read.parquet(fwd_tmp).write.mode("append").parquet(p["fwd"])
+    # 6) stats (pure literal)
     stats2 = spark.createDataFrame(
         [(n_docs2, sum_dl2, float(sum_dl2) / n_docs2 if n_docs2 else 0.0,
           dl_min2, total_postings2)],
@@ -314,8 +320,12 @@ def compact_index(
     docmap = spark.read.parquet(p["docmap"]).join(tombs, "doc_id", "left_anti")
     id_span = int(docmap.agg(F.max("doc_id")).collect()[0][0]) + 1
     cap = salt_group_cap or max(50_000, id_span // 64)
+    # norms from the PRE-compaction fwd table (includes dead docs — harmless,
+    # their entries are simply never indexed by live postings)
+    m0 = cat.read_manifest(schema_version) or {}
     segs, _d, _sub = build_segments_spimi(
-        spark, fwd, id_span, cap, generation=0, dictionary=dictionary
+        spark, fwd, id_span, cap, p["fwd"], int(m0.get("commit_seq", 0)),
+        generation=0, dictionary=dictionary,
     )
     for name, df_ in (
         ("segments", segs),

@@ -59,25 +59,27 @@ def test_postings_roundtrip_and_blocks():
     tfs = rng.integers(1, 50, n).astype(np.int64)
     dls = rng.integers(1, 4000, n).astype(np.int64)
     enc = encode_postings(doc_ids, tfs, dls)
-    d, t, l = decode_postings(enc)
+    d, t = decode_postings(enc)
     assert np.array_equal(d, doc_ids)
     assert np.array_equal(t, tfs)
-    assert np.array_equal(l, dls)
+    assert "dls_blob" not in enc  # dl lives in the doc-indexed norms array
     n_blocks = (n + BLOCK - 1) // BLOCK
     assert len(enc["block_first"]) == n_blocks
     assert enc["block_first"][0] == doc_ids[0]
     assert enc["block_last"][-1] == doc_ids[-1]
-    # block max_tf correct per block
+    # block max_tf / min_dl metadata correct per block (the BMW bound)
     for b in range(n_blocks):
         lo, hi = b * BLOCK, min((b + 1) * BLOCK, n)
         assert enc["block_max_tf"][b] == tfs[lo:hi].max()
+        assert enc["block_min_dl"][b] == dls[lo:hi].min()
 
 
 def test_merge_disjoint_ranges():
     a = encode_postings(np.array([1, 5, 9]), np.array([2, 1, 3]))
     b = encode_postings(np.array([100, 200]), np.array([7, 1]))
-    m = merge_encoded([a, b])
-    d, t, _ = decode_postings(m)
+    norms = np.ones(201, dtype=np.int64)
+    m = merge_encoded([a, b], norms)
+    d, t = decode_postings(m)
     assert list(d) == [1, 5, 9, 100, 200]
     assert list(t) == [2, 1, 3, 7, 1]
     assert m["n_docs"] == 5
@@ -92,7 +94,7 @@ def test_decode_single_block_matches_full():
     tfs = rng.integers(1, 9, n).astype(np.int64)
     enc = encode_postings(doc_ids, tfs)
     for b in range(len(enc["block_first"])):
-        d, t, _ = decode_block(enc, b)
+        d, t = decode_block(enc, b)
         lo, hi = b * BLOCK, min((b + 1) * BLOCK, n)
         assert np.array_equal(d, doc_ids[lo:hi])
         assert np.array_equal(t, tfs[lo:hi])

@@ -32,10 +32,18 @@ def test_build_dictionary_df_desc_dense_ids(spark):
 def test_encode_terms_broadcast_vs_shuffle_identical(spark):
     tf = _postings(spark)
     dictionary = build_dictionary(tf)
-    bc = encode_terms(tf, dictionary)  # tiny dict -> broadcast
-    sh = encode_terms(tf, dictionary, broadcast_threshold=0)  # force shuffle
-    bc_plan = bc._jdf.queryExecution().executedPlan().toString()
-    sh_plan = sh._jdf.queryExecution().executedPlan().toString()
+    bc = encode_terms(tf, dictionary)  # tiny dict -> broadcast hint
+    sh = encode_terms(tf, dictionary, broadcast_threshold=0)  # no hint
+    # disable auto-broadcast so the plan reflects OUR hint only (emulates an
+    # over-the-size-limit dictionary, where forcing broadcast would OOM)
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        bc_plan = bc._jdf.queryExecution().executedPlan().toString()
+        sh_plan = sh._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(key, old)
     assert "BroadcastHashJoin" in bc_plan
     assert "BroadcastHashJoin" not in sh_plan
     assert sorted(map(tuple, bc.collect())) == sorted(map(tuple, sh.collect()))

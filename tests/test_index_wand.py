@@ -168,13 +168,15 @@ def test_bmw_pure_random_vs_oracle():
         n_terms = int(rng.integers(1, 5))
         n_docs = int(rng.integers(5, 400))
         avgdl = 50.0
+        # dl is a DOC property (one norms entry per doc), as in the engine
+        norms = rng.integers(20, 100, n_docs).astype("int64")
         terms = []
         all_scores = {}
         for t in range(n_terms):
             size = int(rng.integers(1, n_docs + 1))
             ids = np.sort(rng.choice(n_docs, size=size, replace=False)).astype("int64")
             tfs = rng.integers(1, 6, size).astype("int64")
-            dls = rng.integers(20, 100, size).astype("int64")
+            dls = norms[ids]
             df = size
             idf = oracle.idf(n_docs, df)
             name = f"t{t:02d}"
@@ -191,10 +193,10 @@ def test_bmw_pure_random_vs_oracle():
             brute.append((s, d))
         brute.sort(key=lambda sd: (-sd[0], sd[1]))
         k = int(rng.integers(1, 15))
-        got = bmw_topk(terms, k, avgdl)
+        got = bmw_topk(terms, k, avgdl, norms)
         assert got == brute[:k], f"trial {trial}: {got} != {brute[:k]}"
         # the vectorized TAAT path must be bit-identical to BMW
         from osu_elastic_indexer_spark.operators.wand import taat_topk
 
-        got2 = taat_topk(terms, k, avgdl)
+        got2 = taat_topk(terms, k, avgdl, norms)
         assert got2 == brute[:k], f"trial {trial} taat: {got2} != {brute[:k]}"

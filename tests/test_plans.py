@@ -52,6 +52,42 @@ def test_column_pruning_docmap_scan(spark, corpus_path):
     assert "html" not in plan.split("ReadSchema")[-1]
 
 
+def test_spimi_dict_join_flips_over_threshold(spark, tmp_path):
+    """build_segments_spimi must FORCE-broadcast the dictionary only under
+    the threshold; above it (10^8 terms at corpus scale) no broadcast hint is
+    attached and the join falls back to Catalyst's size-based choice — with
+    auto-broadcast disabled (emulating an over-the-size-limit dictionary)
+    that is a shuffle join. Forcing the broadcast unconditionally was the
+    scale-killer this guards against."""
+    from osu_elastic_indexer_spark.operators.build import build_segments_spimi
+
+    fwd = spark.createDataFrame(
+        [(0, 3, ["aa", "bb"], [1, 2]), (1, 2, ["bb", "cc"], [1, 1])],
+        "doc_id bigint, dl bigint, terms array<string>, tfs array<bigint>",
+    )
+    norms_path = str(tmp_path / "fwd_norms")
+    fwd.write.parquet(norms_path)
+    fwdr = spark.read.parquet(norms_path)
+
+    def join_plan(dict_broadcast_max):
+        segs, _d, sub = build_segments_spimi(
+            spark, fwdr, 2, 10, norms_path, 0,
+            dict_broadcast_max=dict_broadcast_max,
+        )
+        plan = segs._jdf.queryExecution().executedPlan().toString()
+        sub.unpersist()
+        return plan
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        assert "BroadcastHashJoin" in join_plan(5_000_000)  # hint forces it
+        assert "BroadcastHashJoin" not in join_plan(0)      # no forced hint
+    finally:
+        spark.conf.set(key, old)
+
+
 def test_segments_scan_prunes_by_term_id(spark, tmp_path):
     """Query-time term_id IN (...) must reach the segments scan as a pushed
     filter (the Lucene term-seek analog)."""
