@@ -491,15 +491,18 @@ def build_index(
         part, offsets_bc = input_order_offsets(
             adds.select("url", "warc_ts", "html")
         )
+        # generation-0 subdirs: incremental generations append as sibling
+        # gen=N dirs and COMMIT via the manifest pointer (atomicity — see
+        # sources/catalog.committed_gen_paths)
         fwd = part.select("html", "__pid").mapInArrow(
             _fused_forward_pass(offsets_bc), FWD_SCHEMA
         )
-        fwd.write.mode("overwrite").parquet(fwd_path)
+        fwd.write.mode("overwrite").parquet(f"{fwd_path}/gen=0")
         fwd = spark.read.parquet(fwd_path)
         part.select("url", "warc_ts", "__pid").mapInPandas(
             _ids_only_pass(offsets_bc),
             "url string, warc_ts timestamp, doc_id bigint",
-        ).write.mode("overwrite").parquet(docmap_path)
+        ).write.mode("overwrite").parquet(f"{docmap_path}/gen=0")
         dm = spark.read.parquet(docmap_path)
         agg = dm.agg(
             F.count("*").alias("docs"), F.max("warc_ts").alias("cursor")
@@ -549,7 +552,7 @@ def build_index(
             (
                 segments.sortWithinPartitions("term_id", "salt")
                 .write.mode("overwrite")
-                .parquet(seg_path)
+                .parquet(f"{seg_path}/gen=0")
             )
         dictionary.unpersist()
         sub.unpersist()

@@ -37,28 +37,28 @@ class LocalSearcher:
     """Loads small index state once; serves top-k queries in milliseconds."""
 
     def __init__(self, index_dir: str):
-        import json
-
-        from ..sources.catalog import FORMAT_VERSION
+        from ..sources.catalog import (
+            FORMAT_VERSION,
+            committed_gen_paths,
+            read_index_manifest,
+            resolve_table_dir,
+        )
 
         self.index_dir = index_dir
-        mpath = os.path.join(index_dir, "manifest.json")
-        if os.path.exists(mpath):
-            with open(mpath) as f:
-                fmt = json.load(f).get("format")
-            if fmt != FORMAT_VERSION:
-                raise RuntimeError(
-                    f"index at {index_dir} has on-disk format {fmt}, searcher "
-                    f"expects {FORMAT_VERSION} — rebuild the index"
-                )
-        st = pq.read_table(os.path.join(index_dir, "stats")).to_pylist()[0]
+        m = read_index_manifest(index_dir)
+        if m is not None and m.get("format") != FORMAT_VERSION:
+            raise RuntimeError(
+                f"index at {index_dir} has on-disk format {m.get('format')}, "
+                f"searcher expects {FORMAT_VERSION} — rebuild the index"
+            )
+        st = pq.read_table(resolve_table_dir(index_dir, "stats")).to_pylist()[0]
         self.n_docs = int(st["n_docs"])
         self.avgdl = float(st["avgdl"])
         # dictionary: term -> (term_id, df); tiny at toy scale. At 10^8
         # terms a searcher would mmap an FST / sorted term file instead —
         # same contract (term -> id, df).
         d = pq.read_table(
-            os.path.join(index_dir, "dictionary"),
+            resolve_table_dir(index_dir, "dictionary"),
             columns=["term", "term_id", "df"],
         )
         self._dict = dict(
@@ -69,16 +69,19 @@ class LocalSearcher:
         )
         # norms + tombstones via the shared executor-side loaders (sorted
         # int64 arrays; the Lucene live-docs/norms analog a searcher keeps
-        # hot) — keyed by the manifest's monotonic commit_seq
-        from .state import load_norms, load_tombstones
+        # hot) — committed snapshot paths, keyed by the manifest's monotonic
+        # commit_seq
+        from .state import _parquet_files, load_norms, load_tombstones
         from .wand import manifest_commit_seq
 
         seq = manifest_commit_seq(index_dir)
-        self.norms = load_norms(os.path.join(index_dir, "fwd"), seq)
+        self.norms = load_norms(tuple(committed_gen_paths(index_dir, "fwd")), seq)
         self.tombstones = load_tombstones(
-            os.path.join(index_dir, "tombstones"), seq
+            tuple(committed_gen_paths(index_dir, "tombstones")), seq
         )
-        self._segments = ds.dataset(os.path.join(index_dir, "segments"))
+        self._segments = ds.dataset(
+            _parquet_files(tuple(committed_gen_paths(index_dir, "segments")))
+        )
 
     def _load_term_rows(self, term_ids: list[int]) -> dict[int, list[dict]]:
         tbl = self._segments.to_table(

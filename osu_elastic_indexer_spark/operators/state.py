@@ -34,8 +34,12 @@ import numpy as np
 _CACHE: dict[tuple, tuple[int, object]] = {}
 
 
-def _cached(kind: str, path: str, version: int, loader):
-    key = (kind, path)
+def _as_tuple(paths) -> tuple[str, ...]:
+    return (paths,) if isinstance(paths, str) else tuple(paths)
+
+
+def _cached(kind: str, paths: tuple[str, ...], version: int, loader):
+    key = (kind, paths)
     hit = _CACHE.get(key)
     if hit is not None and hit[0] == version:
         return hit[1]
@@ -44,20 +48,31 @@ def _cached(kind: str, path: str, version: int, loader):
     return val
 
 
-def _has_parquet(path: str) -> bool:
-    for _root, _dirs, files in os.walk(path):
-        if any(f.endswith(".parquet") for f in files):
-            return True
-    return False
+def _parquet_files(paths: tuple[str, ...]) -> list[str]:
+    out: list[str] = []
+    for p in paths:
+        if not os.path.isdir(p):
+            continue
+        for root, _dirs, files in os.walk(p):
+            out.extend(
+                os.path.join(root, f) for f in files if f.endswith(".parquet")
+            )
+    return sorted(out)
 
 
-def load_norms(fwd_path: str, version: int) -> np.ndarray:
-    """Dense doc_id -> dl array from the fwd table (column-pruned read)."""
+def load_norms(paths, version: int) -> np.ndarray:
+    """Dense doc_id -> dl array from fwd-table dirs (column-pruned read).
+    ``paths``: a directory or the committed generation dirs of the fwd
+    table (sources/catalog.committed_gen_paths)."""
+    paths = _as_tuple(paths)
 
     def load() -> np.ndarray:
         import pyarrow.dataset as ds
 
-        t = ds.dataset(fwd_path).to_table(columns=["doc_id", "dl"])
+        files = _parquet_files(paths)
+        if not files:
+            return np.zeros(1, dtype=np.int64)
+        t = ds.dataset(files).to_table(columns=["doc_id", "dl"])
         ids = t.column("doc_id").to_numpy()
         if ids.size == 0:
             return np.zeros(1, dtype=np.int64)
@@ -65,25 +80,27 @@ def load_norms(fwd_path: str, version: int) -> np.ndarray:
         arr[ids] = t.column("dl").to_numpy()
         return arr
 
-    return _cached("norms", fwd_path, version, load)
+    return _cached("norms", paths, version, load)
 
 
-def load_tombstones(tomb_path: str, version: int) -> np.ndarray | None:
+def load_tombstones(paths, version: int) -> np.ndarray | None:
     """Sorted deleted-docID array; None when the index has no tombstones."""
+    paths = _as_tuple(paths)
 
     def load() -> np.ndarray | None:
         import pyarrow.dataset as ds
 
-        if not os.path.isdir(tomb_path) or not _has_parquet(tomb_path):
+        files = _parquet_files(paths)
+        if not files:
             return None
-        ids = ds.dataset(tomb_path).to_table(columns=["doc_id"]).column(
+        ids = ds.dataset(files).to_table(columns=["doc_id"]).column(
             "doc_id"
         ).to_numpy()
         if ids.size == 0:
             return None
         return np.sort(ids.astype(np.int64))
 
-    return _cached("tombstones", tomb_path, version, load)
+    return _cached("tombstones", paths, version, load)
 
 
 def tomb_contains(tomb: np.ndarray | None, doc: int) -> bool:

@@ -369,10 +369,12 @@ def _index_state(spark: SparkSession, index_dir: str):
     index tables (operators/state.py), never collected to the driver: at
     100 TB with churn a driver collect proportional to delete volume is
     exactly what SURVEY §7.4 #5 forbids."""
+    from ..sources.catalog import resolve_table_dir
+
     key = (index_dir, manifest_commit_seq(index_dir))
     if key in _INDEX_STATE_CACHE:
         return _INDEX_STATE_CACHE[key]
-    stats = spark.read.parquet(f"{index_dir}/stats").collect()[0]
+    stats = spark.read.parquet(resolve_table_dir(index_dir, "stats")).collect()[0]
     state = (int(stats.n_docs), float(stats.avgdl), key[1])
     _INDEX_STATE_CACHE.clear()  # keep at most a handful of indexes
     _INDEX_STATE_CACHE[key] = state
@@ -391,6 +393,7 @@ def wand_topk(
     absent produce no rows (empty result — matches the oracle).
     """
     from ..session import ship_package
+    from ..sources.catalog import committed_gen_paths, resolve_table_dir
 
     ship_package(spark)
     n_docs, avgdl, commit_seq = _index_state(spark, index_dir)
@@ -401,7 +404,7 @@ def wand_topk(
         return spark.createDataFrame([], RESULT_SCHEMA)
     all_terms = sorted({t for _, t in qterms})
 
-    dictionary = spark.read.parquet(f"{index_dir}/dictionary")
+    dictionary = spark.read.parquet(resolve_table_dir(index_dir, "dictionary"))
     dict_rows = dictionary.filter(F.col("term").isin(all_terms)).collect()
     term_info = {r.term: (int(r.term_id), int(r.df)) for r in dict_rows}
     tids = [ti[0] for ti in term_info.values()]
@@ -424,18 +427,19 @@ def wand_topk(
         qmap_rows, "query_id bigint, term string, term_id bigint, idf double"
     )
 
-    segs = spark.read.parquet(f"{index_dir}/segments").filter(
-        F.col("term_id").isin(tids)
-    )
+    seg_paths = committed_gen_paths(index_dir, "segments")
+    if not seg_paths:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    segs = spark.read.parquet(*seg_paths).filter(F.col("term_id").isin(tids))
     grouped = segs.join(F.broadcast(qmap), "term_id")
 
     kk = int(k)
     avgdl_b = avgdl
     # executor-side state handles: workers load norms/tombstones themselves
-    # from these paths (cached per worker per commit_seq) — only strings
-    # cross the closure, never data
-    fwd_path = f"{index_dir}/fwd"
-    tomb_path = f"{index_dir}/tombstones"
+    # from these committed snapshot paths (cached per worker per commit_seq)
+    # — only strings cross the closure, never data
+    fwd_path = tuple(committed_gen_paths(index_dir, "fwd"))
+    tomb_path = tuple(committed_gen_paths(index_dir, "tombstones"))
     seq = int(commit_seq)
 
     def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -485,8 +489,12 @@ def wand_topk_with_urls(
 ) -> DataFrame:
     """Results joined back to the docmap for urls (the reference returns the
     document key; _source stays in the input table — scores.json:3-5)."""
+    from ..sources.catalog import committed_gen_paths
+
     res = wand_topk(spark, index_dir, queries, k)
-    docmap = spark.read.parquet(f"{index_dir}/docmap").select("doc_id", "url")
+    docmap = spark.read.parquet(
+        *committed_gen_paths(index_dir, "docmap")
+    ).select("doc_id", "url")
     return res.join(docmap, "doc_id").select(
         "query_id", "rank", "doc_id", "url", "score"
     )

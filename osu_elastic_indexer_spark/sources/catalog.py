@@ -44,6 +44,90 @@ TABLES = (
 FORMAT_VERSION = 3
 
 
+def read_index_manifest(index_dir: str) -> dict | None:
+    """Manifest by index directory (for readers holding only the path)."""
+    return _read_json(os.path.join(index_dir, "manifest.json"), None)
+
+
+def resolve_table_dir(index_dir: str, table: str) -> str:
+    """Current physical directory of a logical table: the manifest's
+    ``tables`` map names rewritten (versioned) tables; unmapped tables live
+    under their plain name. Readers resolve through this so a half-written
+    replacement (dictionary_v3 while the manifest still points at _v2) is
+    invisible until the atomic manifest swap commits it."""
+    m = read_index_manifest(index_dir) or {}
+    name = (m.get("tables") or {}).get(table, table)
+    return os.path.join(index_dir, name)
+
+
+def committed_gen_paths(index_dir: str, table: str) -> list[str]:
+    """The COMMITTED generation directories of an append table (gen=K for
+    K < manifest.generations). Data written by an in-flight or crashed
+    generation (gen >= generations) is excluded — this is what makes the
+    multi-table incremental commit atomic: every reader pins its snapshot
+    to the manifest, and the manifest moves in one os.replace.
+
+    Falls back to [dir] for a legacy flat layout (files, no gen= subdirs)."""
+    root = resolve_table_dir(index_dir, table)
+    if not os.path.isdir(root):
+        return []
+    m = read_index_manifest(index_dir) or {}
+    gens = int(m.get("generations", 0))
+    out = []
+    has_gen_dirs = False
+    for name in sorted(os.listdir(root)):
+        if name.startswith("gen="):
+            has_gen_dirs = True
+            try:
+                k = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if k < max(gens, 1):  # during a build, gen=0 is the job's own
+                out.append(os.path.join(root, name))
+    if not has_gen_dirs:
+        return [root] if any(
+            f.endswith(".parquet") for f in os.listdir(root)
+        ) else []
+    return out
+
+
+def clean_orphan_generations(index_dir: str) -> list[str]:
+    """Remove data left by a CRASHED generation: gen=K dirs with
+    K >= manifest.generations, and versioned table dirs newer than the
+    manifest's pointers. Called by writers on entry, so a foreachBatch
+    replay (T7 at-least-once) re-applies onto a clean committed state
+    instead of double-appending segments / losing delete deltas."""
+    m = read_index_manifest(index_dir)
+    if m is None:
+        return []
+    gens = int(m.get("generations", 0))
+    tables_map = m.get("tables") or {}
+    ver = int(m.get("table_ver", 0))
+    removed = []
+    for name in list(os.listdir(index_dir)):
+        p = os.path.join(index_dir, name)
+        if not os.path.isdir(p):
+            continue
+        base, _, suffix = name.rpartition("_v")
+        if base in TABLES and suffix.isdigit():
+            # versioned dir not (or no longer / not yet) pointed at
+            if tables_map.get(base) != name and int(suffix) >= ver:
+                shutil.rmtree(p)
+                removed.append(p)
+            continue
+        if name in TABLES or name in tables_map.values():
+            for sub in list(os.listdir(p)):
+                if sub.startswith("gen="):
+                    try:
+                        k = int(sub.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if k >= max(gens, 1):
+                        shutil.rmtree(os.path.join(p, sub))
+                        removed.append(os.path.join(p, sub))
+    return removed
+
+
 def _atomic_write_json(path: str, obj: Any) -> None:
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
@@ -75,8 +159,10 @@ class Catalog:
         return os.path.join(self.root, self.index_name(schema))
 
     def table_path(self, schema: str, table: str) -> str:
+        """CURRENT physical dir of a logical table (follows the manifest's
+        version pointers — see resolve_table_dir)."""
         assert table in TABLES, table
-        return os.path.join(self.index_dir(schema), table)
+        return resolve_table_dir(self.index_dir(schema), table)
 
     # -- catalog document ---------------------------------------------------
     @property

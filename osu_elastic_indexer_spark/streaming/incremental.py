@@ -17,7 +17,22 @@ Reference semantics being reproduced (SURVEY.md §2.8):
        urls missing from the source -> delete (IndexQueueProcessor.cs:41-60,
        ElasticModel.cs:63-65)
 
-Design decisions for exactness at scale:
+Atomic commit protocol (generation pointers, the Iceberg-snapshot shape):
+  * append tables (segments, docmap, fwd, tombstones) grow by whole
+    gen=N subdirectories; versioned tables (dictionary, stats) are written
+    to fresh {table}_v{K} dirs. NOTHING is visible until the single
+    manifest os.replace flips generations/table pointers at the end.
+  * every reader — this module, wand.py, serve.py — resolves its snapshot
+    through the manifest (catalog.committed_gen_paths / resolve_table_dir),
+    so a crash mid-generation leaves only invisible orphan dirs, which
+    clean_orphan_generations removes on the next writer entry. A
+    foreachBatch replay therefore re-applies onto the last committed state:
+    no double-appended docID ranges, no lost delete deltas.
+  * snapshot reads also remove the old self-append hazard: writes land in
+    dirs no open plan has listed, so no staging dance and no dependence on
+    Spark's cache-invalidation-on-write behavior.
+
+Exactness at scale (unchanged by the protocol):
   * updates never rewrite old segments: the old docID is tombstoned and the
     new revision gets a fresh docID > all existing — docID ranges stay
     disjoint per generation, so a term's segment rows still concatenate into
@@ -25,21 +40,17 @@ Design decisions for exactness at scale:
   * collection statistics (N, sum_dl, per-term df) are maintained EXACTLY by
     deltas: additions contribute their own forward rows; deletions
     contribute the forward rows of the tombstoned docIDs — a PRUNED scan of
-    the doc_id-clustered fwd table. This is what keeps incremental results
-    rank-identical to a from-scratch rebuild — Lucene by contrast lets df
-    drift until merge; our oracle defines truth over live docs, so drift
-    would fail the golden tests.
+    the doc_id-clustered fwd table. This keeps incremental results
+    rank-identical to a from-scratch rebuild (Lucene lets df drift until
+    merge; our oracle defines truth over live docs).
   * compaction (``compact_index``) rewrites segments from live forward rows
     only, clearing tombstones — the segment-merge analog.
-
-Write-ordering discipline: collect every scalar BEFORE the first table
-write, then write in dependency order (Spark refreshes — i.e. invalidates —
-all cached plans reading a path the moment that path is written; an
-aggregate evaluated after an append would silently re-read appended files).
-Self-appends (tombstones) are staged through a temp dir.
 """
 
 from __future__ import annotations
+
+import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,13 +66,26 @@ from ..operators.build import (
 )
 from ..operators.docmap import assign_dense_ids, input_order_offsets
 from ..operators.routing import with_should_index
-from ..sources.catalog import Catalog
+from ..sources.catalog import (
+    Catalog,
+    clean_orphan_generations,
+    committed_gen_paths,
+    resolve_table_dir,
+)
+
+DOCMAP_SCHEMA = "url string, warc_ts timestamp, doc_id bigint"
+TOMB_SCHEMA = "doc_id bigint"
 
 
-def _paths(cat: Catalog, schema: str) -> dict[str, str]:
-    return {t: cat.table_path(schema, t) for t in (
-        "docmap", "dictionary", "segments", "stats", "tombstones", "fwd"
-    )}
+def _read_committed(
+    spark: SparkSession, index_dir: str, table: str, schema: str
+) -> DataFrame:
+    """A stable snapshot of an append table: the committed gen dirs only.
+    Writes of the in-flight generation can never leak into these plans."""
+    paths = committed_gen_paths(index_dir, table)
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*paths)
 
 
 def incremental_update(
@@ -88,8 +112,11 @@ def incremental_update(
     cat.assert_writable(schema_version)
     m = cat.read_manifest(schema_version)
     assert m is not None and m["phases"].get("commit"), "no base index to update"
-    p = _paths(cat, schema_version)
+    idx = cat.index_dir(schema_version)
+    # T7 replay safety: remove anything a crashed generation left behind
+    clean_orphan_generations(idx)
     gen = int(m["generations"])
+    ver = int(m.get("table_ver", 0)) + 1
 
     # ---- select the batch (T8 cursor or explicit queue) -------------------
     if queue_urls is not None:
@@ -107,12 +134,8 @@ def incremental_update(
 
     adds = batch.filter(F.col("should_index")).select("url", "warc_ts", "html")
 
-    docmap = spark.read.parquet(p["docmap"])
-    old_tombs = (
-        spark.read.parquet(p["tombstones"])
-        if _exists(p["tombstones"])
-        else spark.createDataFrame([], "doc_id bigint")
-    )
+    docmap = _read_committed(spark, idx, "docmap", DOCMAP_SCHEMA)
+    old_tombs = _read_committed(spark, idx, "tombstones", TOMB_SCHEMA)
     live = docmap.join(old_tombs, "doc_id", "left_anti")
 
     # every changed url that is currently live gets its old docID tombstoned
@@ -132,8 +155,7 @@ def incremental_update(
         _fused_forward_pass(offsets_bc), FWD_SCHEMA
     ).persist()
     dm_new = part.select("url", "warc_ts", "__pid").mapInPandas(
-        _ids_only_pass(offsets_bc),
-        "url string, warc_ts timestamp, doc_id bigint",
+        _ids_only_pass(offsets_bc), DOCMAP_SCHEMA
     ).persist()
     n_add = dm_new.count()
 
@@ -152,8 +174,8 @@ def incremental_update(
         return cat.read_manifest(schema_version)
 
     # ---- stats deltas (exact; see module doc) ------------------------------
-    fwd_old = spark.read.parquet(p["fwd"])
-    st = spark.read.parquet(p["stats"]).collect()[0]
+    fwd_old = _read_committed(spark, idx, "fwd", FWD_SCHEMA)
+    st = spark.read.parquet(resolve_table_dir(idx, "stats")).collect()[0]
 
     add_stats = fwd_new.agg(
         F.count("*").alias("n"),
@@ -178,7 +200,7 @@ def incremental_update(
     )
 
     # ---- dictionary deltas --------------------------------------------------
-    dictionary = spark.read.parquet(p["dictionary"])
+    dictionary = spark.read.parquet(resolve_table_dir(idx, "dictionary"))
     add_df = exploded_postings(fwd_new).groupBy("term").agg(
         F.count("*").alias("adds")
     )
@@ -210,53 +232,44 @@ def incremental_update(
     n_terms2 = dict2.count()
     new_cursor = batch.agg(F.max("warc_ts")).collect()[0][0]
 
-    # ---- writes, ordered so nothing reads an already-modified path ---------
-    # 1) tombstones: new_tombs reads docmap AND old tombstones -> stage to a
-    #    temp dir first, then append the staged copy (self-append is unsafe)
+    # ---- stage the generation (ALL writes land in uncommitted dirs) --------
+    def gen_dir(table: str) -> str:
+        return f"{resolve_table_dir(idx, table)}/gen={gen}"
+
     if n_del:
-        tomb_tmp = p["tombstones"] + "_staged"
-        new_tombs.write.mode("overwrite").parquet(tomb_tmp)
-        spark.read.parquet(tomb_tmp).write.mode("append").parquet(p["tombstones"])
-    # 2) stage the new forward rows: the segment merge loads the NEW docs'
-    #    norms (doc_id, dl) executor-side from this path (they are not in
-    #    the fwd table yet), and the fwd append below reuses the staged copy
-    fwd_tmp = p["fwd"] + "_staged"
-    fwd_new.write.mode("overwrite").parquet(fwd_tmp)
-    # 3) new-generation segments (reads old dictionary via dict2 -> must
-    #    precede the dictionary swap)
-    if int(add_stats.postings) > 0:
-        id_span = start_id + n_add
-        cap = salt_group_cap or max(50_000, max(n_add, 1) // 8)
-        segs, _d, sub = build_segments_spimi(
-            spark, fwd_new, id_span, cap, fwd_tmp, gen,
-            generation=gen, dictionary=dict2, n_terms=int(n_terms2),
-        )
-        with arrow_batch_rows(spark, GROUP_BATCH_ROWS):
-            segs.write.mode("append").parquet(p["segments"])
-        sub.unpersist()
-    # 4) dictionary swap (dict2 reads the old dictionary: stage then copy)
-    dict2.write.mode("overwrite").parquet(p["dictionary"] + "_next")
-    spark.read.parquet(p["dictionary"] + "_next").write.mode("overwrite").parquet(
-        p["dictionary"]
-    )
-    # 5) forward-table appends (docmap from the input batch; fwd from stage)
-    dm_new.write.mode("append").parquet(p["docmap"])
-    spark.read.parquet(fwd_tmp).write.mode("append").parquet(p["fwd"])
-    # 6) stats (pure literal)
-    stats2 = spark.createDataFrame(
+        new_tombs.write.mode("overwrite").parquet(gen_dir("tombstones"))
+    if n_add:
+        # fwd first: the segment merge loads the NEW docs' norms (doc_id,
+        # dl) executor-side from this generation dir
+        fwd_gen = gen_dir("fwd")
+        fwd_new.write.mode("overwrite").parquet(fwd_gen)
+        dm_new.write.mode("overwrite").parquet(gen_dir("docmap"))
+        if int(add_stats.postings) > 0:
+            id_span = start_id + n_add
+            cap = salt_group_cap or max(50_000, max(n_add, 1) // 8)
+            segs, _d, sub = build_segments_spimi(
+                spark, fwd_new, id_span, cap, fwd_gen, gen,
+                generation=gen, dictionary=dict2, n_terms=int(n_terms2),
+            )
+            with arrow_batch_rows(spark, GROUP_BATCH_ROWS):
+                segs.write.mode("overwrite").parquet(gen_dir("segments"))
+            sub.unpersist()
+    dict_name = f"dictionary_v{ver}"
+    dict2.write.mode("overwrite").parquet(os.path.join(idx, dict_name))
+    stats_name = f"stats_v{ver}"
+    spark.createDataFrame(
         [(n_docs2, sum_dl2, float(sum_dl2) / n_docs2 if n_docs2 else 0.0,
           dl_min2, total_postings2)],
         "n_docs bigint, sum_dl bigint, avgdl double, dl_min bigint, "
         "total_postings bigint",
-    )
-    stats2.write.mode("overwrite").parquet(p["stats"] + "_next")
-    spark.read.parquet(p["stats"] + "_next").write.mode("overwrite").parquet(
-        p["stats"]
-    )
+    ).write.mode("overwrite").parquet(os.path.join(idx, stats_name))
 
-    # ---- manifest commit ----------------------------------------------------
+    # ---- ATOMIC commit: one manifest swap makes the generation visible -----
     m = cat.read_manifest(schema_version)
+    old_tables = dict(m.get("tables") or {})
     m["generations"] = gen + 1
+    m["table_ver"] = ver
+    m["tables"] = {**old_tables, "dictionary": dict_name, "stats": stats_name}
     if new_cursor is not None and (m["cursor"] is None or str(new_cursor) > m["cursor"]):
         m["cursor"] = str(new_cursor)
     m["counters"] = {
@@ -270,6 +283,12 @@ def incremental_update(
         schema_version, f"incremental_gen{gen}", "done",
         adds=int(n_add), deletes=int(n_del), terms=int(n_terms2),
     )
+    # GC superseded versioned dirs (keep one version of history behind the
+    # pointer as a reader grace window; compaction clears the rest)
+    for table, name in old_tables.items():
+        _, _, suffix = name.rpartition("_v")
+        if suffix.isdigit() and int(suffix) <= ver - 2:
+            shutil.rmtree(os.path.join(idx, name), ignore_errors=True)
     for df_ in (batch, new_tombs, fwd_new, dm_new, merged, dict2):
         df_.unpersist()
     return cat.read_manifest(schema_version)
@@ -306,50 +325,62 @@ def compact_index(
 ) -> dict:
     """Segment-merge analog: rewrite segments from live forward rows only,
     clear tombstones, drop dead rows from fwd/docmap. Query results are
-    unchanged (stats were already exact)."""
+    unchanged (stats were already exact). Atomic like the incremental path:
+    everything is written to fresh {table}_v{K} dirs and committed by the
+    single manifest swap; the superseded dirs are deleted afterwards."""
     cat = catalog
     cat.assert_writable(schema_version)
-    p = _paths(cat, schema_version)
-    tombs = (
-        spark.read.parquet(p["tombstones"])
-        if _exists(p["tombstones"])
-        else spark.createDataFrame([], "doc_id bigint")
+    idx = cat.index_dir(schema_version)
+    clean_orphan_generations(idx)
+    m = cat.read_manifest(schema_version)
+    ver = int(m.get("table_ver", 0)) + 1
+
+    tombs = _read_committed(spark, idx, "tombstones", TOMB_SCHEMA)
+    fwd_old_paths = committed_gen_paths(idx, "fwd")
+    fwd = spark.read.parquet(*fwd_old_paths).join(tombs, "doc_id", "left_anti")
+    dictionary = spark.read.parquet(resolve_table_dir(idx, "dictionary")).filter(
+        F.col("df") > 0
     )
-    fwd = spark.read.parquet(p["fwd"]).join(tombs, "doc_id", "left_anti")
-    dictionary = spark.read.parquet(p["dictionary"]).filter(F.col("df") > 0)
-    docmap = spark.read.parquet(p["docmap"]).join(tombs, "doc_id", "left_anti")
+    docmap = _read_committed(spark, idx, "docmap", DOCMAP_SCHEMA).join(
+        tombs, "doc_id", "left_anti"
+    )
     id_span = int(docmap.agg(F.max("doc_id")).collect()[0][0]) + 1
     cap = salt_group_cap or max(50_000, id_span // 64)
-    # norms from the PRE-compaction fwd table (includes dead docs — harmless,
-    # their entries are simply never indexed by live postings)
-    m0 = cat.read_manifest(schema_version) or {}
-    segs, _d, _sub = build_segments_spimi(
-        spark, fwd, id_span, cap, p["fwd"], int(m0.get("commit_seq", 0)),
+    # norms from the PRE-compaction fwd snapshot (includes dead docs —
+    # harmless, their entries are never indexed by live postings)
+    segs, _d, sub = build_segments_spimi(
+        spark, fwd, id_span, cap,
+        tuple(fwd_old_paths), int(m.get("commit_seq", 0)),
         generation=0, dictionary=dictionary,
     )
-    for name, df_ in (
-        ("segments", segs),
-        ("fwd", fwd),
-        ("docmap", docmap),
-        ("dictionary", dictionary),
-    ):
-        with arrow_batch_rows(spark, GROUP_BATCH_ROWS):
-            df_.write.mode("overwrite").parquet(p[name] + "_next")
-        spark.read.parquet(p[name] + "_next").write.mode("overwrite").parquet(p[name])
-    import shutil
+    names = {}
+    with arrow_batch_rows(spark, GROUP_BATCH_ROWS):
+        names["segments"] = f"segments_v{ver}"
+        segs.sortWithinPartitions("term_id", "salt").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(idx, names["segments"], "gen=0"))
+    sub.unpersist()
+    for table, df_ in (("fwd", fwd), ("docmap", docmap)):
+        names[table] = f"{table}_v{ver}"
+        df_.write.mode("overwrite").parquet(
+            os.path.join(idx, names[table], "gen=0")
+        )
+    names["dictionary"] = f"dictionary_v{ver}"
+    dictionary.write.mode("overwrite").parquet(
+        os.path.join(idx, names["dictionary"])
+    )
 
-    if _exists(p["tombstones"]):
-        shutil.rmtree(p["tombstones"])
+    # ATOMIC commit, then GC every superseded dir (incl. all tombstones)
     m = cat.read_manifest(schema_version)
+    old_dirs = [
+        resolve_table_dir(idx, t)
+        for t in ("segments", "fwd", "docmap", "dictionary", "tombstones")
+    ]
+    m["tables"] = {**(m.get("tables") or {}), **names}
     m["generations"] = 1
+    m["table_ver"] = ver
     cat.write_manifest(schema_version, m)
     cat.mark_phase(schema_version, "compact", "done")
-    return m
-
-
-def _exists(path: str) -> bool:
-    import os
-
-    return os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    )
+    for d in old_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    return cat.read_manifest(schema_version)

@@ -89,6 +89,51 @@ def _check_all_queries(spark, idx_dir, oracle_idx, oracle_urls, tag):
         )
 
 
+def test_crash_mid_generation_replays_cleanly(spark, evolved, tmp_path_factory):
+    """Atomicity (T7): kill the update AT the commit point — every table dir
+    is already written but the manifest swap never happens. The index must
+    keep serving the OLD state, and a replay (the foreachBatch retry path)
+    must clean the orphan generation and land on the same final state as a
+    crash-free run: no double-appended docID ranges, no lost delete deltas,
+    no stats drift."""
+    base_p, final_p, base, final = evolved
+    root = str(tmp_path_factory.mktemp("idx_crash"))
+    cat = Catalog(root)
+    build_index(spark, spark.read.parquet(base_p), cat, "v1")
+    m_before = cat.read_manifest("v1")
+    oidx_base, ourls_base = _oracle_for(base)
+
+    real_write = Catalog.write_manifest
+
+    def exploding_write(self, schema, manifest):
+        if manifest.get("generations", 0) > m_before["generations"]:
+            raise RuntimeError("injected crash at commit")
+        return real_write(self, schema, manifest)
+
+    Catalog.write_manifest = exploding_write
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            incremental_update(spark, spark.read.parquet(final_p), cat, "v1")
+    finally:
+        Catalog.write_manifest = real_write
+
+    # uncommitted generation is invisible: queries still serve the base state
+    m_crashed = cat.read_manifest("v1")
+    assert m_crashed["generations"] == m_before["generations"]
+    st = spark.read.parquet(cat.table_path("v1", "stats")).collect()[0]
+    assert st.n_docs == oidx_base.n_docs
+    _check_all_queries(spark, cat.index_dir("v1"), oidx_base, ourls_base, "crashed")
+
+    # replay: orphans cleaned, update applied once, final state == oracle
+    m2 = incremental_update(spark, spark.read.parquet(final_p), cat, "v1")
+    assert m2["generations"] == m_before["generations"] + 1
+    oidx, ourls = _oracle_for(final)
+    st2 = spark.read.parquet(cat.table_path("v1", "stats")).collect()[0]
+    assert st2.n_docs == oidx.n_docs
+    assert abs(st2.avgdl - oidx.avgdl) < 1e-9
+    _check_all_queries(spark, cat.index_dir("v1"), oidx, ourls, "replayed")
+
+
 def test_incremental_matches_oracle_on_final_corpus(spark, evolved, incr_index):
     _bp, _fp, _base, final = evolved
     cat, m = incr_index
