@@ -3,8 +3,12 @@
 Reference commands (Program.cs:10-13, Commands/IndexCommands.cs,
 Commands/QueueCommands.cs) and their analogs here:
 
-  queue watch                         -> build --incremental (cursor loop)
+  queue watch                         -> queue-watch / build --incremental
   queue pump-all [--from|--switch]    -> build --full [--resume] [--switch]
+                 [--where] [--include-unranked]   [--where] [--include-all-langs]
+  queue pump-score / pump-file        -> queue-push-doc / queue-push
+  queue clear-queue                   -> queue-clear
+  (queue length gauge)                -> queue-depth
   index list                          -> index-list (w/ consistency audit)
   index close|open|delete|nuke        -> same names
   index alias {schema} [--close]      -> alias {schema} [--close]
@@ -42,9 +46,69 @@ def cmd_build(args) -> int:
     elif args.switch:
         m = backfill_with_switch(spark, docs, docs, cat, args.schema)
     else:
-        m = build_index(spark, docs, cat, args.schema, resume=args.resume)
+        m = build_index(
+            spark, docs, cat, args.schema, resume=args.resume,
+            where=args.where, include_all_langs=args.include_all_langs,
+        )
     print(json.dumps({"index": m["index_name"], "counters": m["counters"],
                       "cursor": m["cursor"], "generations": m["generations"]}))
+    return 0
+
+
+def cmd_queue_push(args) -> int:
+    """pump-file analog: enqueue a parquet of document rows."""
+    from .streaming.watch import push_batch
+
+    spark = _spark(args)
+    push_batch(spark, spark.read.parquet(args.input), args.queue_dir)
+    print(json.dumps({"queued": args.input}))
+    return 0
+
+
+def cmd_queue_push_doc(args) -> int:
+    """pump-score analog: enqueue ONE document (or a delete when --delete)."""
+    from .streaming.watch import push_doc
+
+    spark = _spark(args)
+    push_doc(
+        spark, args.queue_dir, args.url,
+        None if args.delete else args.text, lang=args.lang,
+    )
+    print(json.dumps({"queued_url": args.url, "delete": args.delete}))
+    return 0
+
+
+def cmd_queue_clear(args) -> int:
+    from .streaming.watch import clear_queue
+
+    print(json.dumps({"removed_files": clear_queue(args.queue_dir)}))
+    return 0
+
+
+def cmd_queue_depth(args) -> int:
+    from .sources.catalog import Catalog
+    from .streaming.watch import queue_depth
+
+    ckpt = None
+    if args.schema:
+        cat = Catalog(args.root, alias=args.alias)
+        ckpt = f"{cat.index_dir(args.schema)}/_stream_checkpoint"
+    print(json.dumps(queue_depth(args.queue_dir, ckpt)))
+    return 0
+
+
+def cmd_queue_watch(args) -> int:
+    from .sources.catalog import Catalog
+    from .streaming.watch import watch
+
+    spark = _spark(args)
+    cat = Catalog(args.root, alias=args.alias)
+    m = watch(
+        spark, args.queue_dir, cat, args.schema,
+        available_now=not args.follow,
+        max_files_per_trigger=args.max_files or None,
+    )
+    print(json.dumps({"counters": m["counters"], "queue": m.get("queue")}))
     return 0
 
 
@@ -80,9 +144,13 @@ def cmd_index_list(args) -> int:
 
     cat = Catalog(args.root, alias=args.alias)
     for m in cat.list_indices():
+        c = m.get("counters") or {}
         print(json.dumps({
             "index": m["index_name"], "status": m["status"],
-            "docs": (m.get("counters") or {}).get("docs"),
+            "docs": c.get("docs"),
+            "adds_total": c.get("adds_total"),
+            "deletes_total": c.get("deletes_total"),
+            "queue_pending": (m.get("queue") or {}).get("rows_pending"),
             "current": m["is_current"], "active": m["is_active"],
             "consistent": m["consistent"],
         }))
@@ -136,7 +204,44 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--incremental", action="store_true", help="cursor batch (T1/T8)")
     b.add_argument("--switch", action="store_true",
                    help="two-phase cutover: build + catch-up + alias (T9)")
+    b.add_argument("--where", default=None,
+                   help="SQL predicate narrowing the backfill (pump-all --where)")
+    b.add_argument("--include-all-langs", action="store_true",
+                   help="lift the lang='en' gate (--include-unranked analog)")
     b.set_defaults(fn=cmd_build)
+
+    qp = sub.add_parser("queue-push", help="enqueue a parquet of docs (pump-file)")
+    qp.add_argument("--input", required=True)
+    qp.add_argument("--queue-dir", required=True)
+    qp.set_defaults(fn=cmd_queue_push)
+
+    qd = sub.add_parser("queue-push-doc", help="enqueue one doc (pump-score)")
+    qd.add_argument("--queue-dir", required=True)
+    qd.add_argument("--url", required=True)
+    qd.add_argument("--text", default=None)
+    qd.add_argument("--lang", default="en")
+    qd.add_argument("--delete", action="store_true",
+                    help="enqueue a delete for this url")
+    qd.set_defaults(fn=cmd_queue_push_doc)
+
+    qc = sub.add_parser("queue-clear", help="drop pending queue files")
+    qc.add_argument("--queue-dir", required=True)
+    qc.set_defaults(fn=cmd_queue_clear)
+
+    qg = sub.add_parser("queue-depth", help="pending files/rows gauge (A2)")
+    qg.add_argument("--queue-dir", required=True)
+    qg.add_argument("--schema", default=None,
+                    help="count only files not yet consumed by this index")
+    qg.set_defaults(fn=cmd_queue_depth)
+
+    qw = sub.add_parser("queue-watch", help="consume the queue (queue watch)")
+    qw.add_argument("--queue-dir", required=True)
+    qw.add_argument("--schema", required=True)
+    qw.add_argument("--follow", action="store_true",
+                    help="keep polling (default: drain available and stop)")
+    qw.add_argument("--max-files", type=int, default=None,
+                    help="T2 backpressure: max queue files per micro-batch")
+    qw.set_defaults(fn=cmd_queue_watch)
 
     s = sub.add_parser("search", help="BM25 top-k over the current index")
     s.add_argument("query")

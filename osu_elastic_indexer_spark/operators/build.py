@@ -451,6 +451,8 @@ def build_index(
     resume: bool = False,
     salt_group_cap: int | None = None,
     segment_partitions: int | None = None,
+    where: str | None = None,
+    include_all_langs: bool = False,
 ) -> dict:
     """Full (backfill) index build — the `queue pump-all` + consume analog.
 
@@ -458,6 +460,12 @@ def build_index(
     re-extracted from html (input_hint byte-identity invariant). Returns the
     final manifest. With resume=True, phases already marked done in the
     manifest are skipped (T8: restart filters done partitions).
+
+    ``where``: user-supplied SQL predicate narrowing the backfill (the
+    reference's `pump-all --where`, PumpAllScoresCommand.cs:28,75 — pushed
+    into the scan, so a selective predicate prunes IO). ``include_all_langs``
+    lifts the lang='en' gate, the analog of `--include-unranked`
+    (PumpAllScoresCommand.cs:29) which widens the normally-excluded set.
     """
     from ..session import ship_package
 
@@ -483,9 +491,12 @@ def build_index(
         # text-emptiness half falls out of the fused pass (dl==0 docs emit
         # no forward row). docmap may thus carry a rare zero-token url —
         # harmless: it has no postings and counters use stats.n_docs.
-        adds = docs.filter(
-            (F.col("lang") == "en") & F.col("text").isNotNull()
-        )
+        pred = F.col("text").isNotNull()
+        if not include_all_langs:
+            pred = (F.col("lang") == "en") & pred
+        adds = docs.filter(pred)
+        if where:
+            adds = adds.filter(F.expr(where))
         # docIDs in input order (reference-faithful: scores.id is arrival
         # order) — one metadata-cheap count pass, NO shuffle of raw blobs
         part, offsets_bc = input_order_offsets(
@@ -509,10 +520,12 @@ def build_index(
         ).collect()[0]
         st = fwd.agg(
             F.count("*").cast("bigint").alias("n_docs"),
-            F.sum("dl").cast("bigint").alias("sum_dl"),
-            (F.sum("dl") / F.count("*")).cast("double").alias("avgdl"),
-            F.min("dl").cast("bigint").alias("dl_min"),
-            F.sum(F.size("terms")).cast("bigint").alias("total_postings"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"),
+            F.coalesce(F.sum("dl") / F.count("*"), F.lit(0.0))
+            .cast("double").alias("avgdl"),
+            F.coalesce(F.min("dl"), F.lit(0)).cast("bigint").alias("dl_min"),
+            F.coalesce(F.sum(F.size("terms")), F.lit(0))
+            .cast("bigint").alias("total_postings"),
         ).collect()[0]
         spark.createDataFrame([tuple(st)], STATS_SCHEMA).write.mode(
             "overwrite"
@@ -521,7 +534,7 @@ def build_index(
             schema_version, "postings", "done",
             postings=int(st.total_postings), n_docs=int(st.n_docs),
             docs=int(st.n_docs), docmap_rows=int(agg.docs),
-            cursor=str(agg.cursor),
+            cursor=str(agg.cursor) if agg.cursor is not None else None,
         )
 
     # ---- phase 2: segments + dictionary -------------------------------------
@@ -529,7 +542,8 @@ def build_index(
         cat.mark_phase(schema_version, "segments", "running")
         fwd = spark.read.parquet(fwd_path)
         dm = spark.read.parquet(docmap_path)
-        id_span = int(dm.agg(F.max("doc_id")).collect()[0][0]) + 1
+        max_doc = dm.agg(F.max("doc_id")).collect()[0][0]
+        id_span = int(max_doc) + 1 if max_doc is not None else 1
         nparts = segment_partitions or max(
             2, int(spark.conf.get("spark.sql.shuffle.partitions")) // 2
         )
@@ -559,9 +573,9 @@ def build_index(
         seg = spark.read.parquet(seg_path)
         counters = seg.agg(
             F.count("*").alias("rows"),
-            F.sum("n_docs").alias("postings"),
-            F.sum(
-                F.length("docs_blob") + F.length("tfs_blob")
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("postings"),
+            F.coalesce(
+                F.sum(F.length("docs_blob") + F.length("tfs_blob")), F.lit(0)
             ).alias("bytes"),
         ).collect()[0]
         cat.mark_phase(
@@ -577,6 +591,8 @@ def build_index(
         "docs": m["phases"]["postings"].get("docs"),
         "postings": m["phases"]["segments"].get("postings"),
         "bytes": m["phases"]["segments"].get("bytes"),
+        "adds_total": m["phases"]["postings"].get("docs"),
+        "deletes_total": 0,
     }
     m["cursor"] = m["phases"]["postings"].get("cursor")
     m["generations"] = 1

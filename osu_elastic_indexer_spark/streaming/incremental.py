@@ -272,11 +272,15 @@ def incremental_update(
     m["tables"] = {**old_tables, "dictionary": dict_name, "stats": stats_name}
     if new_cursor is not None and (m["cursor"] is None or str(new_cursor) > m["cursor"]):
         m["cursor"] = str(new_cursor)
+    old_counters = m.get("counters") or {}
     m["counters"] = {
         "docs": n_docs2,
         "postings": total_postings2,
-        "bytes": m["counters"].get("bytes"),
-        "tombstones": None,
+        "bytes": old_counters.get("bytes"),
+        # U2-tagged running totals (the DogStatsd add/delete counters,
+        # IndexQueueProcessor.cs:52,57) — surfaced by `index-list`
+        "adds_total": int(old_counters.get("adds_total") or 0) + int(n_add),
+        "deletes_total": int(old_counters.get("deletes_total") or 0) + int(n_del),
     }
     cat.write_manifest(schema_version, m)
     cat.mark_phase(

@@ -86,6 +86,16 @@ def watch(
                     spark, rows, cat, schema_version,
                     queue_urls=rows.select("url"),
                 )
+            # A2 gauge: pending backlog after this batch, recorded with the
+            # manifest counters (the DogStatsd-tagged metrics analog,
+            # IndexQueueProcessor.cs:52,57 + PumpAllScoresCommand.cs:93-97)
+            m2 = cat.read_manifest(schema_version)
+            if m2 is not None:
+                m2["queue"] = queue_depth(
+                    queue_dir,
+                    f"{cat.index_dir(schema_version)}/_stream_checkpoint",
+                )
+                cat.write_manifest(schema_version, m2)
         finally:
             rows.unpersist()
 
@@ -103,6 +113,14 @@ def watch(
         except Exception:
             if state["stop_reason"] is None:
                 raise
+    # final gauge: the in-batch reading runs before the offset commit, so
+    # refresh once the stream has fully drained/stopped
+    m = cat.read_manifest(schema_version)
+    if m is not None:
+        m["queue"] = queue_depth(
+            queue_dir, f"{cat.index_dir(schema_version)}/_stream_checkpoint"
+        )
+        cat.write_manifest(schema_version, m)
     return cat.read_manifest(schema_version)
 
 
@@ -112,3 +130,92 @@ def push_batch(spark: SparkSession, docs_df, queue_dir: str) -> None:
     docs_df.select("url", "warc_ts", "html", "text", "lang").write.mode(
         "append"
     ).parquet(queue_dir)
+
+
+def push_doc(
+    spark: SparkSession,
+    queue_dir: str,
+    url: str,
+    text: str | None,
+    lang: str = "en",
+    warc_ts: str | None = None,
+) -> None:
+    """Enqueue ONE document — the manual-test affordance of the reference's
+    `queue pump-score` / `pump-file` (PumpScoreCommand.cs:11-30,
+    PumpFileCommand.cs:12-29). text=None enqueues a delete-shaped row (fails
+    ShouldIndex -> routes to delete, IndexQueueProcessor.cs:41-60)."""
+    import datetime
+
+    ts = (
+        datetime.datetime.fromisoformat(warc_ts)
+        if warc_ts
+        else datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+    )
+    html = ("<body>" + text + "</body>").encode() if text is not None else None
+    df = spark.createDataFrame([(url, ts, html, text, lang)], DOC_SCHEMA)
+    push_batch(spark, df, queue_dir)
+
+
+def clear_queue(queue_dir: str) -> int:
+    """Drop all pending queue files (ClearQueueCommand.cs analog). Returns
+    the number of files removed. The stream checkpoint is untouched —
+    already-processed offsets stay valid."""
+    import glob
+    import os
+
+    n = 0
+    for p in glob.glob(os.path.join(queue_dir, "*.parquet")):
+        os.remove(p)
+        n += 1
+    return n
+
+
+def queue_depth(queue_dir: str, checkpoint_dir: str | None = None) -> dict:
+    """A2 queue-length gauge: pending (unprocessed) files and rows in the
+    drop directory — the metric the reference's producer throttles on
+    (PumpAllScoresCommand.cs:93-97: pause while queue > 1M items).
+
+    Processed files are read from the file-stream checkpoint's source log
+    (each committed micro-batch lists the files it consumed); rows come from
+    parquet footers only — no data scan."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    all_files = {
+        os.path.abspath(p)
+        for p in glob.glob(os.path.join(queue_dir, "*.parquet"))
+    }
+    seen: set[str] = set()
+    if checkpoint_dir:
+        src = os.path.join(checkpoint_dir, "sources", "0")
+        if os.path.isdir(src):
+            for name in os.listdir(src):
+                p = os.path.join(src, name)
+                if not os.path.isfile(p) or name.endswith(".crc"):
+                    continue
+                with open(p) as f:
+                    for line in f:
+                        line = line.strip()
+                        if not line or not line.startswith("{"):
+                            continue
+                        try:
+                            entry = json.loads(line)
+                        except json.JSONDecodeError:
+                            continue
+                        path = entry.get("path", "")
+                        seen.add(os.path.abspath(path.removeprefix("file:")))
+    pending = sorted(all_files - seen)
+    rows = 0
+    for p in pending:
+        try:
+            rows += pq.ParquetFile(p).metadata.num_rows
+        except Exception:
+            pass
+    return {
+        "files_total": len(all_files),
+        "files_pending": len(pending),
+        "rows_pending": rows,
+    }

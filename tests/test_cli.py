@@ -1,0 +1,99 @@
+"""CLI surface round-trips (SURVEY.md §2.10): enqueue -> watch -> searchable,
+single-doc pump/delete, queue gauge + clear, and `build --where`."""
+
+import json
+
+import pytest
+
+from osu_elastic_indexer_spark import cli
+
+
+def _run(capsys, argv) -> list[dict]:
+    assert cli.main(argv) == 0
+    out = capsys.readouterr().out.strip()
+    return [json.loads(line) for line in out.splitlines() if line.strip()]
+
+
+@pytest.fixture(scope="module")
+def env(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    return {"root": str(d / "idx"), "queue": str(d / "queue")}
+
+
+def test_cli_queue_roundtrip(spark, env, capsys):
+    root, queue = env["root"], env["queue"]
+    base = ["--root", root]
+    # pump-score analog: enqueue three docs, drain the queue -> index built
+    for i, text in enumerate(
+        ["alpha bravo charlie", "alpha delta", "echo foxtrot cliword"]
+    ):
+        _run(capsys, base + [
+            "queue-push-doc", "--queue-dir", queue,
+            "--url", f"u{i}", "--text", text,
+        ])
+    out = _run(capsys, base + [
+        "queue-watch", "--queue-dir", queue, "--schema", "v1",
+    ])[0]
+    assert out["counters"]["docs"] == 3
+    assert out["queue"]["files_pending"] == 0  # drained
+    hits = _run(capsys, base + [
+        "search", "cliword", "--schema", "v1", "-k", "5",
+    ])
+    assert [h["url"] for h in hits] == ["u2"]
+    # serving path agrees (same index, no Spark)
+    local = _run(capsys, base + [
+        "search", "cliword", "--schema", "v1", "--local", "-k", "5",
+    ])
+    assert [h["doc_id"] for h in local] == [h["doc_id"] for h in hits]
+
+    # update one doc + delete another, drain, verify both took effect
+    _run(capsys, base + [
+        "queue-push-doc", "--queue-dir", queue,
+        "--url", "u0", "--text", "alpha bravo cliword",
+    ])
+    _run(capsys, base + [
+        "queue-push-doc", "--queue-dir", queue, "--url", "u2", "--delete",
+    ])
+    out = _run(capsys, base + [
+        "queue-watch", "--queue-dir", queue, "--schema", "v1",
+    ])[0]
+    assert out["counters"]["docs"] == 2
+    assert out["counters"]["deletes_total"] >= 2  # u0 old rev + u2
+    hits = _run(capsys, base + [
+        "search", "cliword", "--schema", "v1", "-k", "5",
+    ])
+    assert [h["url"] for h in hits] == ["u0"]  # new revision; u2 deleted
+
+    # gauge + clear: a pushed-but-unconsumed doc is pending, clear drops it
+    _run(capsys, base + [
+        "queue-push-doc", "--queue-dir", queue, "--url", "u9", "--text", "zz",
+    ])
+    depth = _run(capsys, base + [
+        "queue-depth", "--queue-dir", queue, "--schema", "v1",
+    ])[0]
+    assert depth["files_pending"] >= 1 and depth["rows_pending"] >= 1
+    removed = _run(capsys, base + ["queue-clear", "--queue-dir", queue])[0]
+    assert removed["removed_files"] >= 1
+    depth = _run(capsys, base + ["queue-depth", "--queue-dir", queue])[0]
+    assert depth["files_total"] == 0
+
+    # counters surfaced by index-list (A2/U2 wiring)
+    listing = _run(capsys, base + ["index-list"])
+    row = [r for r in listing if r["index"] == "documents_v1"][0]
+    assert row["docs"] == 2 and row["adds_total"] >= 4
+    assert row["queue_pending"] == 0
+
+
+def test_cli_build_where_narrows_backfill(spark, env, capsys, tmp_path):
+    from osu_elastic_indexer_spark.sources.fixtures import write_corpus
+
+    corpus = write_corpus(str(tmp_path / "c.parquet"), 300)
+    root = str(tmp_path / "idx")
+    full = _run(capsys, [
+        "--root", root, "build", "--input", corpus, "--schema", "vfull",
+    ])[0]
+    narrowed = _run(capsys, [
+        "--root", root, "build", "--input", corpus, "--schema", "vwhere",
+        "--where", "url LIKE '%0'",
+    ])[0]
+    assert 0 < narrowed["counters"]["docs"] < full["counters"]["docs"]
