@@ -476,6 +476,18 @@ def q_ann_lsh_multiprobe(spark, sf_dir):
     )
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN: brute-force cosine within the query's 2 nearest coarse-
+    quantizer cells (deterministic seed centroids: vec_id % 62 == 0 — SQL-
+    reproducible; production trains with MLlib k-means, similarity.py)."""
+    from osu_elastic_indexer_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        e, _query_vec(spark, sf_dir), 10, nprobe=2, stride=62, exclude_vec_id=0
+    )
+
+
 def q_ta_langid(spark, sf_dir):
     """n-gram-heuristic language ID, counted per prediction."""
     from osu_elastic_indexer_spark.functions.analysis import lang_id_expr
@@ -686,6 +698,19 @@ SELECT doc_id, ({terms})::BIGINT AS simhash FROM hs ORDER BY doc_id
 """
 
 
+def _sqdist_sql(a: str, b: str) -> str:
+    """Ordered-fold squared L2 matching similarity.sq_dist_expr exactly."""
+    diffs = (
+        f"list_transform(generate_series(1, len({a})), i -> "
+        f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+        f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))"
+    )
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {diffs}), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
 def _cos_sql(a: str, b: str) -> str:
     """Ordered-fold cosine matching operators/similarity.py exactly:
     left fold with init 0.0 over index order."""
@@ -738,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "ann_ivf": q_ann_ivf,
         "ta_langid": q_ta_langid,
         "ta_quality": q_ta_quality,
         "ta_token_counts": q_ta_token_counts,
@@ -915,6 +941,31 @@ WITH eb AS (
 q AS (SELECT embedding AS qe, bucket AS qb FROM eb WHERE vec_id = 0)
 SELECT vec_id, ROUND({_cos_sql("embedding", "qe")}, 6) AS cos
 FROM eb, q WHERE vec_id <> 0 AND bit_count(xor(bucket, qb)) <= 1
+ORDER BY cos DESC, vec_id ASC LIMIT 10
+""",
+        # IVF with deterministic seed centroids (vec_id % 62 = 0), nprobe=2;
+        # distances rounded to 6dp before argmin, ties by cid — exactly the
+        # similarity.ivf_assign / ivf_topk decision procedure
+        "ann_ivf": f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 62 = 0),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+      ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY ROUND({_sqdist_sql("e.embedding", "c.cv")}, 6), c.cid
+      ) AS rn
+    FROM embeddings e, c
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cid FROM c, q
+  ORDER BY ROUND({_sqdist_sql("cv", "qe")}, 6), cid LIMIT 2
+)
+SELECT e.vec_id, ROUND({_cos_sql("e.embedding", "qe")}, 6) AS cos
+FROM embeddings e JOIN assign USING (vec_id), q
+WHERE assign.cid IN (SELECT cid FROM probe) AND e.vec_id <> 0
 ORDER BY cos DESC, vec_id ASC LIMIT 10
 """,
         "ta_langid": f"""

@@ -7,8 +7,12 @@ Headline numbers (BASELINE.json metric):
     one Spark job, plus per-query p50 over individual jobs
   * relational operator sanity: two oracle-checked queries at the sf dir
 
-Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS   (default 32).
+Env: SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS    (default 32),
+     SPARK_GRAFT_BUILD_SF (default = sf of SF_DIR): scale factor for the
+       index-build corpus alone — lets the build throughput be measured at
+       >=1M docs (where job setup stops dominating) while the relational
+       queries still run at the driver's sf dir.
 
 Scaling evidence (north_rule, sandbox form) lives in bench/scaling.py —
 same build at local[8] vs local[32] -> BASELINE.md §3.
@@ -47,6 +51,7 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
+    build_sf = float(os.environ.get("SPARK_GRAFT_BUILD_SF", sf))
 
     from osu_elastic_indexer_spark.operators.build import build_index
     from osu_elastic_indexer_spark.operators.wand import wand_topk
@@ -54,7 +59,7 @@ def main() -> None:
     from osu_elastic_indexer_spark.sources.catalog import Catalog
     from osu_elastic_indexer_spark.sources.fixtures import reference_queries
 
-    corpus_path, n_docs = corpus_for_sf(sf)
+    corpus_path, n_docs = corpus_for_sf(build_sf)
     spark = get_spark("bench", cores=cpus)
     from osu_elastic_indexer_spark.session import warm_python_workers
 

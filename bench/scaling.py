@@ -2,22 +2,24 @@
 
 The rule's criterion — ">=0.8 throughput scaling efficiency between N and 4N
 executors" — cannot use a real cluster in this sandbox; per the task brief it
-is evidenced by running the SAME build job at two parallelism levels on
-identical input and reporting throughput at both plus
-eff = thr(4N) / (4 * thr(N)).
+is evidenced by running the SAME build job at a LADDER of parallelism levels
+(separate executor JVMs via local-cluster) on identical input and reporting
+throughput at each plus eff = thr(4N) / (4 * thr(N)) for the 4x pairs.
 
 Caveats this harness controls for:
   * each level runs in its own SparkSession (stopped between), python
     workers pre-warmed, same conf a spark-submit would ship;
-  * local-mode quirk: all "executors" share ONE JVM heap, so allocation/GC
-    contention grows with thread count — unlike a real cluster where 4N
-    executors mean 4x heaps. We therefore measure at low thread counts
-    (default N=2 vs 4N=8) where the shared-heap artifact is negligible, and
-    report the 8->32 pair as a secondary, caveated number;
+  * single-box artifact: every "executor" shares ONE machine's memory
+    bandwidth. Identical per-process numpy work (the build's sort/gather
+    kernels) measures ~63% slower at 16 concurrent processes than at 2 on
+    this box — a real cluster's 4N executors bring 4N machines' bandwidth.
+    The harness runs that microbenchmark alongside (--bandwidth) so the
+    high-core pair can be discounted with measured evidence, not judgment;
   * run-to-run variance on the shared box: best-of-R runs per level.
 
-Usage:  python bench/scaling.py [n_docs] [N] [4N] [repeats]
-        (defaults: 1600000 2 8 2)
+Usage:  python bench/scaling.py [n_docs] [levels-csv] [repeats]
+        (defaults: 1600000 1,2,4,8 2)   levels are executor counts (x2 cores)
+        legacy pair form also accepted: python bench/scaling.py N 4N repeats
 """
 
 from __future__ import annotations
@@ -82,26 +84,75 @@ def best_of(n_executors: int, corpus_path: str, repeats: int) -> dict:
     return max(runs, key=lambda r: r["docs_per_sec"])
 
 
+def bandwidth_contention() -> dict:
+    """Per-process slowdown of the build's sort/gather kernel at rising
+    process counts — quantifies the single-box memory-bandwidth artifact."""
+    import multiprocessing as mp
+    import time
+
+    def heavy(_):
+        import numpy as np
+
+        rng = np.random.default_rng(1)
+        docs = rng.integers(0, 1_400_000, 3_000_000).astype("int64")
+        t0 = time.time()
+        for _i in range(3):
+            order = docs.argsort(kind="stable")
+            g = docs[order]
+            _d = g[1:] - g[:-1]
+        return time.time() - t0
+
+    out = {}
+    for n in (2, 4, 8, 16):
+        with mp.Pool(n) as p:
+            r = p.map(heavy, range(n))
+        out[str(n)] = round(sum(r) / len(r), 2)
+    return out
+
+
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_600_000
-    lo_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 2   # N executors
-    hi_cores = int(sys.argv[3]) if len(sys.argv) > 3 else 8   # 4N executors
-    repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    if len(sys.argv) > 3 and "," not in sys.argv[2]:
+        levels = [int(sys.argv[2]), int(sys.argv[3])]  # legacy pair form
+        repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    else:
+        levels = [
+            int(x)
+            for x in (sys.argv[2] if len(sys.argv) > 2 else "1,2,4,8").split(",")
+        ]
+        repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     corpus_path, n_docs = corpus_for_sf(n_docs / 1_000_000)
-    lo = best_of(lo_cores, corpus_path, repeats)
-    hi = best_of(hi_cores, corpus_path, repeats)
-    factor = hi_cores / lo_cores
-    eff = hi["docs_per_sec"] / (factor * lo["docs_per_sec"])
-    out = {"N": lo, "fourN": hi, "factor": factor,
-           "scaling_efficiency": round(eff, 3)}
+    results = {lv: best_of(lv, corpus_path, repeats) for lv in levels}
+    pairs = []
+    for lo in levels:
+        if lo * 4 in results:
+            eff = results[lo * 4]["docs_per_sec"] / (
+                4 * results[lo]["docs_per_sec"]
+            )
+            pairs.append(
+                {"N_executors": lo, "fourN_executors": lo * 4,
+                 "scaling_efficiency": round(eff, 3)}
+            )
+    out = {
+        "levels": {str(lv): results[lv] for lv in levels},
+        "pairs": pairs,
+        "bandwidth_contention_per_proc_sec": bandwidth_contention(),
+    }
     print(json.dumps(out))
-    print(
-        f"\n| level | executors x cores | docs | build sec | docs/sec | wand batch20 sec |\n"
-        f"|---|---|---|---|---|---|\n"
-        f"| N | {lo['executors']}x2 | {lo['docs']} | {lo['build_sec']} | {lo['docs_per_sec']} | {lo['wand_batch20_sec']} |\n"
-        f"| {factor:.0f}N | {hi['executors']}x2 | {hi['docs']} | {hi['build_sec']} | {hi['docs_per_sec']} | {hi['wand_batch20_sec']} |\n"
-        f"\nscaling efficiency = {hi['docs_per_sec']}/({factor:.0f}x{lo['docs_per_sec']}) = {eff:.3f}"
-    )
+    print("\n| executors x cores | docs | build sec | docs/sec | per-core | wand batch20 sec |")
+    print("|---|---|---|---|---|---|")
+    for lv in levels:
+        r = results[lv]
+        print(
+            f"| {r['executors']}x2 | {r['docs']} | {r['build_sec']} | "
+            f"{r['docs_per_sec']} | {round(r['docs_per_sec']/r['cores'],1)} | "
+            f"{r['wand_batch20_sec']} |"
+        )
+    for p in pairs:
+        print(
+            f"eff {p['N_executors']}->{p['fourN_executors']} executors: "
+            f"{p['scaling_efficiency']}"
+        )
 
 
 if __name__ == "__main__":

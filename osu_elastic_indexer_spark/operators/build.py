@@ -46,7 +46,6 @@ from pyspark.sql import functions as F
 
 from ..functions import codec
 from ..sources.catalog import Catalog
-from .docmap import input_order_offsets
 
 SEGMENT_SCHEMA = (
     "term_id bigint, salt int, generation int, n_docs bigint, "
@@ -86,16 +85,6 @@ STATS_SCHEMA = (
 # combine); doc_id-ordered within partitions by construction
 FWD_SCHEMA = "doc_id bigint, dl bigint, terms array<string>, tfs array<bigint>"
 
-_FWD_PA_SCHEMA = pa.schema(
-    [
-        ("doc_id", pa.int64()),
-        ("dl", pa.int64()),
-        ("terms", pa.list_(pa.string())),
-        ("tfs", pa.list_(pa.int64())),
-    ]
-)
-
-
 @contextmanager
 def arrow_batch_rows(spark, n: int):
     """Scoped override of the Arrow batch size: group-carrying passes want
@@ -113,26 +102,93 @@ def arrow_batch_rows(spark, n: int):
 GROUP_BATCH_ROWS = 256       # rows/batch when each row is a whole group
 
 
-def _fused_forward_pass(offsets_bc):
-    """mapInArrow body over input partitions of (html, __pid): dense docID
-    assignment + byte-exact extraction + tokenization + per-doc combine, in
-    ONE python pass, emitting doc-GROUPED rows (FWD_SCHEMA) so the return
-    bridge carries one row per document, not one per posting."""
+@contextmanager
+def scan_split_bytes(spark, nbytes: int):
+    """Scoped override of the file-scan split size. The fwd table is small
+    relative to its information content (compressed list columns), so the
+    session default (32 MB, tuned for html-carrying inputs) yields too few
+    partitions for the CPU-heavy local inversion — at 16 cores a 250 MB fwd
+    became 18 tasks and capped scaling. Callers size splits to ~3 tasks/core.
+    """
+    keys = {
+        "spark.sql.files.maxPartitionBytes": str(int(nbytes)),
+        "spark.sql.files.openCostInBytes": str(max(1, int(nbytes) // 8)),
+    }
+    old = {k: spark.conf.get(k) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+def dir_bytes(path: str) -> int:
+    """Total bytes under a local/posix dir (object stores: use the FS API)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def fwd_split_bytes(spark, fwd_path: str) -> int:
+    """Split size that gives the inversion ~3 tasks per core."""
+    cores = spark.sparkContext.defaultParallelism
+    return max(1 << 22, min(128 << 20, dir_bytes(fwd_path) // max(3 * cores, 1)))
+
+
+def input_split_bytes(spark, docs: DataFrame) -> int | None:
+    """Split size for the html-carrying input scan: ~3 tasks/core keeps the
+    python-heavy fused pass balanced (45 splits on 16 cores = 2.8 uneven
+    waves). None when the input is not a local file scan (streaming batch,
+    in-memory test frame) — caller skips the override."""
+    try:
+        files = docs.inputFiles()
+    except Exception:
+        return None
+    total = 0
+    for f in files:
+        p = f.removeprefix("file:")
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return None  # non-local (object store): leave the session conf
+    if not total:
+        return None
+    cores = spark.sparkContext.defaultParallelism
+    return max(1 << 22, min(128 << 20, total // max(3 * cores, 1)))
+
+
+# staged forward rows: the ONE heavy scan's output, keyed by (partition,
+# position) — doc ids are assigned afterwards by a deterministic projection
+FWD_STAGE_SCHEMA = (
+    "url string, warc_ts timestamp, dl bigint, "
+    "terms array<string>, tfs array<bigint>, pid int, pos bigint"
+)
+
+def _fused_stage_pass():
+    """mapInArrow body over input partitions of (url, warc_ts, html, __pid):
+    byte-exact extraction + tokenization + per-doc combine in ONE python
+    pass, emitting doc-GROUPED rows keyed by (pid, pos). EVERY row is
+    emitted (zero-token docs with dl=0 and empty lists) so positions are
+    dense — the id projection later is offset[pid] + pos."""
     from ..functions.textprep import extract_text, tokenize
 
     def run(batches):
         local = 0
-        offset = None
         for batch in batches:
             n = batch.num_rows
             if n == 0:
                 continue
-            if offset is None:
-                offset = offsets_bc.value[int(batch.column("__pid")[0].as_py())]
-            ids = offset + local + np.arange(n, dtype=np.int64)
+            pid = int(batch.column("__pid")[0].as_py())
+            pos = local + np.arange(n, dtype=np.int64)
             local += n
             htmls = batch.column("html")
-            doc_ids: list[int] = []
             dls: list[int] = []
             term_offsets = [0]
             flat_terms: list[str] = []
@@ -140,20 +196,18 @@ def _fused_forward_pass(offsets_bc):
             for i in range(n):
                 h = htmls[i].as_py()
                 toks = tokenize(extract_text(h))
-                dl = len(toks)
-                if dl == 0:
-                    continue
-                counts: dict[str, int] = {}
-                for tk in toks:
-                    counts[tk] = counts.get(tk, 0) + 1
-                doc_ids.append(int(ids[i]))
-                dls.append(dl)
-                flat_terms.extend(counts.keys())
-                flat_tfs.extend(counts.values())
+                dls.append(len(toks))
+                if toks:
+                    counts: dict[str, int] = {}
+                    for tk in toks:
+                        counts[tk] = counts.get(tk, 0) + 1
+                    flat_terms.extend(counts.keys())
+                    flat_tfs.extend(counts.values())
                 term_offsets.append(len(flat_terms))
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(doc_ids, pa.int64()),
+                    batch.column("url"),
+                    batch.column("warc_ts"),
                     pa.array(dls, pa.int64()),
                     pa.ListArray.from_arrays(
                         pa.array(term_offsets, pa.int32()),
@@ -163,32 +217,78 @@ def _fused_forward_pass(offsets_bc):
                         pa.array(term_offsets, pa.int32()),
                         pa.array(flat_tfs, pa.int64()),
                     ),
+                    pa.array(np.full(n, pid, dtype=np.int32), pa.int32()),
+                    pa.array(pos, pa.int64()),
                 ],
-                schema=_FWD_PA_SCHEMA,
+                schema=pa.schema(
+                    [
+                        ("url", batch.schema.field("url").type),
+                        ("warc_ts", batch.schema.field("warc_ts").type),
+                        ("dl", pa.int64()),
+                        ("terms", pa.list_(pa.string())),
+                        ("tfs", pa.list_(pa.int64())),
+                        ("pid", pa.int32()),
+                        ("pos", pa.int64()),
+                    ]
+                ),
             )
 
     return run
 
 
-def _ids_only_pass(offsets_bc):
-    """mapInPandas body: the docmap projection of the same partitions
-    (url, warc_ts, doc_id) — identical id sequence, html pruned from scan."""
+def materialize_forward(
+    spark: SparkSession,
+    adds: DataFrame,
+    fwd_dir: str,
+    docmap_dir: str,
+    staging_dir: str,
+    start_id: int = 0,
+) -> None:
+    """ONE scan of the heavy input -> staged forward rows keyed by
+    (pid, pos) -> dense docIDs assigned by a file-based projection.
 
-    def run(batches):
-        local = 0
-        offset = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if offset is None:
-                offset = offsets_bc.value[int(pdf["__pid"].iloc[0])]
-            ids = offset + local + np.arange(len(pdf), dtype=np.int64)
-            local += len(pdf)
-            out = pdf.drop(columns=["__pid"]).copy()
-            out["doc_id"] = ids
-            yield out
+    The two-job zipWithIndex pattern (count per partition, then map with
+    offsets) silently DOUBLE-ASSIGNS ids when the input's partitioning is
+    not bit-stable across jobs — a repartitionByRange upstream re-SAMPLES
+    per job, so the count job's boundaries need not match the map job's.
+    Staging decouples that: the single fused pass is internally consistent
+    whatever the partitioning, and the offsets + id projection derive from
+    the STAGED FILES (deterministic). Bonus: the input html is scanned once,
+    not three times (count + fwd + docmap passes); the staging table is
+    ~a few % of the input size (compressed token lists, no html).
+    """
+    import shutil
 
-    return run
+    part = adds.select("url", "warc_ts", "html").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    part.select("url", "warc_ts", "html", "__pid").mapInArrow(
+        _fused_stage_pass(), FWD_STAGE_SCHEMA
+    ).write.mode("overwrite").parquet(staging_dir)
+    stage = spark.read.parquet(staging_dir)
+    counts = dict(
+        (int(r["pid"]), int(r["count"]))
+        for r in stage.groupBy("pid").count().collect()
+    )
+    offsets = []
+    acc = start_id
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    if offsets:
+        off_df = spark.createDataFrame(offsets, "pid int, off bigint")
+        with_ids = stage.join(F.broadcast(off_df), "pid").withColumn(
+            "doc_id", F.col("off") + F.col("pos")
+        )
+    else:
+        with_ids = stage.withColumn("doc_id", F.col("pos"))
+    with_ids.filter(F.col("dl") > 0).select(
+        "doc_id", "dl", "terms", "tfs"
+    ).write.mode("overwrite").parquet(fwd_dir)
+    with_ids.select("url", "warc_ts", "doc_id").write.mode(
+        "overwrite"
+    ).parquet(docmap_dir)
+    shutil.rmtree(staging_dir, ignore_errors=True)
 
 
 def exploded_postings(fwd: DataFrame) -> DataFrame:
@@ -240,9 +340,18 @@ def _local_invert_pass(id_span: int, grid_salts: int):
     regardless of how the scan packed fwd files into partitions. (Scan
     partitions are NOT contiguous docID ranges — Spark packs small files by
     size — so postings are fully sorted here and merge-sorted again at merge
-    time; no ordering assumption survives the file layout.)"""
+    time; no ordering assumption survives the file layout.)
+
+    Fully vectorized: groups are contiguous runs of the sorted key, so the
+    partition's gaps/tfs are varbyte-encoded in ONE call each and the
+    per-group blobs are zero-copy slices of those buffers (arrow BinaryArray
+    from a group-boundary offsets vector). The earlier per-group
+    encode_plain() loop paid ~94k small python/numpy calls per worker and
+    dominated the whole segments phase."""
 
     def run(batches):
+        import pyarrow.compute as pc
+
         doc_parts, term_parts, tf_parts = [], [], []
         for batch in batches:
             if batch.num_rows == 0:
@@ -250,48 +359,78 @@ def _local_invert_pass(id_span: int, grid_salts: int):
             doc_ids = batch.column("doc_id").to_numpy()
             terms_col = batch.column("terms")
             tfs_col = batch.column("tfs")
-            lengths = np.asarray(terms_col.value_lengths())
-            doc_parts.append(np.repeat(doc_ids, lengths))
+            # per-posting doc ids via arrow's parent-index kernel (C++),
+            # not np.repeat (measured ~0.4us/posting under concurrency)
+            parent = pc.list_parent_indices(terms_col).to_numpy()
+            doc_parts.append(doc_ids[parent])
             term_parts.append(terms_col.flatten())
             tf_parts.append(tfs_col.flatten().to_numpy())
         if not doc_parts:
             return
         docs = np.concatenate(doc_parts)
+        if docs.size == 0:
+            return
         tfs = np.concatenate(tf_parts)
-        terms = pa.concat_arrays(term_parts)  # arrow string array, no objects
-        # group by (term, salt-cell), docs sorted within: dictionary-encode
-        # the strings (C), then one lexsort
-        dict_arr = terms.dictionary_encode()
-        codes = dict_arr.indices.to_numpy().astype(np.int64)
-        uniq = dict_arr.dictionary  # StringArray of unique terms
+        # ChunkedArray.dictionary_encode shares ONE dictionary across chunks
+        # (one hash-table pass, no concatenated partition-wide string array —
+        # measured 13x cheaper than concat_arrays + dictionary_encode)
+        unified = pa.chunked_array(term_parts).dictionary_encode()
+        codes = np.concatenate(
+            [c.indices.to_numpy().astype(np.int64) for c in unified.chunks]
+        )
+        uniq = unified.chunk(0).dictionary  # StringArray of unique terms
         cells = (docs * np.int64(grid_salts)) // np.int64(id_span)
-        order = np.lexsort((docs, cells, codes))
+        # sort by (code, cell, doc): ONE fused-key argsort when the key fits
+        # int64 (memory-bandwidth-bound workers: 3-key lexsort was 48% of
+        # the whole inversion), else the 3-key lexsort fallback
+        nvocab = len(uniq)
+        if nvocab * grid_salts * (id_span + 1) < 2**62:
+            fused = (codes * np.int64(grid_salts) + cells) * np.int64(
+                id_span
+            ) + docs
+            order = np.argsort(fused, kind="stable")
+        else:
+            order = np.lexsort((docs, cells, codes))
         g_docs, g_tfs = docs[order], tfs[order]
         g_codes, g_cells = codes[order], cells[order]
         key = g_codes * np.int64(grid_salts) + g_cells
         bounds = np.flatnonzero(np.diff(key)) + 1
         starts = np.concatenate(([0], bounds))
         ends = np.concatenate((bounds, [key.size]))
-        out_terms, out_salt, out_min, out_max, out_n = [], [], [], [], []
-        out_db, out_tb = [], []
-        for s, e in zip(starts, ends):
-            db, tb = codec.encode_plain(g_docs[s:e], g_tfs[s:e])
-            out_terms.append(uniq[int(g_codes[s])].as_py())
-            out_salt.append(int(g_cells[s]))
-            out_min.append(int(g_docs[s]))
-            out_max.append(int(g_docs[e - 1]))
-            out_n.append(int(e - s))
-            out_db.append(db)
-            out_tb.append(tb)
+        n = key.size
+        # delta gaps with a reset at every group start (doc_id+1 stored) —
+        # the same one-pass trick as codec.encode_postings
+        gaps = np.empty(n, dtype=np.uint64)
+        gaps[0] = np.uint64(g_docs[0] + 1)
+        if n > 1:
+            gaps[1:] = np.diff(g_docs).astype(np.uint64)
+        gaps[starts] = (g_docs[starts] + 1).astype(np.uint64)
+        tfs_u = g_tfs.astype(np.uint64)
+        # ONE varbyte encode per column for the whole partition; per-group
+        # blobs are offset slices of the shared buffer (groups are
+        # contiguous runs, so group boundaries are buffer offsets)
+        group_bounds = np.concatenate((starts, [n]))
+
+        def blob_column(vals: np.ndarray) -> pa.Array:
+            data = codec.varbyte_encode(vals)
+            prefix = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(codec.varbyte_lengths(vals), out=prefix[1:])
+            offs = prefix[group_bounds].astype(np.int32)
+            return pa.Array.from_buffers(
+                pa.binary(),
+                len(group_bounds) - 1,
+                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data)],
+            )
+
         yield pa.RecordBatch.from_arrays(
             [
-                pa.array(out_terms, pa.string()),
-                pa.array(out_salt, pa.int32()),
-                pa.array(out_min, pa.int64()),
-                pa.array(out_max, pa.int64()),
-                pa.array(out_n, pa.int64()),
-                pa.array(out_db, pa.binary()),
-                pa.array(out_tb, pa.binary()),
+                uniq.take(pa.array(g_codes[starts], pa.int64())),
+                pa.array(g_cells[starts].astype(np.int32), pa.int32()),
+                pa.array(g_docs[starts], pa.int64()),
+                pa.array(g_docs[ends - 1], pa.int64()),
+                pa.array(ends - starts, pa.int64()),
+                blob_column(gaps),
+                blob_column(tfs_u),
             ],
             schema=_SUBSEG_PA_SCHEMA,
         )
@@ -497,23 +636,24 @@ def build_index(
         adds = docs.filter(pred)
         if where:
             adds = adds.filter(F.expr(where))
-        # docIDs in input order (reference-faithful: scores.id is arrival
-        # order) — one metadata-cheap count pass, NO shuffle of raw blobs
-        part, offsets_bc = input_order_offsets(
-            adds.select("url", "warc_ts", "html")
+        in_split = input_split_bytes(spark, docs)
+        from contextlib import nullcontext
+
+        split_ctx = (
+            scan_split_bytes(spark, in_split) if in_split else nullcontext()
         )
-        # generation-0 subdirs: incremental generations append as sibling
-        # gen=N dirs and COMMIT via the manifest pointer (atomicity — see
-        # sources/catalog.committed_gen_paths)
-        fwd = part.select("html", "__pid").mapInArrow(
-            _fused_forward_pass(offsets_bc), FWD_SCHEMA
-        )
-        fwd.write.mode("overwrite").parquet(f"{fwd_path}/gen=0")
+        with split_ctx:
+            # ONE heavy scan; docIDs in input order (reference-faithful:
+            # scores.id is arrival order) via the staged projection —
+            # generation-0 subdirs: incremental generations append sibling
+            # gen=N dirs and COMMIT via the manifest pointer (atomicity —
+            # sources/catalog.committed_gen_paths)
+            materialize_forward(
+                spark, adds,
+                f"{fwd_path}/gen=0", f"{docmap_path}/gen=0",
+                f"{cat.index_dir(schema_version)}/_fwd_stage",
+            )
         fwd = spark.read.parquet(fwd_path)
-        part.select("url", "warc_ts", "__pid").mapInPandas(
-            _ids_only_pass(offsets_bc),
-            "url string, warc_ts timestamp, doc_id bigint",
-        ).write.mode("overwrite").parquet(f"{docmap_path}/gen=0")
         dm = spark.read.parquet(docmap_path)
         agg = dm.agg(
             F.count("*").alias("docs"), F.max("warc_ts").alias("cursor")
@@ -540,34 +680,40 @@ def build_index(
     # ---- phase 2: segments + dictionary -------------------------------------
     if not (resume and cat.phase_done(schema_version, "segments")):
         cat.mark_phase(schema_version, "segments", "running")
-        fwd = spark.read.parquet(fwd_path)
-        dm = spark.read.parquet(docmap_path)
-        max_doc = dm.agg(F.max("doc_id")).collect()[0][0]
-        id_span = int(max_doc) + 1 if max_doc is not None else 1
-        nparts = segment_partitions or max(
-            2, int(spark.conf.get("spark.sql.shuffle.partitions")) // 2
-        )
-        # adaptive skew cap: the heaviest term (df ~ N) spreads over ~2x the
-        # reduce partitions so no single reducer owns a whole head term —
-        # this is both the skew fix and the merge-group memory bound
-        cap = salt_group_cap or max(50_000, id_span // (2 * nparts))
-        norms_ver = int((cat.read_manifest(schema_version) or {}).get("commit_seq", 0))
-        segments, dictionary, sub = build_segments_spimi(
-            spark, fwd, id_span, cap, fwd_path, norms_ver, generation=0
-        )
-        dictionary.write.mode("overwrite").parquet(dict_path)
-        # sort within the merge's hash partitions by term_id: each output
-        # file then has narrow per-row-group term_id ranges, so query-time
-        # term_id IN (...) filters prune row groups (the Lucene
-        # term-dictionary seek analog) WITHOUT a second shuffle — a
-        # repartitionByRange here would range-SAMPLE its child and run the
-        # whole merge pipeline twice
-        with arrow_batch_rows(spark, GROUP_BATCH_ROWS):
-            (
-                segments.sortWithinPartitions("term_id", "salt")
-                .write.mode("overwrite")
-                .parquet(f"{seg_path}/gen=0")
+        # split fwd fine enough that the CPU-bound inversion has ~3 tasks
+        # per core (the session default split is tuned for html scans and
+        # under-partitions the compact fwd — measured scaling killer)
+        with scan_split_bytes(spark, fwd_split_bytes(spark, fwd_path)):
+            fwd = spark.read.parquet(fwd_path)
+            dm = spark.read.parquet(docmap_path)
+            max_doc = dm.agg(F.max("doc_id")).collect()[0][0]
+            id_span = int(max_doc) + 1 if max_doc is not None else 1
+            nparts = segment_partitions or max(
+                2, int(spark.conf.get("spark.sql.shuffle.partitions")) // 2
             )
+            # adaptive skew cap: the heaviest term (df ~ N) spreads over ~2x
+            # the reduce partitions so no single reducer owns a whole head
+            # term — both the skew fix and the merge-group memory bound
+            cap = salt_group_cap or max(50_000, id_span // (2 * nparts))
+            norms_ver = int(
+                (cat.read_manifest(schema_version) or {}).get("commit_seq", 0)
+            )
+            segments, dictionary, sub = build_segments_spimi(
+                spark, fwd, id_span, cap, fwd_path, norms_ver, generation=0
+            )
+            dictionary.write.mode("overwrite").parquet(dict_path)
+            # sort within the merge's hash partitions by term_id: each output
+            # file then has narrow per-row-group term_id ranges, so query-time
+            # term_id IN (...) filters prune row groups (the Lucene
+            # term-dictionary seek analog) WITHOUT a second shuffle — a
+            # repartitionByRange here would range-SAMPLE its child and run
+            # the whole merge pipeline twice
+            with arrow_batch_rows(spark, GROUP_BATCH_ROWS):
+                (
+                    segments.sortWithinPartitions("term_id", "salt")
+                    .write.mode("overwrite")
+                    .parquet(f"{seg_path}/gen=0")
+                )
         dictionary.unpersist()
         sub.unpersist()
         seg = spark.read.parquet(seg_path)

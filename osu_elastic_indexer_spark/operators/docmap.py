@@ -107,30 +107,3 @@ def assign_doc_ids(
 ) -> DataFrame:
     """doc_id = dense rank of url (unique PK — FIXTURES.md §1)."""
     return assign_dense_ids(df, [key_col], doc_id_col, num_partitions, start_id)
-
-
-def input_order_offsets(df: DataFrame, start_id: int = 0):
-    """Dense docIDs in INPUT order — zipWithIndex semantics, NO shuffle.
-
-    Returns (df_with___pid, offsets_bc). This is the reference-faithful id
-    assignment (scores.id is a MySQL autoincrement — arrival order, not
-    sorted; Score.cs:17,38): ids are dense per input partition with
-    cumulative offsets. Two passes over the scan: a column-pruned count per
-    partition (parquet row counts, no blob decode) and the caller's real
-    pass. Deterministic for a fixed input file set + session conf (partition
-    planning is stable); a changed input is a new build anyway.
-
-    vs assign_dense_ids: no range sampling (which decodes the full input a
-    second time) and no 1-2 GB/TB-scale shuffle of raw html. Use this for
-    the heavy build pass; keep assign_dense_ids for small keyed tables
-    (dictionary) where a total order matters.
-    """
-    spark = df.sparkSession
-    part = df.withColumn("__pid", F.spark_partition_id())
-    counts = dict(part.groupBy("__pid").count().collect())
-    offsets = {}
-    acc = start_id
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    return part, spark.sparkContext.broadcast(offsets)

@@ -119,6 +119,96 @@ def lsh_topk(
     return brute_force_topk(cand, query_vec, k, exclude_vec_id)
 
 
+def sq_dist_expr(a: Column, b: Column) -> Column:
+    """Ordered-fold squared L2 distance of two equal-length double arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def seed_centroids(embeddings: DataFrame, stride: int = 62) -> DataFrame:
+    """Deterministic IVF seed centroids: every stride-th vector (cid, cv).
+    Reproducible in ANSI SQL (vec_id % stride = 0) so the oracle sees the
+    same quantizer. Production path: kmeans_centroids() below."""
+    return embeddings.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cid"),
+        _as_double(F.col("embedding")).alias("cv"),
+    )
+
+
+def kmeans_centroids(embeddings: DataFrame, k: int = 16, seed: int = 7) -> DataFrame:
+    """Real coarse quantizer: Spark MLlib k-means over the embedding column
+    -> (cid, cv). Not SQL-reproducible (iterative), so the oracle-checked
+    entry uses seed_centroids; this is the production trainer."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    df = embeddings.select(
+        "vec_id", array_to_vector(_as_double(F.col("embedding"))).alias("features")
+    )
+    model = KMeans(k=k, seed=seed).fit(df)
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cid bigint, cv array<double>",
+    )
+
+
+def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cid): nearest-centroid assignment — the IVF coarse quantizer.
+
+    Broadcast cross join against the (small) centroid table, then struct-min
+    argmin. Distances are ROUNDED to 6 dp before the argmin so the decision
+    is bit-reproducible across engines (DuckDB oracle parity); exact ties
+    break by cid asc via the struct ordering.
+
+    At corpus scale the assignment is written once, partitioned/clustered by
+    cid — a query's nprobe cells then prune to ~nprobe/C of the data at the
+    parquet-partition level."""
+    e = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    joined = e.crossJoin(F.broadcast(centroids))
+    d = F.round(sq_dist_expr(F.col("v"), F.col("cv")), 6)
+    return (
+        joined.groupBy("vec_id")
+        .agg(F.min(F.struct(d.alias("d"), F.col("cid"))).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    stride: int = 62,
+    centroids: DataFrame | None = None,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """IVF ANN: brute-force cosine within the query's ``nprobe`` nearest
+    centroid cells. Exactness is traded for a ~nprobe/C candidate cut; with
+    nprobe = C it degenerates to exact brute force (tested)."""
+    cents = centroids if centroids is not None else seed_centroids(embeddings, stride)
+    rows = cents.collect()  # C rows — the quantizer is tiny by construction
+    qd = []
+    for r in rows:
+        s = 0.0
+        for x, y in zip([float(v) for v in r.cv], [float(v) for v in query_vec]):
+            s += (x - y) * (x - y)
+        qd.append((round(s, 6), int(r.cid)))
+    probe = [cid for _d, cid in sorted(qd)[: max(1, nprobe)]]
+    assign = ivf_assign(embeddings, cents)
+    cand = embeddings.join(
+        assign.filter(F.col("cid").isin(probe)).select("vec_id"),
+        "vec_id",
+        "left_semi",
+    )
+    return brute_force_topk(cand, query_vec, k, exclude_vec_id)
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.9, bits: int = 8
 ) -> DataFrame:

@@ -58,13 +58,14 @@ from pyspark.sql import functions as F
 from ..operators.build import (
     FWD_SCHEMA,
     GROUP_BATCH_ROWS,
-    _fused_forward_pass,
-    _ids_only_pass,
     arrow_batch_rows,
     build_segments_spimi,
     exploded_postings,
+    fwd_split_bytes,
+    materialize_forward,
+    scan_split_bytes,
 )
-from ..operators.docmap import assign_dense_ids, input_order_offsets
+from ..operators.docmap import assign_dense_ids
 from ..operators.routing import with_should_index
 from ..sources.catalog import (
     Catalog,
@@ -146,17 +147,20 @@ def incremental_update(
     n_del = new_tombs.count()
 
     # ---- fresh docIDs for additions (ids extend the space: start=max+1) ---
+    # the new generation's fwd/docmap are STAGED into their (uncommitted)
+    # gen dirs right away: one heavy scan, file-deterministic id projection
+    # (operators/build.materialize_forward); a no-op batch leaves them as
+    # orphans for clean_orphan_generations
     max_doc = docmap.agg(F.max("doc_id")).collect()[0][0]
     start_id = int(max_doc) + 1 if max_doc is not None else 0
-    part, offsets_bc = input_order_offsets(
-        adds.select("url", "warc_ts", "html"), start_id=start_id
+    fwd_gen_dir = f"{resolve_table_dir(idx, 'fwd')}/gen={gen}"
+    dm_gen_dir = f"{resolve_table_dir(idx, 'docmap')}/gen={gen}"
+    materialize_forward(
+        spark, adds, fwd_gen_dir, dm_gen_dir,
+        os.path.join(idx, "_fwd_stage"), start_id=start_id,
     )
-    fwd_new = part.select("html", "__pid").mapInArrow(
-        _fused_forward_pass(offsets_bc), FWD_SCHEMA
-    ).persist()
-    dm_new = part.select("url", "warc_ts", "__pid").mapInPandas(
-        _ids_only_pass(offsets_bc), DOCMAP_SCHEMA
-    ).persist()
+    fwd_new = spark.read.parquet(fwd_gen_dir)
+    dm_new = spark.read.parquet(dm_gen_dir)
     n_add = dm_new.count()
 
     if n_add == 0 and n_del == 0:
@@ -169,7 +173,7 @@ def incremental_update(
             ):
                 m["cursor"] = str(seen_cursor)
                 cat.write_manifest(schema_version, m)
-        for df_ in (batch, new_tombs, fwd_new, dm_new):
+        for df_ in (batch, new_tombs):
             df_.unpersist()
         return cat.read_manifest(schema_version)
 
@@ -232,28 +236,26 @@ def incremental_update(
     n_terms2 = dict2.count()
     new_cursor = batch.agg(F.max("warc_ts")).collect()[0][0]
 
-    # ---- stage the generation (ALL writes land in uncommitted dirs) --------
-    def gen_dir(table: str) -> str:
-        return f"{resolve_table_dir(idx, table)}/gen={gen}"
-
+    # ---- stage the generation (ALL writes land in uncommitted dirs;
+    #      fwd/docmap gen dirs were staged by materialize_forward above) ----
     if n_del:
-        new_tombs.write.mode("overwrite").parquet(gen_dir("tombstones"))
-    if n_add:
-        # fwd first: the segment merge loads the NEW docs' norms (doc_id,
-        # dl) executor-side from this generation dir
-        fwd_gen = gen_dir("fwd")
-        fwd_new.write.mode("overwrite").parquet(fwd_gen)
-        dm_new.write.mode("overwrite").parquet(gen_dir("docmap"))
-        if int(add_stats.postings) > 0:
-            id_span = start_id + n_add
-            cap = salt_group_cap or max(50_000, max(n_add, 1) // 8)
-            segs, _d, sub = build_segments_spimi(
-                spark, fwd_new, id_span, cap, fwd_gen, gen,
-                generation=gen, dictionary=dict2, n_terms=int(n_terms2),
+        new_tombs.write.mode("overwrite").parquet(
+            f"{resolve_table_dir(idx, 'tombstones')}/gen={gen}"
+        )
+    if int(add_stats.postings) > 0:
+        id_span = start_id + n_add
+        cap = salt_group_cap or max(50_000, max(n_add, 1) // 8)
+        # the merge loads the NEW docs' norms executor-side from the staged
+        # fwd gen dir (they are not in the committed fwd snapshot yet)
+        segs, _d, sub = build_segments_spimi(
+            spark, fwd_new, id_span, cap, fwd_gen_dir, gen,
+            generation=gen, dictionary=dict2, n_terms=int(n_terms2),
+        )
+        with arrow_batch_rows(spark, GROUP_BATCH_ROWS):
+            segs.write.mode("overwrite").parquet(
+                f"{resolve_table_dir(idx, 'segments')}/gen={gen}"
             )
-            with arrow_batch_rows(spark, GROUP_BATCH_ROWS):
-                segs.write.mode("overwrite").parquet(gen_dir("segments"))
-            sub.unpersist()
+        sub.unpersist()
     dict_name = f"dictionary_v{ver}"
     dict2.write.mode("overwrite").parquet(os.path.join(idx, dict_name))
     stats_name = f"stats_v{ver}"
@@ -293,7 +295,7 @@ def incremental_update(
         _, _, suffix = name.rpartition("_v")
         if suffix.isdigit() and int(suffix) <= ver - 2:
             shutil.rmtree(os.path.join(idx, name), ignore_errors=True)
-    for df_ in (batch, new_tombs, fwd_new, dm_new, merged, dict2):
+    for df_ in (batch, new_tombs, merged, dict2):
         df_.unpersist()
     return cat.read_manifest(schema_version)
 
@@ -341,28 +343,31 @@ def compact_index(
 
     tombs = _read_committed(spark, idx, "tombstones", TOMB_SCHEMA)
     fwd_old_paths = committed_gen_paths(idx, "fwd")
-    fwd = spark.read.parquet(*fwd_old_paths).join(tombs, "doc_id", "left_anti")
-    dictionary = spark.read.parquet(resolve_table_dir(idx, "dictionary")).filter(
-        F.col("df") > 0
-    )
-    docmap = _read_committed(spark, idx, "docmap", DOCMAP_SCHEMA).join(
-        tombs, "doc_id", "left_anti"
-    )
-    id_span = int(docmap.agg(F.max("doc_id")).collect()[0][0]) + 1
-    cap = salt_group_cap or max(50_000, id_span // 64)
-    # norms from the PRE-compaction fwd snapshot (includes dead docs —
-    # harmless, their entries are never indexed by live postings)
-    segs, _d, sub = build_segments_spimi(
-        spark, fwd, id_span, cap,
-        tuple(fwd_old_paths), int(m.get("commit_seq", 0)),
-        generation=0, dictionary=dictionary,
-    )
     names = {}
-    with arrow_batch_rows(spark, GROUP_BATCH_ROWS):
-        names["segments"] = f"segments_v{ver}"
-        segs.sortWithinPartitions("term_id", "salt").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(idx, names["segments"], "gen=0"))
+    with scan_split_bytes(
+        spark, fwd_split_bytes(spark, resolve_table_dir(idx, "fwd"))
+    ):
+        fwd = spark.read.parquet(*fwd_old_paths).join(tombs, "doc_id", "left_anti")
+        dictionary = spark.read.parquet(
+            resolve_table_dir(idx, "dictionary")
+        ).filter(F.col("df") > 0)
+        docmap = _read_committed(spark, idx, "docmap", DOCMAP_SCHEMA).join(
+            tombs, "doc_id", "left_anti"
+        )
+        id_span = int(docmap.agg(F.max("doc_id")).collect()[0][0]) + 1
+        cap = salt_group_cap or max(50_000, id_span // 64)
+        # norms from the PRE-compaction fwd snapshot (includes dead docs —
+        # harmless, their entries are never indexed by live postings)
+        segs, _d, sub = build_segments_spimi(
+            spark, fwd, id_span, cap,
+            tuple(fwd_old_paths), int(m.get("commit_seq", 0)),
+            generation=0, dictionary=dictionary,
+        )
+        with arrow_batch_rows(spark, GROUP_BATCH_ROWS):
+            names["segments"] = f"segments_v{ver}"
+            segs.sortWithinPartitions("term_id", "salt").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(idx, names["segments"], "gen=0"))
     sub.unpersist()
     for table, df_ in (("fwd", fwd), ("docmap", docmap)):
         names[table] = f"{table}_v{ver}"

@@ -135,6 +135,59 @@ def test_ann_multiprobe_recovers_recall(spark):
     assert recalls[bits + 1] >= 0.9, f"multi-probe recall too low: {recalls}"
 
 
+def test_ann_ivf_probe_all_is_exact(spark):
+    """IVF with nprobe == #centroids degenerates to exact brute force; a
+    small nprobe still recalls planted near neighbors (they share the
+    query's cell by construction of nearest-centroid assignment)."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    vecs = {0: rng.normal(size=16)}
+    for i in range(1, 9):
+        vecs[i] = vecs[0] + rng.normal(size=16) * 0.05  # query's cluster
+    for i in range(9, 400):
+        vecs[i] = rng.normal(size=16) * 2.0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id bigint, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[0]]
+    brute = [(r.vec_id, r.cos) for r in similarity.brute_force_topk(df, q, 10, 0).collect()]
+    n_cents = df.filter(F.col("vec_id") % 50 == 0).count()
+    exact = [
+        (r.vec_id, r.cos)
+        for r in similarity.ivf_topk(
+            df, q, 10, nprobe=n_cents, stride=50, exclude_vec_id=0
+        ).collect()
+    ]
+    assert exact == brute  # all cells probed == exhaustive
+    approx = {
+        r.vec_id
+        for r in similarity.ivf_topk(
+            df, q, 10, nprobe=1, stride=50, exclude_vec_id=0
+        ).collect()
+    }
+    hits = {v for v, _c in brute} & approx
+    assert len(hits) >= 8  # planted cluster lands in the query's cell
+
+
+def test_ann_ivf_kmeans_trainer_smoke(spark):
+    """MLlib k-means coarse quantizer trains and plugs into ivf_topk."""
+    import numpy as np
+
+    rng = np.random.default_rng(29)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(120)],
+        "vec_id bigint, embedding array<float>",
+    )
+    cents = similarity.kmeans_centroids(df, k=4)
+    assert cents.count() == 4
+    q = [float(x) for x in rng.normal(size=8)]
+    got = similarity.ivf_topk(df, q, 5, nprobe=4, centroids=cents).collect()
+    brute = similarity.brute_force_topk(df, q, 5).collect()
+    assert [r.vec_id for r in got] == [r.vec_id for r in brute]
+
+
 def test_ngram_jaccard_reuses_shingles(planted):
     """The jaccard plan must read the persisted shingle table (InMemory
     scans), not recompute tokenize->shingle->md5 per consumer."""
