@@ -432,6 +432,15 @@ def q_dedup_simhash(spark, sf_dir):
     )
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: banded candidate join + exact popcount verify
+    (never all-pairs)."""
+    from osu_elastic_indexer_spark.operators.dedup import simhash_band_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash_band_pairs(d, max_hamming=6).orderBy("doc_a", "doc_b")
+
+
 def q_dedup_embedding_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs within LSH sign buckets."""
     from osu_elastic_indexer_spark.operators.similarity import (
@@ -684,17 +693,39 @@ def _bands_sql_cte(doc_filter: str = "TRUE") -> str:
     return _minhash_sql_cte(doc_filter) + f",\n  bands AS ({unions})"
 
 
-def _simhash_sql(bits: int = 32) -> str:
-    terms = " + ".join(
+def _simhash_terms_sql(bits: int = 32) -> str:
+    return " + ".join(
         f"CASE WHEN list_sum(list_transform(hv, h -> CASE WHEN (h & (CAST(1 AS BIGINT) << {b})) > 0 THEN 1 ELSE -1 END)) > 0 "
         f"THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END"
         for b in range(bits)
     )
+
+
+def _simhash_sql(bits: int = 32) -> str:
     return f"""
 WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
   tk AS (SELECT doc_id, {_toks_sql()} AS toks FROM docs),
   hs AS (SELECT doc_id, list_transform(toks, t -> {_hash32_sql('t')}) AS hv FROM tk)
-SELECT doc_id, ({terms})::BIGINT AS simhash FROM hs ORDER BY doc_id
+SELECT doc_id, ({_simhash_terms_sql(bits)})::BIGINT AS simhash FROM hs ORDER BY doc_id
+"""
+
+
+def _simhash_pairs_sql(max_hamming: int = 16, scope: int = 200) -> str:
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < {scope}),
+  tk AS (SELECT doc_id, {_toks_sql()} AS toks FROM docs),
+  tk2 AS (SELECT doc_id, toks FROM tk WHERE len(toks) > 0),
+  hs AS (SELECT doc_id, list_transform(toks, t -> {_hash32_sql('t')}) AS hv FROM tk2),
+  sh AS (SELECT doc_id, ({_simhash_terms_sql(32)})::BIGINT AS sig FROM hs),
+  bands AS (
+    SELECT doc_id, sig, band, (sig >> (8 * band)) & 255 AS val
+    FROM sh, (SELECT unnest(generate_series(0, 3)) AS band)
+  )
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sig, b.sig)) AS hamming
+FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+ORDER BY doc_a, doc_b
 """
 
 
@@ -759,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
@@ -907,6 +939,7 @@ JOIN sh sb ON sb.doc_id = doc_b
 ORDER BY doc_a, doc_b
 """,
         "dedup_simhash": _simhash_sql(32),
+        "dedup_simhash_pairs": _simhash_pairs_sql(6, 200),
         "dedup_embedding_pairs": f"""
 WITH eb AS (
   SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings

@@ -84,28 +84,32 @@ def best_of(n_executors: int, corpus_path: str, repeats: int) -> dict:
     return max(runs, key=lambda r: r["docs_per_sec"])
 
 
+def _bw_heavy(_i):
+    """One process's dose of the build's sort/gather kernel (module-level —
+    multiprocessing must pickle it)."""
+    import time as _time
+
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    docs = rng.integers(0, 1_400_000, 3_000_000).astype("int64")
+    t0 = _time.time()
+    for _ in range(3):
+        order = docs.argsort(kind="stable")
+        g = docs[order]
+        _d = g[1:] - g[:-1]
+    return _time.time() - t0
+
+
 def bandwidth_contention() -> dict:
     """Per-process slowdown of the build's sort/gather kernel at rising
     process counts — quantifies the single-box memory-bandwidth artifact."""
     import multiprocessing as mp
-    import time
-
-    def heavy(_):
-        import numpy as np
-
-        rng = np.random.default_rng(1)
-        docs = rng.integers(0, 1_400_000, 3_000_000).astype("int64")
-        t0 = time.time()
-        for _i in range(3):
-            order = docs.argsort(kind="stable")
-            g = docs[order]
-            _d = g[1:] - g[:-1]
-        return time.time() - t0
 
     out = {}
     for n in (2, 4, 8, 16):
         with mp.Pool(n) as p:
-            r = p.map(heavy, range(n))
+            r = p.map(_bw_heavy, range(n))
         out[str(n)] = round(sum(r) / len(r), 2)
     return out
 

@@ -135,6 +135,16 @@ def test_ann_multiprobe_recovers_recall(spark):
     assert recalls[bits + 1] >= 0.9, f"multi-probe recall too low: {recalls}"
 
 
+def test_simhash_band_pairs_finds_planted(planted):
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_band_pairs(planted, max_hamming=6).collect()
+    }
+    assert pairs[(0, 1)] == 0 and pairs[(0, 5)] == 0 and pairs[(9, 10)] == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 6  # near dup
+    assert (3, 4) not in pairs  # unrelated
+
+
 def test_ann_ivf_probe_all_is_exact(spark):
     """IVF with nprobe == #centroids degenerates to exact brute force; a
     small nprobe still recalls planted near neighbors (they share the
