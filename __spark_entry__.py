@@ -422,6 +422,59 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER assignment: connected components over the verified
+    jaccard pair graph (transitive closure — a~b, b~c land in one cluster),
+    singletons included; keep = one survivor per cluster."""
+    from osu_elastic_indexer_spark.operators.dedup import (
+        duplicate_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.5)
+    return duplicate_clusters(pairs, docs=d.select("doc_id")).orderBy("doc_id")
+
+
+def q_corpus_select(spark, sf_dir):
+    """End-to-end curation composition: drop near-dup non-survivors
+    (transitive clusters), keep quality >= 0.5, report per-predicted-lang
+    doc counts + BPE token budget — the selection job a training-data run
+    executes over the whole corpus. Cluster survivors semi-join the corpus
+    on doc_id; everything downstream is map-side + one final groupBy."""
+    from osu_elastic_indexer_spark.functions.analysis import (
+        lang_id_expr,
+        quality_score_expr,
+        token_counts_expr,
+    )
+    from osu_elastic_indexer_spark.operators.dedup import (
+        duplicate_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    clusters = duplicate_clusters(
+        ngram_jaccard_pairs(d, threshold=0.5), docs=d.select("doc_id")
+    )
+    keep = clusters.filter(F.col("keep")).select("doc_id")
+    _ws, bpe = token_counts_expr(F.col("text"))
+    sel = (
+        d.join(keep, "doc_id", "left_semi")
+        .withColumn("quality", quality_score_expr(F.col("text")))
+        .filter(F.col("quality") >= 0.5)
+        .withColumn("pred_lang", lang_id_expr(F.col("text")))
+        .withColumn("bpe", bpe)
+    )
+    return (
+        sel.groupBy("pred_lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("bpe").cast("bigint").alias("bpe_tokens"),
+        )
+        .orderBy("pred_lang")
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash signatures (bitwise tf-weighted majority)."""
     from osu_elastic_indexer_spark.operators.dedup import simhash32
@@ -693,6 +746,37 @@ def _bands_sql_cte(doc_filter: str = "TRUE") -> str:
     return _minhash_sql_cte(doc_filter) + f",\n  bands AS ({unions})"
 
 
+def _clusters_sql_ctes(threshold: float = 0.5) -> str:
+    """bands -> verified jaccard pairs -> symmetric edges -> recursive
+    reachability -> comp(doc_id, cluster_id). Callers prepend WITH RECURSIVE."""
+    return (
+        _bands_sql_cte()
+        + f""",
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT doc_a, doc_b FROM pairs
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b
+  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= {threshold}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION SELECT doc_b, doc_a FROM verified
+),
+walk(doc_id, reach) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+),
+comp AS (SELECT doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY doc_id)"""
+    )
+
+
 def _simhash_terms_sql(bits: int = 32) -> str:
     return " + ".join(
         f"CASE WHEN list_sum(list_transform(hv, h -> CASE WHEN (h & (CAST(1 AS BIGINT) << {b})) > 0 THEN 1 ELSE -1 END)) > 0 "
@@ -789,6 +873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_bands": q_dedup_minhash_bands,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "corpus_select": q_corpus_select,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
@@ -937,6 +1023,52 @@ FROM pairs
 JOIN sh sa ON sa.doc_id = doc_a
 JOIN sh sb ON sb.doc_id = doc_b
 ORDER BY doc_a, doc_b
+""",
+        "dedup_clusters": f"""
+WITH RECURSIVE {_clusters_sql_ctes(0.5)}
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id)::BIGINT AS cluster_id,
+       d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+ORDER BY d.doc_id
+""",
+        "corpus_select": f"""
+WITH RECURSIVE {_clusters_sql_ctes(0.5)},
+keepers AS (
+  SELECT d.doc_id, d.text
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+  WHERE d.doc_id = COALESCE(c.cluster_id, d.doc_id)
+),
+ktk AS (SELECT doc_id, text, {_toks_sql()} AS toks FROM keepers),
+kq AS (
+  SELECT doc_id, text, toks,
+    ROUND(((CASE WHEN len(toks) >= 100 THEN 1.0 WHEN len(toks) >= 20 THEN 0.5 ELSE 0.0 END)
+      + (CASE WHEN len(toks) > 0
+              AND CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','for','with','on','that'))) AS DOUBLE) / len(toks) >= 0.01
+              AND CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','for','with','on','that'))) AS DOUBLE) / len(toks) <= 0.5
+         THEN 1.0 ELSE 0.0 END)
+      + (CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END)
+      ) / 3.0, 4) AS quality
+  FROM ktk
+),
+sel AS (
+  SELECT doc_id, text, toks,
+    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','is'))) AS DOUBLE) / len(toks) ELSE 0.0 END AS en,
+    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> t IN ('der','und','die','das','ist'))) AS DOUBLE) / len(toks) ELSE 0.0 END AS de,
+    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> t IN ('le','la','et','les','des'))) AS DOUBLE) / len(toks) ELSE 0.0 END AS fr,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(toks,
+        t -> CAST(1 AS BIGINT) + CASE WHEN length(t) > 4 THEN CAST(floor((length(t)-1)/4) AS BIGINT) ELSE 0 END)),
+      (a, x) -> a + x) AS bpe
+  FROM kq WHERE quality >= 0.5
+)
+SELECT CASE WHEN en >= de AND en >= fr AND en > 0.01 THEN 'en'
+            WHEN de >= fr AND de > 0.01 THEN 'de'
+            WHEN fr > 0.01 THEN 'fr'
+            ELSE 'unknown' END AS pred_lang,
+       count(*)::BIGINT AS n_docs,
+       sum(bpe)::BIGINT AS bpe_tokens
+FROM sel GROUP BY 1 ORDER BY pred_lang
 """,
         "dedup_simhash": _simhash_sql(32),
         "dedup_simhash_pairs": _simhash_pairs_sql(6, 200),

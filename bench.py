@@ -121,6 +121,19 @@ def main() -> None:
         fn(spark, sf_dir).collect()
         queries[name] = round(time.time() - t0, 3)
 
+    # fold in the committed scaling-efficiency evidence (bench/scaling.py,
+    # the north_rule N-vs-4N artifact) when a recorded run exists
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench", "scaling_results.json"
+    )
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            sc = json.load(f)
+        extras["scaling_pairs"] = sc.get("pairs")
+        extras["scaling_docs"] = next(
+            (lv.get("docs") for lv in sc.get("levels", {}).values()), None
+        )
+
     total = round(sum(queries.values()), 3)
     out = {
         "metric": "total_bench_sec",

@@ -69,6 +69,11 @@ def run_level(
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
+    phases = {
+        p: e.get("wall_sec")
+        for p, e in manifest.get("phases", {}).items()
+        if e.get("wall_sec") is not None
+    }
     return {
         "executors": n_executors,
         "cores": cores,
@@ -76,6 +81,7 @@ def run_level(
         "build_sec": round(t_build, 2),
         "docs_per_sec": round(n / t_build, 1),
         "wand_batch20_sec": round(t_wand, 2),
+        "phase_sec": phases,
     }
 
 
@@ -143,6 +149,12 @@ def main() -> None:
         "bandwidth_contention_per_proc_sec": bandwidth_contention(),
     }
     print(json.dumps(out))
+    # committed artifact: bench.py folds this into its JSON line so the
+    # per-round BENCH record carries the north_rule scaling evidence
+    res_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "scaling_results.json")
+    with open(res_path, "w") as f:
+        json.dump(out, f, indent=1)
     print("\n| executors x cores | docs | build sec | docs/sec | per-core | wand batch20 sec |")
     print("|---|---|---|---|---|---|")
     for lv in levels:

@@ -247,6 +247,12 @@ class Catalog:
         entry = m["phases"].setdefault(phase, {})
         entry["status"] = status
         entry["ts_utc"] = time.time()
+        if status == "running":
+            entry["ts_start"] = entry["ts_utc"]
+        elif status == "done" and "ts_start" in entry:
+            # per-phase wall time — the scaling harness reads this to show
+            # WHERE a parallelism level loses efficiency
+            entry["wall_sec"] = round(entry["ts_utc"] - entry["ts_start"], 2)
         entry.update(info)
         self.write_manifest(schema, m)
 

@@ -135,6 +135,35 @@ def test_ann_multiprobe_recovers_recall(spark):
     assert recalls[bits + 1] >= 0.9, f"multi-probe recall too low: {recalls}"
 
 
+def test_duplicate_clusters_transitive(planted):
+    pairs = dedup.ngram_jaccard_pairs(planted, threshold=0.5)
+    res = {
+        r.doc_id: (r.cluster_id, r.keep)
+        for r in dedup.duplicate_clusters(
+            pairs, docs=planted.select("doc_id")
+        ).collect()
+    }
+    # {0,1,2,5} one cluster (2 joins via near-dup of 0: transitive)
+    assert res[0] == (0, True)
+    assert res[1] == (0, False) and res[2] == (0, False) and res[5] == (0, False)
+    assert res[9] == (9, True) and res[10] == (9, False)
+    for single in (3, 4, 6, 7, 8, 11):
+        assert res[single] == (single, True)
+    assert len(res) == 12
+
+
+def test_duplicate_clusters_chain(spark):
+    """Propagation crosses a diameter-3 chain: 1-2-3-4 is ONE cluster even
+    though (1,4) is not an edge."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a bigint, doc_b bigint"
+    )
+    res = {
+        r.doc_id: r.cluster_id for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert res == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
 def test_simhash_band_pairs_finds_planted(planted):
     pairs = {
         (r.doc_a, r.doc_b): r.hamming
