@@ -509,6 +509,29 @@ def _merge_subsegments_arrow(generation: int, norms_path: str, norms_version: in
     return run
 
 
+def write_dict_by_term(dictionary: DataFrame, path: str) -> None:
+    """Term-SORTED projection of the dictionary (term, term_id, df) — the
+    Lucene term-dictionary-seek analog. The primary dictionary table is
+    term_id-ordered (= df-ordered), so a query-time `term IN (...)` lookup
+    on it prunes NOTHING and at 10^8 terms becomes a full-vocabulary scan
+    per query batch. This projection is globally range-partitioned and
+    sorted by term with small parquet row groups, so term lookups touch
+    only the row groups whose [min,max] term range covers a query term.
+
+    The range sample re-reads ``dictionary`` — callers pass the PERSISTED
+    frame (both call sites hold it cached), so the extra pass is a cache
+    scan, not a pipeline re-run."""
+    (
+        dictionary.select("term", "term_id", "df")
+        .repartitionByRange(F.col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        # ~fine-grained row groups: a term seek should read KBs, not 128 MB
+        .option("parquet.block.size", str(1 << 21))
+        .parquet(path)
+    )
+
+
 # above this many dictionary rows the tokens⋈dictionary join stops
 # broadcasting (a 10^8-term dictionary OOMs driver+executors) and becomes a
 # shuffle join — AQE's skew splitting handles head terms
@@ -702,6 +725,9 @@ def build_index(
                 spark, fwd, id_span, cap, fwd_path, norms_ver, generation=0
             )
             dictionary.write.mode("overwrite").parquet(dict_path)
+            write_dict_by_term(
+                dictionary, cat.table_path(schema_version, "dict_by_term")
+            )
             # sort within the merge's hash partitions by term_id: each output
             # file then has narrow per-row-group term_id ranges, so query-time
             # term_id IN (...) filters prune row groups (the Lucene

@@ -54,19 +54,28 @@ class LocalSearcher:
         st = pq.read_table(resolve_table_dir(index_dir, "stats")).to_pylist()[0]
         self.n_docs = int(st["n_docs"])
         self.avgdl = float(st["avgdl"])
-        # dictionary: term -> (term_id, df); tiny at toy scale. At 10^8
-        # terms a searcher would mmap an FST / sorted term file instead —
-        # same contract (term -> id, df).
-        d = pq.read_table(
-            resolve_table_dir(index_dir, "dictionary"),
-            columns=["term", "term_id", "df"],
-        )
-        self._dict = dict(
-            zip(
-                d.column("term").to_pylist(),
-                zip(d.column("term_id").to_pylist(), d.column("df").to_pylist()),
+        # term -> (term_id, df): lazy row-group-pruned lookups on the
+        # term-SORTED dict_by_term projection when the index has one (the
+        # Lucene term-dictionary-seek analog — a searcher never holds 10^8
+        # terms in a python dict); resolved terms are memoized. Indexes
+        # without the projection fall back to one eager full load.
+        bt = resolve_table_dir(index_dir, "dict_by_term")
+        self._dict: dict[str, tuple[int, int]] = {}
+        self._dict_ds = ds.dataset(bt) if os.path.isdir(bt) else None
+        if self._dict_ds is None:
+            d = pq.read_table(
+                resolve_table_dir(index_dir, "dictionary"),
+                columns=["term", "term_id", "df"],
             )
-        )
+            self._dict = dict(
+                zip(
+                    d.column("term").to_pylist(),
+                    zip(
+                        d.column("term_id").to_pylist(),
+                        d.column("df").to_pylist(),
+                    ),
+                )
+            )
         # norms + tombstones via the shared executor-side loaders (sorted
         # int64 arrays; the Lucene live-docs/norms analog a searcher keeps
         # hot) — committed snapshot paths, keyed by the manifest's monotonic
@@ -107,10 +116,39 @@ class LocalSearcher:
             lst.sort(key=lambda e: e["doc_min"])
         return rows
 
+    def _resolve_terms(self, terms: list[str]) -> None:
+        """Memoize term -> (term_id, df) for unseen terms via ONE pruned
+        read of the term-sorted projection (no-op without it: the fallback
+        eagerly loaded everything). Misses are memoized as absent so a hot
+        OOV term never re-reads."""
+        if self._dict_ds is None:
+            return
+        miss = [t for t in terms if t not in self._dict]
+        if not miss:
+            return
+        tbl = self._dict_ds.to_table(
+            columns=["term", "term_id", "df"],
+            filter=ds.field("term").isin(miss),
+        )
+        found = dict(
+            zip(
+                tbl.column("term").to_pylist(),
+                zip(
+                    tbl.column("term_id").to_pylist(),
+                    tbl.column("df").to_pylist(),
+                ),
+            )
+        )
+        for t in miss:
+            self._dict[t] = found.get(t)
+
     def search(self, query_text: str, k: int = 10) -> list[tuple[int, float]]:
         """-> [(doc_id, score)] — rank-identical to oracle and Spark paths."""
         terms = sorted(set(tokenize(query_text)))
-        infos = [(t, self._dict[t]) for t in terms if t in self._dict]
+        self._resolve_terms(terms)
+        infos = [
+            (t, self._dict[t]) for t in terms if self._dict.get(t) is not None
+        ]
         if not infos:
             return []
         rows = self._load_term_rows([tid for _t, (tid, _df) in infos])

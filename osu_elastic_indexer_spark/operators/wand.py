@@ -22,6 +22,7 @@ merge needs no physical pass (operators/build.py module doc).
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -404,7 +405,16 @@ def wand_topk(
         return spark.createDataFrame([], RESULT_SCHEMA)
     all_terms = sorted({t for _, t in qterms})
 
-    dictionary = spark.read.parquet(resolve_table_dir(index_dir, "dictionary"))
+    # term -> (term_id, df) via the term-SORTED projection when the index
+    # has one: the IN filter is pushed to the scan and parquet min/max
+    # stats prune to the row groups covering the query terms (the Lucene
+    # term-seek analog; the primary dictionary is term_id-ordered and a
+    # term lookup on it is a full-vocabulary scan at 10^8 terms)
+    bt_dir = resolve_table_dir(index_dir, "dict_by_term")
+    dict_dir = bt_dir if os.path.isdir(bt_dir) else resolve_table_dir(
+        index_dir, "dictionary"
+    )
+    dictionary = spark.read.parquet(dict_dir)
     dict_rows = dictionary.filter(F.col("term").isin(all_terms)).collect()
     term_info = {r.term: (int(r.term_id), int(r.df)) for r in dict_rows}
     tids = [ti[0] for ti in term_info.values()]

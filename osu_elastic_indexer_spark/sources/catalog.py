@@ -35,7 +35,8 @@ from dataclasses import dataclass, field
 from typing import Any
 
 TABLES = (
-    "docmap", "dictionary", "segments", "stats", "tombstones", "fwd"
+    "docmap", "dictionary", "dict_by_term", "segments", "stats",
+    "tombstones", "fwd",
 )
 
 # on-disk index format version: bump when the segment/table layout changes

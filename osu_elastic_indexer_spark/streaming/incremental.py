@@ -64,6 +64,7 @@ from ..operators.build import (
     fwd_split_bytes,
     materialize_forward,
     scan_split_bytes,
+    write_dict_by_term,
 )
 from ..operators.docmap import assign_dense_ids
 from ..operators.routing import with_should_index
@@ -258,6 +259,8 @@ def incremental_update(
         sub.unpersist()
     dict_name = f"dictionary_v{ver}"
     dict2.write.mode("overwrite").parquet(os.path.join(idx, dict_name))
+    dict_bt_name = f"dict_by_term_v{ver}"
+    write_dict_by_term(dict2, os.path.join(idx, dict_bt_name))
     stats_name = f"stats_v{ver}"
     spark.createDataFrame(
         [(n_docs2, sum_dl2, float(sum_dl2) / n_docs2 if n_docs2 else 0.0,
@@ -271,7 +274,10 @@ def incremental_update(
     old_tables = dict(m.get("tables") or {})
     m["generations"] = gen + 1
     m["table_ver"] = ver
-    m["tables"] = {**old_tables, "dictionary": dict_name, "stats": stats_name}
+    m["tables"] = {
+        **old_tables, "dictionary": dict_name,
+        "dict_by_term": dict_bt_name, "stats": stats_name,
+    }
     if new_cursor is not None and (m["cursor"] is None or str(new_cursor) > m["cursor"]):
         m["cursor"] = str(new_cursor)
     old_counters = m.get("counters") or {}
@@ -378,12 +384,17 @@ def compact_index(
     dictionary.write.mode("overwrite").parquet(
         os.path.join(idx, names["dictionary"])
     )
+    names["dict_by_term"] = f"dict_by_term_v{ver}"
+    write_dict_by_term(dictionary, os.path.join(idx, names["dict_by_term"]))
 
     # ATOMIC commit, then GC every superseded dir (incl. all tombstones)
     m = cat.read_manifest(schema_version)
     old_dirs = [
         resolve_table_dir(idx, t)
-        for t in ("segments", "fwd", "docmap", "dictionary", "tombstones")
+        for t in (
+            "segments", "fwd", "docmap", "dictionary", "dict_by_term",
+            "tombstones",
+        )
     ]
     m["tables"] = {**(m.get("tables") or {}), **names}
     m["generations"] = 1

@@ -88,6 +88,42 @@ def test_spimi_dict_join_flips_over_threshold(spark, tmp_path):
         spark.conf.set(key, old)
 
 
+def test_dict_by_term_lookup_is_pruned_seek(spark, tmp_path):
+    """Query-time term lookups must hit the term-SORTED dict_by_term
+    projection with the IN filter pushed to the scan (the term-seek analog;
+    the primary dictionary is term_id-ordered so a term filter on it prunes
+    nothing), and the projection must be term-sorted within files so parquet
+    min/max stats actually cut row groups."""
+    import pyarrow.parquet as pq_
+    from pyspark.sql import functions as F
+
+    from osu_elastic_indexer_spark.operators.build import build_index
+    from osu_elastic_indexer_spark.sources.catalog import Catalog
+    from osu_elastic_indexer_spark.sources.fixtures import write_corpus
+
+    p = write_corpus(str(tmp_path / "c.parquet"), 300)
+    cat = Catalog(str(tmp_path / "idx"))
+    build_index(spark, spark.read.parquet(p), cat, "v1")
+    bt_dir = cat.table_path("v1", "dict_by_term")
+    scan = spark.read.parquet(bt_dir).filter(F.col("term").isin(["zebra"]))
+    plan = scan._jdf.queryExecution().toString()
+    assert "PushedFilters" in plan and "term" in plan.split("PushedFilters")[-1]
+    # physically sorted by term within every file
+    import glob
+    import os as _os
+
+    for f in glob.glob(_os.path.join(bt_dir, "*.parquet")):
+        terms = pq_.read_table(f, columns=["term"]).column("term").to_pylist()
+        assert terms == sorted(terms), f
+    # projection is consistent with the primary dictionary
+    d1 = spark.read.parquet(cat.table_path("v1", "dictionary"))
+    d2 = spark.read.parquet(bt_dir)
+    assert d1.count() == d2.count()
+    assert d1.select("term", "term_id").exceptAll(
+        d2.select("term", "term_id")
+    ).count() == 0
+
+
 def test_segments_scan_prunes_by_term_id(spark, tmp_path):
     """Query-time term_id IN (...) must reach the segments scan as a pushed
     filter (the Lucene term-seek analog)."""
