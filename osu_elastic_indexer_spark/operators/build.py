@@ -635,6 +635,12 @@ def build_index(
     cat = catalog
     cat.find_or_create_index(schema_version)
     cat.assert_writable(schema_version)  # T6 stale-builder guard
+    if not resume:
+        # full rebuild = fresh index life: wipe table dirs + versioned
+        # pointers + generations from any previous (possibly incrementally
+        # grown) life — otherwise bare fwd/docmap reads below discover the
+        # old gen=1+ dirs and the old tombstones poison the new docIDs
+        cat.reset_tables(schema_version)
 
     docmap_path = cat.table_path(schema_version, "docmap")
     dict_path = cat.table_path(schema_version, "dictionary")

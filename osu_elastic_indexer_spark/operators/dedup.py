@@ -105,7 +105,14 @@ def _bit_vote(b: int):
 
 def simhash32(text: Column) -> Column:
     """32-bit SimHash over term hashes weighted by tf (map-side only)."""
-    toks = tokens_expr(text)
+    return simhash32_from_tokens(tokens_expr(text))
+
+
+def simhash32_from_tokens(toks: Column) -> Column:
+    """SimHash from an already-computed token array column — callers that
+    also need the tokens (e.g. an emptiness gate) materialize them once in
+    a prior projection instead of paying the tokenize regex chain twice
+    (Catalyst does not share subexpressions across projection/filter)."""
     h = F.transform(toks, hash32_expr)
     bits = F.array(
         *[
@@ -130,9 +137,12 @@ def simhash_band_pairs(
     complete for hamming <= 3 (4 bands, 3 flipped bits can break at most 3
     bands); larger thresholds get standard banded-LSH recall, never an
     all-pairs join. Verification is an exact popcount on the joined pair."""
-    withsig = docs.select(
-        "doc_id", simhash32(F.col(text_col)).alias("sig")
-    ).filter(F.size(tokens_expr(F.col(text_col))) > 0)
+    toks = docs.select(
+        "doc_id", tokens_expr(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") > 0)
+    withsig = toks.select(
+        "doc_id", simhash32_from_tokens(F.col("toks")).alias("sig")
+    )
     bands = withsig.select(
         "doc_id",
         "sig",
@@ -285,8 +295,10 @@ def duplicate_clusters(
         .withColumn("label", F.col("doc_id"))
         .persist()
     )
-    labels.count()
+    converged = labels.count() == 0  # no edges -> nothing to propagate
     for it in range(max_iter):
+        if converged:
+            break
         # candidate label for each node: min over its neighbors' labels
         nbr = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -312,8 +324,17 @@ def duplicate_clusters(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # silent truncation would emit one true component as several
+        # clusters with several keep=True survivors — a dedup pipeline
+        # quietly keeping duplicates. Fail loudly instead.
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in max_iter={max_iter} "
+            "rounds (pair-graph diameter exceeds the cap); raise max_iter"
+        )
     out = labels.select("doc_id", F.col("label").alias("cluster_id"))
     if docs is not None:
         singles = docs.join(out, "doc_id", "left_anti").select(
@@ -321,6 +342,10 @@ def duplicate_clusters(
         )
         out = out.union(singles)
     return out.withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+
+
+# previous call's persisted shingle frame (see ngram_jaccard_pairs)
+_LAST_SH: DataFrame | None = None
 
 
 def ngram_jaccard_pairs(
@@ -332,8 +357,19 @@ def ngram_jaccard_pairs(
     The shingle table is computed ONCE and persisted: the band derivation,
     the pairs join, and both verify-join sides all read the cached frame —
     at corpus scale the md5-per-shingle work dominates, so recomputing it
-    per consumer (3x) was the plan's biggest waste."""
+    per consumer (3x) was the plan's biggest waste. The cache is bounded:
+    each call unpersists the PREVIOUS call's shingle frame (at most one
+    lives per session; unpersisting our own after return would force the
+    lazy consumer to recompute it 3x)."""
+    global _LAST_SH
+    if _LAST_SH is not None:
+        # unpersist BEFORE persisting the new frame: a repeat call over the
+        # same source produces an identical logical plan, which Spark's
+        # CacheManager maps to one shared cache entry — unpersisting the
+        # old frame afterwards would drop the new frame's cache with it
+        _LAST_SH.unpersist()
     sh = shingle_table(docs, text_col, n).persist()
+    _LAST_SH = sh
     pairs = lsh_candidate_pairs(bands=bands_from_shingles(sh))
     j = (
         pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")

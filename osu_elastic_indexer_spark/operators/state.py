@@ -13,10 +13,13 @@ Lucene live-docs bitmaps + norms, which searchers load per segment).
 * tombstones: sorted int64 array of deleted docIDs; membership via
   searchsorted (vectorized in TAAT, binary-search in BMW).
 
-Caching: one entry per (kind, path); the cache key carries the index's
-monotonic manifest ``commit_seq`` so a committed change invalidates, while a
-batch of queries/merge-groups on the same worker pays one load. A newer
-version evicts the older one (bounded memory).
+Caching: at most one entry per (kind, INDEX) — inserting evicts every other
+entry of the same kind under the same index root, since the committed-gen
+path tuple grows each generation and exact-key replacement would leak one
+dense array per commit on a long-lived executor. The cache key's version is
+the index's monotonic manifest ``commit_seq`` so a committed change
+invalidates, while a batch of queries/merge-groups on the same worker pays
+one load.
 
 Sharding note for 10^12 docs: a single dense norms array is per-SHARD state
 (docID ranges partition across searchers, exactly as segments do); the
@@ -38,12 +41,28 @@ def _as_tuple(paths) -> tuple[str, ...]:
     return (paths,) if isinstance(paths, str) else tuple(paths)
 
 
+def _index_root(path: str) -> str:
+    """Index directory a table path belongs to: <idx>/<table>[/gen=N]."""
+    if os.path.basename(path).startswith("gen="):
+        path = os.path.dirname(path)
+    return os.path.dirname(path)
+
+
 def _cached(kind: str, paths: tuple[str, ...], version: int, loader):
     key = (kind, paths)
     hit = _CACHE.get(key)
     if hit is not None and hit[0] == version:
         return hit[1]
     val = loader()
+    # evict by (kind, index root), not by exact key: the committed-gen path
+    # tuple GROWS every generation, so exact-key replacement would retain
+    # one dense norms array per commit on a long-lived executor (unbounded)
+    root = _index_root(paths[0]) if paths else ""
+    for k in [
+        k for k in _CACHE
+        if k[0] == kind and (_index_root(k[1][0]) if k[1] else "") == root
+    ]:
+        del _CACHE[k]
     _CACHE[key] = (version, val)
     return val
 

@@ -223,8 +223,16 @@ def taat_topk(
 
 
 # BMW pays off above this many total candidate postings (decode-everything
-# cost crosses the python-loop cost); tuned on local[32] at sf0.1
-TAAT_MAX_POSTINGS = 1_000_000
+# cost crosses the python-loop cost). Measured at 360k docs: TAAT beats BMW
+# ~7x on a dense single-term query ('the': 0.30s vs 2.1s — no skipping is
+# possible when every doc matches, so BMW degrades to a per-block python
+# loop), and at 1.44M docs the old 1M threshold routed head-term queries to
+# BMW for 14-18s p90 while TAAT does them in ~1s. TAAT memory is ~30
+# bytes/posting (decoded ids + float64 contribs) -> ~300 MB at this cap,
+# safe inside a 4 GB worker alongside the O(n_docs) norms array it already
+# holds. Beyond the cap, per-term decode volume makes block-max skipping
+# the only sub-linear option.
+TAAT_MAX_POSTINGS = 10_000_000
 
 
 def bmw_topk(

@@ -235,6 +235,37 @@ class Catalog:
             self.add_active_schema(schema)
         return m
 
+    def reset_tables(self, schema: str) -> None:
+        """Start a FRESH index life for a full rebuild: remove every table
+        dir (plain names AND the versioned dirs the manifest's table
+        pointers reference) and clear the lifecycle state (pointers,
+        generations, cursor, counters, phases).
+
+        Without this, a full rebuild over an index that lived through
+        incremental generations silently reads the OLD life's state: bare
+        parquet reads of fwd/docmap partition-discover stale gen=1+ dirs
+        into the new stats, the previous life's tombstones/gen=0 kills the
+        new docIDs, and the manifest's dictionary_vN pointer shadows the
+        freshly written dictionary. Rebuild must mean rebuild."""
+        import shutil
+
+        idx = self.index_dir(schema)
+        m = self.read_manifest(schema)
+        if m is None:
+            return
+        names = set(TABLES) | set((m.get("tables") or {}).values())
+        for name in names:
+            shutil.rmtree(os.path.join(idx, name), ignore_errors=True)
+        for d in m.get("gc_pending") or []:
+            shutil.rmtree(d, ignore_errors=True)
+        m["gc_pending"] = []
+        m["tables"] = {}
+        m["generations"] = 0
+        m["cursor"] = None
+        m["counters"] = {}
+        m["phases"] = {}
+        self.write_manifest(schema, m)
+
     # -- phase checkpoints (T8 per-partition lineage + metrics) -------------
     def phase_done(self, schema: str, phase: str) -> bool:
         m = self.read_manifest(schema) or {}

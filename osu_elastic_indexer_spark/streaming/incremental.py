@@ -117,6 +117,7 @@ def incremental_update(
     idx = cat.index_dir(schema_version)
     # T7 replay safety: remove anything a crashed generation left behind
     clean_orphan_generations(idx)
+    _drain_gc_pending(cat, schema_version)
     gen = int(m["generations"])
     ver = int(m.get("table_ver", 0)) + 1
 
@@ -246,10 +247,21 @@ def incremental_update(
     if int(add_stats.postings) > 0:
         id_span = start_id + n_add
         cap = salt_group_cap or max(50_000, max(n_add, 1) // 8)
+        # norms version must be UNIQUE PER ATTEMPT, not per generation: a
+        # crash-and-replay of the same gen re-stages fwd_gen_dir with
+        # possibly different (doc_id -> dl) packing, and reused python
+        # workers would serve the crashed attempt's cached norms for the
+        # same (path, version) key. mark_phase bumps the manifest's
+        # monotonic commit_seq, so reading it here gives each attempt a
+        # fresh cache version (and a staging wall-time record).
+        cat.mark_phase(schema_version, f"incremental_gen{gen}", "running")
+        norms_ver = int(
+            (cat.read_manifest(schema_version) or {}).get("commit_seq", 0)
+        )
         # the merge loads the NEW docs' norms executor-side from the staged
         # fwd gen dir (they are not in the committed fwd snapshot yet)
         segs, _d, sub = build_segments_spimi(
-            spark, fwd_new, id_span, cap, fwd_gen_dir, gen,
+            spark, fwd_new, id_span, cap, fwd_gen_dir, norms_ver,
             generation=gen, dictionary=dict2, n_terms=int(n_terms2),
         )
         with arrow_batch_rows(spark, GROUP_BATCH_ROWS):
@@ -329,6 +341,19 @@ def backfill_with_switch(
     return m
 
 
+def _drain_gc_pending(cat: Catalog, schema_version: str) -> None:
+    """Delete dirs a PREVIOUS compaction superseded (writer-entry deferred
+    GC: by the time the next writer runs, any reader that pinned the old
+    snapshot has long finished)."""
+    m = cat.read_manifest(schema_version)
+    if not m or not m.get("gc_pending"):
+        return
+    for d in m["gc_pending"]:
+        shutil.rmtree(d, ignore_errors=True)
+    m["gc_pending"] = []
+    cat.write_manifest(schema_version, m)
+
+
 def compact_index(
     spark: SparkSession,
     catalog: Catalog,
@@ -344,6 +369,7 @@ def compact_index(
     cat.assert_writable(schema_version)
     idx = cat.index_dir(schema_version)
     clean_orphan_generations(idx)
+    _drain_gc_pending(cat, schema_version)
     m = cat.read_manifest(schema_version)
     ver = int(m.get("table_ver", 0)) + 1
 
@@ -386,8 +412,17 @@ def compact_index(
     )
     names["dict_by_term"] = f"dict_by_term_v{ver}"
     write_dict_by_term(dictionary, os.path.join(idx, names["dict_by_term"]))
+    # repoint tombstones at a fresh EMPTY versioned name (never written —
+    # readers of a missing dir see no tombstones); the old dir must outlive
+    # the swap for pinned readers, so it cannot simply be deleted here
+    names["tombstones"] = f"tombstones_v{ver}"
 
-    # ATOMIC commit, then GC every superseded dir (incl. all tombstones)
+    # ATOMIC commit; superseded dirs are NOT deleted here — a reader that
+    # pinned its snapshot pre-swap (LocalSearcher holds file lists; an
+    # in-flight wand job planned against the old committed paths) must be
+    # able to finish. They are recorded as gc_pending and removed on the
+    # NEXT writer entry (_drain_gc_pending), the same deferred-cleanup
+    # contract the incremental path's one-version grace window gives.
     m = cat.read_manifest(schema_version)
     old_dirs = [
         resolve_table_dir(idx, t)
@@ -399,8 +434,9 @@ def compact_index(
     m["tables"] = {**(m.get("tables") or {}), **names}
     m["generations"] = 1
     m["table_ver"] = ver
+    m["gc_pending"] = sorted(
+        set(m.get("gc_pending") or []) | set(old_dirs)
+    )
     cat.write_manifest(schema_version, m)
     cat.mark_phase(schema_version, "compact", "done")
-    for d in old_dirs:
-        shutil.rmtree(d, ignore_errors=True)
     return cat.read_manifest(schema_version)

@@ -105,14 +105,16 @@ def watch(
     )
     if available_now:
         q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
     else:
         q = writer.trigger(processingTime=poll_interval).start()
-        try:
-            q.awaitTermination()
-        except Exception:
-            if state["stop_reason"] is None:
-                raise
+    try:
+        q.awaitTermination()
+    except Exception:
+        # a T10 schema move is the MIRRORED self-stop, not a failure — in
+        # BOTH trigger modes (the reference's checkSchema deregisters and
+        # returns cleanly, ScoreIndexer.cs:72-74); anything else propagates
+        if state["stop_reason"] is None:
+            raise
     # final gauge: the in-batch reading runs before the offset commit, so
     # refresh once the stream has fully drained/stopped
     m = cat.read_manifest(schema_version)
@@ -121,7 +123,12 @@ def watch(
             queue_dir, f"{cat.index_dir(schema_version)}/_stream_checkpoint"
         )
         cat.write_manifest(schema_version, m)
-    return cat.read_manifest(schema_version)
+    out = cat.read_manifest(schema_version) or {}
+    if state["stop_reason"]:
+        # surfaced, not raised: the T10 self-stop is normal shutdown; the
+        # un-consumed batch stays pending for the new schema's watcher
+        out = {**out, "stop_reason": state["stop_reason"]}
+    return out
 
 
 def push_batch(spark: SparkSession, docs_df, queue_dir: str) -> None:
@@ -206,7 +213,14 @@ def queue_depth(queue_dir: str, checkpoint_dir: str | None = None) -> dict:
                         except json.JSONDecodeError:
                             continue
                         path = entry.get("path", "")
-                        seen.add(os.path.abspath(path.removeprefix("file:")))
+                        # the source log stores a URI — percent-decode it or
+                        # paths with spaces/non-ASCII never match the disk
+                        # path and the gauge never drains
+                        from urllib.parse import unquote, urlparse
+
+                        if "://" in path or path.startswith("file:"):
+                            path = unquote(urlparse(path).path)
+                        seen.add(os.path.abspath(path))
     pending = sorted(all_files - seen)
     rows = 0
     for p in pending:

@@ -199,6 +199,37 @@ def test_idempotent_noop_batch(spark, evolved, incr_index):
     assert m2["counters"] == m1["counters"]
 
 
+def test_rebuild_over_lived_index_resets_old_life(
+    spark, evolved, tmp_path_factory
+):
+    """A full (non-resume) rebuild of a schema that went through incremental
+    generations must start a FRESH life: no stale gen=1+ dirs in stats, no
+    old-life tombstones poisoning the new docIDs, no versioned dictionary
+    pointer shadowing the new dictionary. The rebuilt index must equal a
+    from-scratch build of the same corpus."""
+    base_p, final_p, _base, final = evolved
+    root = str(tmp_path_factory.mktemp("idx_rebuild"))
+    cat = Catalog(root)
+    build_index(spark, spark.read.parquet(base_p), cat, "v1")
+    incremental_update(spark, spark.read.parquet(final_p), cat, "v1")
+    m_lived = cat.read_manifest("v1")
+    assert m_lived["generations"] == 2  # precondition: index has a history
+
+    m_rebuilt = build_index(spark, spark.read.parquet(final_p), cat, "v1")
+    assert m_rebuilt["generations"] == 1
+
+    fresh_root = str(tmp_path_factory.mktemp("idx_fresh"))
+    fresh_cat = Catalog(fresh_root)
+    m_fresh = build_index(
+        spark, spark.read.parquet(final_p), fresh_cat, "v1"
+    )
+    assert m_rebuilt["counters"]["docs"] == m_fresh["counters"]["docs"]
+    assert m_rebuilt["counters"]["postings"] == m_fresh["counters"]["postings"]
+
+    oidx, urls = _oracle_for(final)
+    _check_all_queries(spark, cat.index_dir("v1"), oidx, urls, "rebuilt")
+
+
 def test_compaction_preserves_results(spark, evolved, incr_index):
     _bp, _fp, _base, final = evolved
     cat, _ = incr_index

@@ -82,11 +82,22 @@ def test_watch_idempotent_on_empty_queue(stream_env):
 
 
 def test_watch_stops_when_schema_moves(stream_env, tmp_path):
-    """T10: current schema moved to another version -> watcher refuses."""
+    """T10: current schema moved to another version -> watcher self-stops
+    CLEANLY (the reference's checkSchema deregister, ScoreIndexer.cs:72-74),
+    consumes nothing, and surfaces the reason — in availableNow mode too,
+    not just --follow."""
     spark, queue_dir, cat, base_p, *_ = stream_env
+    adds_before = (cat.read_manifest("v1") or {}).get("counters", {}).get(
+        "adds_total"
+    )
     cat.find_or_create_index("v2")
     cat.update_alias("v2")  # control channel now points elsewhere
     push_batch(spark, spark.read.parquet(base_p).limit(5), queue_dir)
-    with pytest.raises(Exception, match="schema moved|IndexClosed"):
-        watch(spark, queue_dir, cat, "v1", available_now=True)
+    m = watch(spark, queue_dir, cat, "v1", available_now=True)
+    assert "schema moved" in m.get("stop_reason", "")
+    # nothing was consumed into the stale schema
+    adds_after = (cat.read_manifest("v1") or {}).get("counters", {}).get(
+        "adds_total"
+    )
+    assert adds_after == adds_before
     cat.update_alias("v1")  # restore for other tests
