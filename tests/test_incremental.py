@@ -246,6 +246,41 @@ def test_compaction_preserves_results(spark, evolved, incr_index):
     _check_all_queries(spark, cat.index_dir("v1"), oidx, ourls, "compacted")
 
 
+def test_compaction_grace_window_for_pinned_readers(
+    spark, evolved, tmp_path_factory
+):
+    """A searcher that pinned its snapshot BEFORE compaction must finish its
+    queries after the swap (superseded dirs go to gc_pending, deleted only
+    on the next writer entry — never under a live reader)."""
+    import os
+
+    from osu_elastic_indexer_spark.operators.serve import LocalSearcher
+
+    base_p, final_p, _base, _final = evolved
+    root = str(tmp_path_factory.mktemp("idx_grace"))
+    cat = Catalog(root)
+    build_index(spark, spark.read.parquet(base_p), cat, "v1")
+    incremental_update(spark, spark.read.parquet(final_p), cat, "v1")
+
+    pinned = LocalSearcher(cat.index_dir("v1"))
+    before = pinned.search("zebra", 10)
+    compact_index(spark, cat, "v1")
+    # pinned reader still serves identical results from the old snapshot
+    assert pinned.search("zebra", 10) == before
+    m = cat.read_manifest("v1")
+    assert m["gc_pending"], "compaction must defer deletion"
+    for d in m["gc_pending"]:
+        assert os.path.isdir(d), f"deleted under a pinned reader: {d}"
+    # next writer entry drains the pending dirs
+    incremental_update(spark, spark.read.parquet(final_p), cat, "v1")
+    m2 = cat.read_manifest("v1")
+    assert not m2.get("gc_pending")
+    for d in m["gc_pending"]:
+        assert not os.path.isdir(d)
+    # a fresh searcher over the compacted index agrees
+    assert LocalSearcher(cat.index_dir("v1")).search("zebra", 10) == before
+
+
 def test_two_phase_cutover(spark, evolved, tmp_path_factory):
     """T9: pump-all --switch analog — build at snapshot, catch-up, swap."""
     base_p, final_p, _b, final = evolved
