@@ -88,11 +88,14 @@ class LocalSearcher:
         self.tombstones = load_tombstones(
             tuple(committed_gen_paths(index_dir, "tombstones")), seq
         )
-        self._segments = ds.dataset(
-            _parquet_files(tuple(committed_gen_paths(index_dir, "segments")))
-        )
+        # empty-corpus / all-deleted indexes commit with zero segment files;
+        # pyarrow raises on an empty file list, so serve empty results instead
+        seg_files = _parquet_files(tuple(committed_gen_paths(index_dir, "segments")))
+        self._segments = ds.dataset(seg_files) if seg_files else None
 
     def _load_term_rows(self, term_ids: list[int]) -> dict[int, list[dict]]:
+        if self._segments is None:
+            return {}
         tbl = self._segments.to_table(
             columns=_SEG_COLS, filter=ds.field("term_id").isin(term_ids)
         )

@@ -115,7 +115,13 @@ def clean_orphan_generations(index_dir: str) -> list[str]:
             if tables_map.get(base) != name and int(suffix) >= ver:
                 shutil.rmtree(p)
                 removed.append(p)
-            continue
+                continue
+            if tables_map.get(base) != name:
+                continue
+            # pointed-at versioned dir: fall through to the gen= subdir
+            # cleanup below — a crashed incremental after a compaction
+            # stages gen=N inside segments_vK/tombstones_vK etc., and
+            # those orphans must be cleared exactly like plain-name dirs
         if name in TABLES or name in tables_map.values():
             for sub in list(os.listdir(p)):
                 if sub.startswith("gen="):

@@ -308,8 +308,14 @@ def incremental_update(
         adds=int(n_add), deletes=int(n_del), terms=int(n_terms2),
     )
     # GC superseded versioned dirs (keep one version of history behind the
-    # pointer as a reader grace window; compaction clears the rest)
+    # pointer as a reader grace window; compaction clears the rest). Only
+    # dirs whose pointer MOVED in this commit are candidates: after a
+    # compaction, segments/fwd/docmap/tombstones stay pinned at _vK across
+    # incremental commits, so an unconditional suffix<=ver-2 sweep would
+    # rmtree the live data on the second incremental.
     for table, name in old_tables.items():
+        if m["tables"].get(table) == name:
+            continue  # still current — not superseded
         _, _, suffix = name.rpartition("_v")
         if suffix.isdigit() and int(suffix) <= ver - 2:
             shutil.rmtree(os.path.join(idx, name), ignore_errors=True)
@@ -386,21 +392,28 @@ def compact_index(
         docmap = _read_committed(spark, idx, "docmap", DOCMAP_SCHEMA).join(
             tombs, "doc_id", "left_anti"
         )
-        id_span = int(docmap.agg(F.max("doc_id")).collect()[0][0]) + 1
-        cap = salt_group_cap or max(50_000, id_span // 64)
-        # norms from the PRE-compaction fwd snapshot (includes dead docs —
-        # harmless, their entries are never indexed by live postings)
-        segs, _d, sub = build_segments_spimi(
-            spark, fwd, id_span, cap,
-            tuple(fwd_old_paths), int(m.get("commit_seq", 0)),
-            generation=0, dictionary=dictionary,
-        )
-        with arrow_batch_rows(spark, GROUP_BATCH_ROWS):
-            names["segments"] = f"segments_v{ver}"
-            segs.sortWithinPartitions("term_id", "salt").write.mode(
-                "overwrite"
-            ).parquet(os.path.join(idx, names["segments"], "gen=0"))
-    sub.unpersist()
+        max_live = docmap.agg(F.max("doc_id")).collect()[0][0]
+        names["segments"] = f"segments_v{ver}"
+        if max_live is None:
+            # fully-deleted index: commit an EMPTY (absent) segments dir —
+            # readers treat a missing/empty table as zero postings
+            sub = None
+        else:
+            id_span = int(max_live) + 1
+            cap = salt_group_cap or max(50_000, id_span // 64)
+            # norms from the PRE-compaction fwd snapshot (includes dead docs
+            # — harmless, their entries are never indexed by live postings)
+            segs, _d, sub = build_segments_spimi(
+                spark, fwd, id_span, cap,
+                tuple(fwd_old_paths), int(m.get("commit_seq", 0)),
+                generation=0, dictionary=dictionary,
+            )
+            with arrow_batch_rows(spark, GROUP_BATCH_ROWS):
+                segs.sortWithinPartitions("term_id", "salt").write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(idx, names["segments"], "gen=0"))
+    if sub is not None:
+        sub.unpersist()
     for table, df_ in (("fwd", fwd), ("docmap", docmap)):
         names[table] = f"{table}_v{ver}"
         df_.write.mode("overwrite").parquet(

@@ -281,6 +281,101 @@ def test_compaction_grace_window_for_pinned_readers(
     assert LocalSearcher(cat.index_dir("v1")).search("zebra", 10) == before
 
 
+def test_incrementals_after_compaction_keep_live_data(
+    spark, evolved, tmp_path_factory
+):
+    """Regression (ADVICE r2, high): the post-commit version GC must never
+    delete a versioned dir the NEW manifest still points at. After
+    compact_index repoints segments/fwd/docmap/tombstones to *_vK,
+    incremental commits only move dictionary/stats pointers — the second
+    incremental after a compaction used to rmtree the live segments_vK."""
+    import os
+
+    base_p, final_p, _base, final = evolved
+    root = str(tmp_path_factory.mktemp("idx_gc_live"))
+    cat = Catalog(root)
+    build_index(spark, spark.read.parquet(base_p), cat, "v1")
+    compact_index(spark, cat, "v1")
+    seg_dir = cat.table_path("v1", "segments")
+    assert seg_dir.rpartition("_v")[2].isdigit()  # pinned at a versioned dir
+
+    # two incrementals past the compaction: first moves ver to K+1 (grace
+    # window holds), second to K+2 (the old bug's deletion point)
+    incremental_update(spark, spark.read.parquet(final_p), cat, "v1")
+    extra = evolve_corpus(final, n_new=50, n_update=10, n_flip=5)
+    extra_p = os.path.join(root, "extra.parquet")
+    pq.write_table(extra, extra_p)
+    incremental_update(spark, spark.read.parquet(extra_p), cat, "v1")
+
+    assert cat.table_path("v1", "segments") == seg_dir
+    assert os.path.isdir(seg_dir), "live segments dir was GC'd"
+    oidx, ourls = _oracle_for(extra)
+    _check_all_queries(spark, cat.index_dir("v1"), oidx, ourls, "post-compact-gc")
+
+
+def test_orphan_gen_cleanup_inside_versioned_dirs(
+    spark, evolved, tmp_path_factory
+):
+    """Regression (ADVICE r2, medium): a crashed incremental AFTER a
+    compaction stages gen=N inside the pointed-at versioned dirs
+    (segments_vK/gen=1, tombstones_vK/gen=1); clean_orphan_generations must
+    remove those exactly like plain-name gen orphans."""
+    import os
+
+    from osu_elastic_indexer_spark.sources.catalog import (
+        clean_orphan_generations,
+    )
+
+    base_p, _fp, _base, _final = evolved
+    root = str(tmp_path_factory.mktemp("idx_vgen_orphan"))
+    cat = Catalog(root)
+    build_index(spark, spark.read.parquet(base_p), cat, "v1")
+    compact_index(spark, cat, "v1")
+    idx = cat.index_dir("v1")
+    m = cat.read_manifest("v1")
+    assert m["generations"] == 1
+
+    # simulate a crashed incremental: stale gen=1 staged inside the
+    # pointed-at versioned tables, plus one in a plain-named table
+    planted = []
+    for table in ("segments", "tombstones"):
+        d = os.path.join(cat.table_path("v1", table), "gen=1")
+        os.makedirs(d, exist_ok=True)
+        open(os.path.join(d, "part-0.parquet"), "wb").close()
+        planted.append(d)
+
+    removed = clean_orphan_generations(idx)
+    for d in planted:
+        assert not os.path.isdir(d), f"stale orphan survived: {d}"
+        assert d in removed
+
+
+def test_searcher_on_index_with_no_segments(spark, tmp_path_factory):
+    """Regression (ADVICE r2, low): an index whose live corpus is empty
+    (all docs deleted, compacted away) commits zero segment files; the
+    searcher must serve empty results, not raise in pyarrow."""
+    from osu_elastic_indexer_spark.operators.serve import LocalSearcher
+
+    base = generate_documents(60)
+    root = str(tmp_path_factory.mktemp("idx_empty"))
+    import os
+
+    base_p = os.path.join(root, "base.parquet")
+    pq.write_table(base, base_p)
+    cat = Catalog(root)
+    docs = spark.read.parquet(base_p)
+    build_index(spark, docs, cat, "v1")
+    # delete every indexed url via the queue path (urls missing from source)
+    indexed = spark.read.parquet(cat.table_path("v1", "docmap")).select("url")
+    m = incremental_update(
+        spark, docs.limit(0), cat, "v1", queue_urls=indexed
+    )
+    assert m["counters"]["docs"] == 0
+    compact_index(spark, cat, "v1")
+    s = LocalSearcher(cat.index_dir("v1"))
+    assert s.search("zebra", 10) == []
+
+
 def test_two_phase_cutover(spark, evolved, tmp_path_factory):
     """T9: pump-all --switch analog — build at snapshot, catch-up, swap."""
     base_p, final_p, _b, final = evolved
