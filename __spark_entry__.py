@@ -519,35 +519,98 @@ def q_ann_bruteforce(spark, sf_dir):
     return brute_force_topk(e, _query_vec(spark, sf_dir), 10, exclude_vec_id=0)
 
 
-def q_ann_lsh(spark, sf_dir):
-    """ANN: cosine top-10 within the query's sign-LSH bucket."""
-    from osu_elastic_indexer_spark.operators.similarity import lsh_topk
+def _ann_index_dir(spark, sf_dir) -> str:
+    """Build (once, cached by corpus size) the materialized ANN index —
+    bucket-partitioned LSH table + cid-partitioned IVF inverted lists
+    (operators/ann_index.py). The ann_* queries below route through these
+    stored structures, so CORRECTNESS checks the scale path, not the
+    on-the-fly spec path."""
+    import os
+
+    from osu_elastic_indexer_spark.operators.ann_index import (
+        ANN_FORMAT,
+        build_ann_index,
+        read_ann_meta,
+    )
 
     e = _t(spark, sf_dir, "embeddings")
-    return lsh_topk(e, _query_vec(spark, sf_dir), 10, bits=8, exclude_vec_id=0)
+    n = e.count()
+    root = f"/tmp/oei_driver_ann/{os.path.basename(sf_dir.rstrip('/'))}_{n}"
+    meta = read_ann_meta(root)
+    if (
+        meta is None
+        or meta.get("format") != ANN_FORMAT
+        or meta.get("n_rows") != n
+        or meta.get("bits") != 8
+    ):
+        build_ann_index(spark, e, root, bits=8, stride=62)
+    return root
+
+
+def q_ann_lsh(spark, sf_dir):
+    """ANN: cosine top-10 within the query's sign-LSH bucket (seeded random
+    hyperplanes), served from the STORED bucket-partitioned table — the
+    probe set is a partition filter (plan-asserted in tests/test_plans.py)."""
+    from osu_elastic_indexer_spark.operators.ann_index import lsh_topk_indexed
+
+    return lsh_topk_indexed(
+        spark, _ann_index_dir(spark, sf_dir), _query_vec(spark, sf_dir),
+        10, probes=1, exclude_vec_id=0,
+    )
 
 
 def q_ann_lsh_multiprobe(spark, sf_dir):
     """ANN with multi-probe: query bucket + all Hamming-1 neighbor buckets
-    (probes=bits+1) — the recall-preserving scale path for shrinking buckets."""
-    from osu_elastic_indexer_spark.operators.similarity import lsh_topk
+    (probes=bits+1) — the recall-preserving scale path for shrinking
+    buckets; partition-pruned over the stored bucket table."""
+    from osu_elastic_indexer_spark.operators.ann_index import lsh_topk_indexed
 
-    e = _t(spark, sf_dir, "embeddings")
-    return lsh_topk(
-        e, _query_vec(spark, sf_dir), 10, bits=8, exclude_vec_id=0, probes=9
+    return lsh_topk_indexed(
+        spark, _ann_index_dir(spark, sf_dir), _query_vec(spark, sf_dir),
+        10, probes=9, exclude_vec_id=0,
     )
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF ANN: brute-force cosine within the query's 2 nearest coarse-
-    quantizer cells (deterministic seed centroids: vec_id % 62 == 0 — SQL-
-    reproducible; production trains with MLlib k-means, similarity.py)."""
-    from osu_elastic_indexer_spark.operators.similarity import ivf_topk
+    """IVF ANN over the MATERIALIZED inverted lists: the cid-partitioned
+    assignment is written once at index-build (deterministic seed centroids:
+    vec_id % 62 == 0 — SQL-reproducible; production trains with MLlib
+    k-means); the query prunes to its 2 nearest cells' partitions."""
+    from osu_elastic_indexer_spark.operators.ann_index import ivf_topk_indexed
 
-    e = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(
-        e, _query_vec(spark, sf_dir), 10, nprobe=2, stride=62, exclude_vec_id=0
+    return ivf_topk_indexed(
+        spark, _ann_index_dir(spark, sf_dir), _query_vec(spark, sf_dir),
+        10, nprobe=2, exclude_vec_id=0,
     )
+
+
+def q_ann_index_stats(spark, sf_dir):
+    """Contents audit of the materialized ANN index: per-structure
+    (lsh bucket / ivf cell) membership counts read from the STORED
+    partitioned tables — the oracle recomputes both assignments from the
+    raw embeddings in SQL, so a drifted stored table hash-mismatches."""
+    idx = _ann_index_dir(spark, sf_dir)
+    lsh = (
+        spark.read.parquet(f"{idx}/lsh")
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            F.lit("lsh").alias("structure"),
+            F.col("bucket").cast("bigint").alias("key"),
+            "n",
+        )
+    )
+    ivf = (
+        spark.read.parquet(f"{idx}/ivf")
+        .groupBy("cid")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            F.lit("ivf").alias("structure"),
+            F.col("cid").cast("bigint").alias("key"),
+            "n",
+        )
+    )
+    return lsh.unionByName(ivf).orderBy("structure", "key")
 
 
 def q_ta_langid(spark, sf_dir):
@@ -679,14 +742,21 @@ def q_wand_bm25_topk(spark, sf_dir):
         )
         build_index(spark, docs, cat, "v1")
     res = wand_topk(spark, cat.index_dir("v1"), [(0, FLAGSHIP_QUERY)], 10)
-    docmap = spark.read.parquet(f"{cat.index_dir('v1')}/docmap")
+    from osu_elastic_indexer_spark.sources.catalog import committed_gen_paths
+
+    docmap = spark.read.parquet(
+        *committed_gen_paths(cat.index_dir("v1"), "docmap")
+    )
+    # order by the RAW score (ties at 4dp break by the unrounded value, then
+    # doc_id) to mirror the oracle's raw-order ranking exactly
     return (
         res.join(docmap, "doc_id")
         .select(
             F.col("url").cast("bigint").alias("doc_id"),
-            F.round("score", 4).alias("score"),
+            F.col("score").alias("raw"),
         )
-        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .orderBy(F.desc("raw"), F.asc("doc_id"))
+        .select("doc_id", F.round("raw", 4).alias("score"))
     )
 
 
@@ -838,12 +908,32 @@ def _cos_sql(a: str, b: str) -> str:
     return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
 
 
-_BUCKET_SQL = (
-    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-    "list_transform(generate_series(0, 7), "
-    "i -> CASE WHEN CAST(embedding[i+1] AS DOUBLE) >= 0 "
-    "THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)), (a, x) -> a + x)"
-)
+def _bucket_sql(col: str = "embedding", bits: int = 8, dim: int = 64) -> str:
+    """Sign-LSH bucket matching ann_index.hyperplane_bucket_expr exactly:
+    the SAME seeded hyperplane literals (random_hyperplanes is the single
+    source), each dot an ordered left fold with init 0.0 — bit-identical to
+    the Spark/python folds."""
+    from osu_elastic_indexer_spark.operators.ann_index import (
+        random_hyperplanes,
+    )
+
+    planes = random_hyperplanes(dim, bits)
+    parts = []
+    for i, p in enumerate(planes):
+        lits = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        dot = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {dim}), "
+            f"i -> CAST({col}[i] AS DOUBLE) * ({lits})[i])), (a, x) -> a + x)"
+        )
+        parts.append(
+            f"CASE WHEN {dot} >= 0 THEN CAST({1 << i} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END"
+        )
+    return "(" + " + ".join(parts) + ")"
+
+
+_BUCKET_SQL = _bucket_sql()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -882,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf": q_ann_ivf,
+        "ann_index_stats": q_ann_index_stats,
         "ta_langid": q_ta_langid,
         "ta_quality": q_ta_quality,
         "ta_token_counts": q_ta_token_counts,
@@ -1132,6 +1223,27 @@ SELECT e.vec_id, ROUND({_cos_sql("e.embedding", "qe")}, 6) AS cos
 FROM embeddings e JOIN assign USING (vec_id), q
 WHERE assign.cid IN (SELECT cid FROM probe) AND e.vec_id <> 0
 ORDER BY cos DESC, vec_id ASC LIMIT 10
+""",
+        # recompute BOTH stored assignments (lsh bucket, ivf cell) from the
+        # raw embeddings: a drifted materialized table hash-mismatches here
+        "ann_index_stats": f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 62 = 0),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+      ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY ROUND({_sqdist_sql("e.embedding", "c.cv")}, 6), c.cid
+      ) AS rn
+    FROM embeddings e, c
+  ) WHERE rn = 1
+)
+SELECT 'ivf' AS structure, cid::BIGINT AS key, count(*)::BIGINT AS n
+FROM assign GROUP BY cid
+UNION ALL
+SELECT 'lsh' AS structure, ({_BUCKET_SQL})::BIGINT AS key, count(*)::BIGINT AS n
+FROM embeddings GROUP BY 2
+ORDER BY structure, key
 """,
         "ta_langid": f"""
 WITH tk AS (SELECT doc_id, {_toks_sql()} AS toks FROM documents),

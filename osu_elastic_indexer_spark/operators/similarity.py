@@ -10,9 +10,10 @@ ordinal sum in the SQL oracle; scores surfaced rounded.
 Scale notes:
   * brute force is one broadcast of the query vector + a TakeOrderedAndProject
     — exact, O(n·d), the right baseline and the verifier for ANN variants.
-  * sign-LSH buckets (hyperplane = coordinate signs here; swap in random
-    projections for production) cut candidates by ~2^bits; recall measured
-    against the brute-force baseline in tests.
+  * sign-LSH buckets (seeded random hyperplanes, ann_index.py) cut
+    candidates by ~2^bits; recall measured against the brute-force baseline
+    in tests. The bucket expressions here are the on-the-fly spec; the
+    materialized bucket-partitioned table in ann_index.py is the scale path.
   * embedding near-dup: pairwise cosine within buckets — the standard
     blocked self-join, never O(n^2) across the corpus.
 """
@@ -62,24 +63,13 @@ def brute_force_topk(
     return out.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
 
 
-def sign_bucket_expr(vec: Column, bits: int = 8) -> Column:
-    """LSH bucket: sign bits of the first `bits` coordinates packed into an
-    int. (Production: signs of dot products with seeded random hyperplanes —
-    same shape, same join.)"""
-    total = F.lit(0).cast("bigint")
-    for i in range(bits):
-        total = total + F.when(
-            F.element_at(vec, i + 1) >= 0, F.lit(1 << i).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-    return total
+def _default_planes(embeddings: DataFrame, bits: int) -> list[list[float]]:
+    """Seeded random hyperplanes sized to the corpus's vector dim (one tiny
+    head() to read the dim; callers that know it pass planes explicitly)."""
+    from .ann_index import random_hyperplanes
 
-
-def query_bucket(query_vec: list[float], bits: int = 8) -> int:
-    qb = 0
-    for i in range(bits):
-        if float(query_vec[i]) >= 0:
-            qb |= 1 << i
-    return qb
+    first = embeddings.select(F.size("embedding").alias("d")).head()
+    return random_hyperplanes(int(first.d) if first is not None else 0, bits)
 
 
 def probe_buckets(bucket: int, bits: int, probes: int) -> list[int]:
@@ -105,16 +95,28 @@ def lsh_topk(
     bits: int = 8,
     exclude_vec_id: int | None = None,
     probes: int = 1,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
-    """ANN: brute-force cosine within the query's sign bucket plus its
-    ``probes-1`` nearest (Hamming-adjacent) buckets. probes=1 is the classic
-    single-bucket lookup (recall falls off a cliff as buckets shrink);
-    probes=bits+1 covers all Hamming-1 neighbors — tests assert the recall
-    difference vs the brute-force baseline. The IN-list stays a pushable
-    scan filter, so the candidate cut is still ~probes/2^bits of the corpus."""
-    buckets = probe_buckets(query_bucket(query_vec, bits), bits, probes)
+    """ANN: brute-force cosine within the query's sign-LSH bucket (seeded
+    random hyperplanes) plus its ``probes-1`` nearest (Hamming-adjacent)
+    buckets. probes=1 is the classic single-bucket lookup (recall falls off
+    a cliff as buckets shrink); probes=bits+1 covers all Hamming-1
+    neighbors — tests assert the recall difference vs brute force.
+
+    NOTE on scale: the bucket here is a COMPUTED expression, so this is the
+    on-the-fly spec path — every row is still scanned (the cut is compute,
+    not IO). The scale path is ann_index.lsh_topk_indexed over the STORED
+    bucket-partitioned table, where the probe set prunes at the
+    parquet-partition level."""
+    from .ann_index import hyperplane_bucket, hyperplane_bucket_expr
+
+    if planes is None:
+        planes = _default_planes(embeddings, bits)
+    buckets = probe_buckets(hyperplane_bucket(query_vec, planes), bits, probes)
     cand = embeddings.filter(
-        sign_bucket_expr(_as_double(F.col("embedding")), bits).isin(buckets)
+        hyperplane_bucket_expr(_as_double(F.col("embedding")), planes).isin(
+            buckets
+        )
     )
     return brute_force_topk(cand, query_vec, k, exclude_vec_id)
 
@@ -210,14 +212,23 @@ def ivf_topk(
 
 
 def embedding_near_dup_pairs(
-    embeddings: DataFrame, threshold: float = 0.9, bits: int = 8
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    bits: int = 8,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs by cosine within LSH buckets:
-    (vec_a, vec_b, cos) with cos >= threshold, vec_a < vec_b."""
+    """Near-duplicate pairs by cosine within sign-LSH buckets (seeded random
+    hyperplanes): (vec_a, vec_b, cos) with cos >= threshold, vec_a < vec_b."""
+    from .ann_index import hyperplane_bucket_expr
+
+    if planes is None:
+        planes = _default_planes(embeddings, bits)
     withb = embeddings.select(
         "vec_id",
         _as_double(F.col("embedding")).alias("v"),
-        sign_bucket_expr(_as_double(F.col("embedding")), bits).alias("bucket"),
+        hyperplane_bucket_expr(_as_double(F.col("embedding")), planes).alias(
+            "bucket"
+        ),
     )
     a = withb.select(
         F.col("bucket"), F.col("vec_id").alias("vec_a"), F.col("v").alias("va")

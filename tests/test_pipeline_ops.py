@@ -103,6 +103,10 @@ def test_ann_multiprobe_recovers_recall(spark):
 
     rng = np.random.default_rng(11)
     bits = 8
+    # one-hot planes make bucket bit j == sign of coordinate j, so the
+    # planted one-bit-flip construction below is exact by design (the
+    # production default is seeded random hyperplanes — same bucket algebra)
+    planes = [[1.0 if j == i else 0.0 for j in range(16)] for i in range(bits)]
     q = rng.normal(size=16)
     q[:bits] = np.sign(q[:bits]) * np.maximum(np.abs(q[:bits]), 0.5)
     vecs = {0: q}
@@ -127,7 +131,8 @@ def test_ann_multiprobe_recovers_recall(spark):
         approx = {
             r.vec_id
             for r in similarity.lsh_topk(
-                df, ql, 10, bits=bits, exclude_vec_id=0, probes=probes
+                df, ql, 10, bits=bits, exclude_vec_id=0, probes=probes,
+                planes=planes,
             ).collect()
         }
         recalls[probes] = len(brute & approx) / 10
@@ -225,6 +230,92 @@ def test_ann_ivf_kmeans_trainer_smoke(spark):
     got = similarity.ivf_topk(df, q, 5, nprobe=4, centroids=cents).collect()
     brute = similarity.brute_force_topk(df, q, 5).collect()
     assert [r.vec_id for r in got] == [r.vec_id for r in brute]
+
+
+def test_ann_indexed_paths_match_on_the_fly(spark, tmp_path):
+    """The materialized index (bucket-partitioned LSH table, cid-partitioned
+    IVF lists) must answer every query IDENTICALLY to the on-the-fly spec
+    paths — same candidates, same cosines, same order."""
+    import numpy as np
+
+    from osu_elastic_indexer_spark.operators import ann_index
+
+    rng = np.random.RandomState(17)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(16)]) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    idx = str(tmp_path / "ann")
+    meta = ann_index.build_ann_index(spark, df, idx, bits=6, stride=50)
+    q = rows[3][1]
+
+    for probes in (1, 7):
+        a = ann_index.lsh_topk_indexed(
+            spark, idx, q, 10, probes=probes, exclude_vec_id=3
+        ).collect()
+        b = similarity.lsh_topk(
+            df, q, 10, bits=6, exclude_vec_id=3, probes=probes,
+            planes=meta["planes"],
+        ).collect()
+        assert [(r.vec_id, r.cos) for r in a] == [(r.vec_id, r.cos) for r in b]
+
+    for nprobe in (1, 3):
+        a = ann_index.ivf_topk_indexed(
+            spark, idx, q, 10, nprobe=nprobe, exclude_vec_id=3
+        ).collect()
+        b = similarity.ivf_topk(
+            df, q, 10, nprobe=nprobe, stride=50, exclude_vec_id=3
+        ).collect()
+        assert [(r.vec_id, r.cos) for r in a] == [(r.vec_id, r.cos) for r in b]
+
+
+def test_random_hyperplanes_beat_axis_signs_on_skewed_dims(spark):
+    """Recall rationale for seeded random hyperplanes (vs the old
+    coordinate-sign placeholder) at EQUAL bucket counts: when the first
+    coordinates carry no signal (near-zero noise), axis-aligned sign bits
+    bucket near-randomly, while random projections mix every dimension.
+    Planted near-neighbor clusters live in the later dims only."""
+    import numpy as np
+
+    from osu_elastic_indexer_spark.operators.ann_index import (
+        random_hyperplanes,
+    )
+
+    rng = np.random.default_rng(41)
+    bits, dim = 6, 16
+    q = np.concatenate([rng.normal(size=bits) * 1e-3, rng.normal(size=dim - bits)])
+    vecs = {0: q}
+    for i in range(1, 11):  # near neighbors: same tail, re-rolled noisy head
+        vecs[i] = np.concatenate(
+            [rng.normal(size=bits) * 1e-3, q[bits:] + rng.normal(size=dim - bits) * 0.02]
+        )
+    for i in range(11, 600):
+        vecs[i] = np.concatenate(
+            [rng.normal(size=bits) * 1e-3, rng.normal(size=dim - bits)]
+        )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id bigint, embedding array<float>",
+    )
+    ql = [float(x) for x in q]
+    brute = {r.vec_id for r in similarity.brute_force_topk(df, ql, 10, 0).collect()}
+    axis_planes = [
+        [1.0 if j == i else 0.0 for j in range(dim)] for i in range(bits)
+    ]
+
+    def recall(planes):
+        approx = {
+            r.vec_id
+            for r in similarity.lsh_topk(
+                df, ql, 10, bits=bits, exclude_vec_id=0, planes=planes
+            ).collect()
+        }
+        return len(brute & approx) / len(brute)
+
+    r_axis = recall(axis_planes)
+    r_rand = recall(random_hyperplanes(dim, bits))
+    assert r_rand > r_axis, (r_rand, r_axis)
+    assert r_rand >= 0.8, r_rand
 
 
 def test_ngram_jaccard_reuses_shingles(planted):

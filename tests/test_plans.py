@@ -124,6 +124,52 @@ def test_dict_by_term_lookup_is_pruned_seek(spark, tmp_path):
     ).count() == 0
 
 
+def test_ann_index_scans_are_partition_pruned(spark, tmp_path):
+    """The materialized ANN structures must answer queries with PARTITION
+    pruning: the IVF probe is a PartitionFilters entry on the stored cid
+    column (and only the probed cells' files are listed), likewise the LSH
+    probe on the stored bucket column — never a full-corpus scan with a
+    computed-expression filter."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from osu_elastic_indexer_spark.operators.ann_index import (
+        build_ann_index,
+        ivf_topk_indexed,
+        lsh_topk_indexed,
+        read_ann_meta,
+    )
+
+    rs = np.random.RandomState(3)
+    rows = [
+        (i, [float(x) for x in rs.standard_normal(8)]) for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    idx = str(tmp_path / "ann")
+    build_ann_index(spark, emb, idx, bits=4, stride=40)
+    assert read_ann_meta(idx)["dim"] == 8
+    q = rows[0][1]
+
+    ivf_plan = ivf_topk_indexed(
+        spark, idx, q, 5, nprobe=2
+    )._jdf.queryExecution().toString()
+    assert "PartitionFilters" in ivf_plan
+    assert "cid" in ivf_plan.split("PartitionFilters")[-1].split("]")[0]
+
+    lsh_plan = lsh_topk_indexed(
+        spark, idx, q, 5, probes=3
+    )._jdf.queryExecution().toString()
+    assert "bucket" in lsh_plan.split("PartitionFilters")[-1].split("]")[0]
+
+    # pruning is real: the pruned candidate set is a strict subset
+    n_probed = (
+        spark.read.parquet(f"{idx}/ivf")
+        .filter(F.col("cid").isin([0]))
+        .count()
+    )
+    assert 0 < n_probed < 200
+
+
 def test_segments_scan_prunes_by_term_id(spark, tmp_path):
     """Query-time term_id IN (...) must reach the segments scan as a pushed
     filter (the Lucene term-seek analog)."""
