@@ -476,11 +476,11 @@ def q_corpus_select(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash signatures (bitwise tf-weighted majority)."""
-    from osu_elastic_indexer_spark.operators.dedup import simhash32
+    """64-bit SimHash signatures (bitwise tf-weighted majority)."""
+    from osu_elastic_indexer_spark.operators.dedup import simhash64
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    return d.select("doc_id", simhash32(F.col("text")).alias("simhash")).orderBy(
+    return d.select("doc_id", simhash64(F.col("text")).alias("simhash")).orderBy(
         "doc_id"
     )
 
@@ -775,6 +775,10 @@ def _hash32_sql(expr: str) -> str:
     return f"CAST(('0x' || substring(md5({expr}), 1, 8)) AS BIGINT)"
 
 
+def _hash32_hi_sql(expr: str) -> str:
+    return f"CAST(('0x' || substring(md5({expr}), 9, 8)) AS BIGINT)"
+
+
 def _minhash_sql_cte(doc_filter: str = "TRUE") -> str:
     """CTE chain docs->tokens->shingles->hashes->sig (16 minhash values)."""
     from osu_elastic_indexer_spark.operators.dedup import (
@@ -847,33 +851,63 @@ comp AS (SELECT doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY doc_id)"""
     )
 
 
-def _simhash_terms_sql(bits: int = 32) -> str:
+def _simhash_word_sql(hv: str) -> str:
+    """32-bit voted word from a term-hash-word list column — mirrors
+    dedup._vote_word bit by bit."""
     return " + ".join(
-        f"CASE WHEN list_sum(list_transform(hv, h -> CASE WHEN (h & (CAST(1 AS BIGINT) << {b})) > 0 THEN 1 ELSE -1 END)) > 0 "
+        f"CASE WHEN list_sum(list_transform({hv}, h -> CASE WHEN (h & (CAST(1 AS BIGINT) << {b})) > 0 THEN 1 ELSE -1 END)) > 0 "
         f"THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END"
-        for b in range(bits)
+        for b in range(32)
     )
 
 
-def _simhash_sql(bits: int = 32) -> str:
-    return f"""
-WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+# signed two's-complement combine of the two voted words — mirrors
+# dedup.simhash64_from_tokens (overflow-free: DuckDB checks int64 overflow)
+_SIMHASH64_SQL = (
+    "(CASE WHEN hi < 2147483648 THEN hi ELSE hi - 4294967296 END)"
+    " * 4294967296 + lo"
+)
+
+
+def _simhash_hs_cte(scope_pred: str, require_tokens: bool = True) -> str:
+    """docs -> tokens -> per-word term-hash lists -> voted words CTE chain.
+    ``require_tokens`` mirrors the pairs path's emptiness gate; the plain
+    signature listing keeps empty docs (their sig votes to 0)."""
+    gate = "len(toks) > 0" if require_tokens else "TRUE"
+    return f"""docs AS (SELECT doc_id, text FROM documents WHERE {scope_pred}),
   tk AS (SELECT doc_id, {_toks_sql()} AS toks FROM docs),
-  hs AS (SELECT doc_id, list_transform(toks, t -> {_hash32_sql('t')}) AS hv FROM tk)
-SELECT doc_id, ({_simhash_terms_sql(bits)})::BIGINT AS simhash FROM hs ORDER BY doc_id
+  tk2 AS (SELECT doc_id, toks FROM tk WHERE {gate}),
+  hs AS (SELECT doc_id,
+           list_transform(toks, t -> {_hash32_sql('t')}) AS hv_lo,
+           list_transform(toks, t -> {_hash32_hi_sql('t')}) AS hv_hi
+         FROM tk2),
+  words AS (SELECT doc_id, ({_simhash_word_sql('hv_lo')})::BIGINT AS lo,
+                   ({_simhash_word_sql('hv_hi')})::BIGINT AS hi FROM hs),
+  sh AS (SELECT doc_id, ({_SIMHASH64_SQL})::BIGINT AS sig FROM words)"""
+
+
+def _simhash_sql() -> str:
+    return f"""
+WITH {_simhash_hs_cte("doc_id < 50", require_tokens=False)}
+SELECT doc_id, sig AS simhash FROM sh ORDER BY doc_id
 """
 
 
-def _simhash_pairs_sql(max_hamming: int = 16, scope: int = 200) -> str:
+def _simhash_pairs_sql(max_hamming: int = 6, scope: int = 200) -> str:
+    """Manku block-pair banding: every (i, j) block pair of the 64-bit sig
+    forms a 16-bit band key — same 28 combos as dedup.SIMHASH_BAND_COMBOS."""
+    from osu_elastic_indexer_spark.operators.dedup import (
+        SIMHASH_BAND_COMBOS,
+        SIMHASH_BLOCKS,
+    )
+
+    combos = ", ".join(f"({i}, {j})" for i, j in SIMHASH_BAND_COMBOS)
     return f"""
-WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < {scope}),
-  tk AS (SELECT doc_id, {_toks_sql()} AS toks FROM docs),
-  tk2 AS (SELECT doc_id, toks FROM tk WHERE len(toks) > 0),
-  hs AS (SELECT doc_id, list_transform(toks, t -> {_hash32_sql('t')}) AS hv FROM tk2),
-  sh AS (SELECT doc_id, ({_simhash_terms_sql(32)})::BIGINT AS sig FROM hs),
+WITH {_simhash_hs_cte(f"doc_id < {scope}")},
   bands AS (
-    SELECT doc_id, sig, band, (sig >> (8 * band)) & 255 AS val
-    FROM sh, (SELECT unnest(generate_series(0, 3)) AS band)
+    SELECT doc_id, sig, c.i * {SIMHASH_BLOCKS} + c.j AS band,
+           ((sig >> (8 * c.i)) & 255) * 256 + ((sig >> (8 * c.j)) & 255) AS val
+    FROM sh CROSS JOIN (VALUES {combos}) AS c(i, j)
   )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.sig, b.sig)) AS hamming
@@ -1161,7 +1195,7 @@ SELECT CASE WHEN en >= de AND en >= fr AND en > 0.01 THEN 'en'
        sum(bpe)::BIGINT AS bpe_tokens
 FROM sel GROUP BY 1 ORDER BY pred_lang
 """,
-        "dedup_simhash": _simhash_sql(32),
+        "dedup_simhash": _simhash_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(6, 200),
         "dedup_embedding_pairs": f"""
 WITH eb AS (

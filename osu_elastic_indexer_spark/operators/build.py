@@ -730,9 +730,22 @@ def build_index(
             segments, dictionary, sub = build_segments_spimi(
                 spark, fwd, id_span, cap, fwd_path, norms_ver, generation=0
             )
-            dictionary.write.mode("overwrite").parquet(dict_path)
+            # gen=0 like every other append table: incremental generations
+            # append per-BATCH delta rows as sibling gen=N dirs, merged at
+            # read (operators/dictionary.read_dictionary_merged) — the full
+            # per-batch dictionary rewrite was the round-2 scale gap
+            dictionary.write.mode("overwrite").parquet(f"{dict_path}/gen=0")
             write_dict_by_term(
-                dictionary, cat.table_path(schema_version, "dict_by_term")
+                dictionary,
+                f"{cat.table_path(schema_version, 'dict_by_term')}/gen=0",
+            )
+            dagg = dictionary.agg(
+                F.count("*").alias("n"), F.max("term_id").alias("max_tid")
+            ).collect()[0]
+            cat.mark_phase(
+                schema_version, "dictionary", "done",
+                terms=int(dagg.n),
+                max_term_id=int(dagg.max_tid) if dagg.max_tid is not None else -1,
             )
             # sort within the merge's hash partitions by term_id: each output
             # file then has narrow per-row-group term_id ranges, so query-time
@@ -771,6 +784,11 @@ def build_index(
         "bytes": m["phases"]["segments"].get("bytes"),
         "adds_total": m["phases"]["postings"].get("docs"),
         "deletes_total": 0,
+        # vocabulary counters: incremental delta commits extend these
+        # WITHOUT scanning the dictionary (terms grow by the batch's fresh
+        # terms; ids are dense so max advances by the same amount)
+        "terms": (m["phases"].get("dictionary") or {}).get("terms"),
+        "max_term_id": (m["phases"].get("dictionary") or {}).get("max_term_id"),
     }
     m["cursor"] = m["phases"]["postings"].get("cursor")
     m["generations"] = 1

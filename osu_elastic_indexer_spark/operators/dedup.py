@@ -15,8 +15,19 @@ Scale notes:
     shuffles on (band, bucket) — bounded by bucket size, the standard LSH
     bound. Banding keeps the self-join from being O(n^2).
   * SimHash: per-doc map-side fold over term bits; near-dup = hamming
-    distance on the signature — here surfaced as the signature itself plus
-    a bucket join on the top bits.
+    distance on the 64-bit signature. Candidates come from Manku-style
+    block-combination banding (Manku/Jain/Sarma, WWW'07): the signature
+    splits into SIMHASH_BLOCKS 8-bit blocks and every pair of blocks forms
+    a 16-bit band key — C(8,2) = 28 bands x 65,536 buckets. Pigeonhole:
+    hamming <= SIMHASH_BLOCKS - SIMHASH_KEY_BLOCKS (= 6) flips dirty at
+    most 6 blocks, so at least one CLEAN pair of blocks collides —
+    candidate generation is complete for the default threshold, and the
+    expected bucket occupancy is N/2^16 per band (vs the old 32-bit
+    4x256-bucket scheme whose buckets grew linearly with the corpus and
+    made the within-bucket self-join quadratic). Wider corpora scale by
+    raising SIMHASH_KEY_BLOCKS (3 blocks -> 24-bit keys, C(8,3) = 56
+    bands, complete for hamming <= 5): bucket count grows geometrically
+    with key width while band count grows polynomially.
 """
 
 from __future__ import annotations
@@ -91,6 +102,23 @@ def minhash_signature(text: Column, n_shingle: int = 3) -> Column:
     return signature_from_shingles(shingles_expr(tokens_expr(text), n_shingle))
 
 
+SIMHASH_BITS = 64
+SIMHASH_BLOCKS = 8  # 8-bit blocks of the 64-bit signature
+SIMHASH_KEY_BLOCKS = 2  # band key = a PAIR of blocks (16-bit keys)
+# every (i, j) block pair, i < j — C(8,2) = 28 band keys per doc
+SIMHASH_BAND_COMBOS = [
+    (i, j)
+    for i in range(SIMHASH_BLOCKS)
+    for j in range(i + 1, SIMHASH_BLOCKS)
+]
+
+
+def hash32_hi_expr(s: Column) -> Column:
+    """Hex chars 9-16 of md5 -> int64 in [0, 2^32): the HIGH word of the
+    64-bit term hash (hash32_expr is the low word)."""
+    return F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("bigint")
+
+
 def _bit_vote(b: int):
     """Two-arg aggregate lambda for bit b. NOTE: default-arg closures
     (lambda acc, x, b=b) are unusable here — PySpark counts lambda PARAMETERS
@@ -103,17 +131,9 @@ def _bit_vote(b: int):
     return vote
 
 
-def simhash32(text: Column) -> Column:
-    """32-bit SimHash over term hashes weighted by tf (map-side only)."""
-    return simhash32_from_tokens(tokens_expr(text))
-
-
-def simhash32_from_tokens(toks: Column) -> Column:
-    """SimHash from an already-computed token array column — callers that
-    also need the tokens (e.g. an emptiness gate) materialize them once in
-    a prior projection instead of paying the tokenize regex chain twice
-    (Catalyst does not share subexpressions across projection/filter)."""
-    h = F.transform(toks, hash32_expr)
+def _vote_word(h: Column) -> Column:
+    """32-bit signature word from a term-hash-word array: bit b set when
+    the tf-weighted vote over the corpus terms' bit b is positive."""
     bits = F.array(
         *[
             F.when(
@@ -126,23 +146,56 @@ def simhash32_from_tokens(toks: Column) -> Column:
     return F.aggregate(bits, F.lit(0).cast("bigint"), lambda a, x: a + x)
 
 
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over term hashes weighted by tf (map-side only)."""
+    return simhash64_from_tokens(tokens_expr(text))
+
+
+def simhash64_from_tokens(toks: Column) -> Column:
+    """64-bit SimHash from an already-computed token array column — callers
+    that also need the tokens (e.g. an emptiness gate) materialize them once
+    in a prior projection instead of paying the tokenize regex chain twice
+    (Catalyst does not share subexpressions across projection/filter).
+
+    The signature is two 32-bit voted words (low word = md5 hex 1-8, high
+    word = hex 9-16) combined into ONE signed int64 via an overflow-free
+    two's-complement fold — `hi*2^32 + lo` would overflow engines that
+    check (DuckDB), so the high word is re-biased into [-2^31, 2^31)
+    first. Bit algebra (shifts, xor, popcount) on the signed value is
+    identical across Spark and the SQL oracle."""
+    lo = _vote_word(F.transform(toks, hash32_expr))
+    hi = _vote_word(F.transform(toks, hash32_hi_expr))
+    signed_hi = F.when(hi < F.lit(1 << 31), hi).otherwise(
+        hi - F.lit(1 << 32).cast("bigint")
+    )
+    return signed_hi * F.lit(1 << 32).cast("bigint") + lo
+
+
 def simhash_band_pairs(
     docs: DataFrame, max_hamming: int = 6, text_col: str = "text"
 ) -> DataFrame:
-    """Near-duplicate pairs by SimHash: (doc_a, doc_b, hamming) with
+    """Near-duplicate pairs by 64-bit SimHash: (doc_a, doc_b, hamming) with
     hamming(simhash_a, simhash_b) <= max_hamming.
 
-    Candidates are generated by BANDING the 32-bit signature into 4 bytes
-    and self-joining on any equal band — the pigeonhole guarantee is
-    complete for hamming <= 3 (4 bands, 3 flipped bits can break at most 3
-    bands); larger thresholds get standard banded-LSH recall, never an
-    all-pairs join. Verification is an exact popcount on the joined pair."""
+    Candidates come from Manku-style block-combination banding (module
+    doc): 8-bit blocks, every block PAIR a 16-bit band key — 28 bands x
+    65,536 buckets, candidate generation COMPLETE for hamming <= 6 (any 6
+    flipped bits leave >= 2 clean blocks, and every pair of blocks is a
+    band). Expected occupancy N/2^16 per band bucket keeps the
+    within-bucket self-join linear-ish at corpus scale. Verification is an
+    exact popcount on the joined pair."""
     toks = docs.select(
         "doc_id", tokens_expr(F.col(text_col)).alias("toks")
     ).filter(F.size("toks") > 0)
     withsig = toks.select(
-        "doc_id", simhash32_from_tokens(F.col("toks")).alias("sig")
+        "doc_id", simhash64_from_tokens(F.col("toks")).alias("sig")
     )
+
+    def block(i: int) -> Column:
+        # (sig >> 8i) & 255 is shift-kind-agnostic: the mask drops any
+        # sign-extension, so arithmetic vs logical shift cannot diverge
+        return F.shiftright("sig", 8 * i).bitwiseAND(F.lit(255))
+
     bands = withsig.select(
         "doc_id",
         "sig",
@@ -150,14 +203,16 @@ def simhash_band_pairs(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("sig", 8 * b).bitwiseAND(F.lit(255)).alias("val"),
+                        F.lit(i * SIMHASH_BLOCKS + j).alias("band"),
+                        (block(i) * F.lit(256) + block(j)).alias("val"),
                     )
-                    for b in range(4)
+                    for i, j in SIMHASH_BAND_COMBOS
                 ]
             )
         ).alias("bv"),
-    ).select("doc_id", "sig", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    ).select(
+        "doc_id", "sig", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    )
     a = bands.select(
         "band", "val", F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
     )

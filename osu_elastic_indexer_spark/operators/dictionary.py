@@ -60,3 +60,68 @@ def lookup_terms(dictionary: DataFrame, terms: list[str]) -> DataFrame:
     if not terms:
         return dictionary.limit(0)
     return dictionary.filter(F.col("term").isin(list(set(terms))))
+
+
+# ---------------------------------------------------------------------------
+# generational dictionary (per-batch deltas, merged at read)
+#
+# The dictionary is an APPEND table like segments: gen=0 holds the full build
+# (df = absolute), every incremental generation appends ONLY the batch's
+# vocabulary as delta rows (new terms with fresh term_ids; changed terms with
+# df deltas, possibly negative). Merged-at-read semantics:
+#     term_id(term) = max over gens (constant once assigned: new terms carry
+#                     the only non-null id, re-touched terms repeat theirs)
+#     df(term)      = sum of deltas
+# Compaction folds all generations back into one full gen=0 snapshot. This
+# keeps the per-batch dictionary WRITE proportional to the batch vocabulary,
+# not the corpus's (a 10^8-term full rewrite per micro-batch was the round-2
+# scale gap).
+# ---------------------------------------------------------------------------
+
+
+def read_dictionary_merged(spark, index_dir: str) -> DataFrame:
+    """(term_id, term, df) merged over the committed dictionary generations.
+    Single-generation indexes (fresh build / post-compaction) read straight
+    through with no shuffle; multi-gen indexes pay one groupBy(term)."""
+    from ..sources.catalog import committed_gen_paths
+
+    paths = committed_gen_paths(index_dir, "dictionary")
+    if not paths:
+        return spark.createDataFrame([], "term_id bigint, term string, df bigint")
+    df = spark.read.parquet(*paths).select("term_id", "term", "df")
+    if len(paths) == 1:
+        return df
+    return df.groupBy("term").agg(
+        F.max("term_id").alias("term_id"),
+        F.sum("df").cast("bigint").alias("df"),
+    ).select("term_id", "term", "df")
+
+
+def lookup_term_info(
+    spark, index_dir: str, terms: list[str]
+) -> dict[str, tuple[int, int]]:
+    """Driver-side point lookups for a query's terms -> {term: (tid, df)}.
+
+    Reads the term-SORTED dict_by_term generations with the IN filter pushed
+    to the scan (row-group pruning per generation — the term-seek analog),
+    then folds the <= |terms| x gens delta rows in python. Falls back to the
+    primary dictionary when the projection is absent (legacy layout)."""
+    from ..sources.catalog import committed_gen_paths
+
+    if not terms:
+        return {}
+    paths = committed_gen_paths(index_dir, "dict_by_term") or committed_gen_paths(
+        index_dir, "dictionary"
+    )
+    if not paths:
+        return {}
+    rows = (
+        spark.read.parquet(*paths)
+        .filter(F.col("term").isin(sorted(set(terms))))
+        .collect()
+    )
+    out: dict[str, tuple[int, int]] = {}
+    for r in rows:
+        tid, df = out.get(r.term, (-1, 0))
+        out[r.term] = (max(tid, int(r.term_id)), df + int(r.df))
+    return out

@@ -32,6 +32,9 @@ _SEG_COLS = [
     "block_max_tf", "block_min_dl",
 ]
 
+# decoded-postings cache budget per searcher (~16 bytes/posting)
+_DECODE_CACHE_MAX_POSTINGS = 8_000_000
+
 
 class LocalSearcher:
     """Loads small index state once; serves top-k queries in milliseconds."""
@@ -55,27 +58,30 @@ class LocalSearcher:
         self.n_docs = int(st["n_docs"])
         self.avgdl = float(st["avgdl"])
         # term -> (term_id, df): lazy row-group-pruned lookups on the
-        # term-SORTED dict_by_term projection when the index has one (the
+        # term-SORTED dict_by_term projection's committed generations (the
         # Lucene term-dictionary-seek analog — a searcher never holds 10^8
-        # terms in a python dict); resolved terms are memoized. Indexes
-        # without the projection fall back to one eager full load.
-        bt = resolve_table_dir(index_dir, "dict_by_term")
+        # terms in a python dict); per-gen DELTA rows fold at lookup
+        # (term_id = max, df = sum — operators/dictionary.py). Resolved
+        # terms are memoized. Indexes without the projection fall back to
+        # one eager merged load of the primary dictionary gens.
+        from .state import _parquet_files as _pfiles
+
+        bt_files = _pfiles(tuple(committed_gen_paths(index_dir, "dict_by_term")))
         self._dict: dict[str, tuple[int, int]] = {}
-        self._dict_ds = ds.dataset(bt) if os.path.isdir(bt) else None
+        self._dict_ds = ds.dataset(bt_files) if bt_files else None
         if self._dict_ds is None:
-            d = pq.read_table(
-                resolve_table_dir(index_dir, "dictionary"),
-                columns=["term", "term_id", "df"],
-            )
-            self._dict = dict(
-                zip(
-                    d.column("term").to_pylist(),
-                    zip(
-                        d.column("term_id").to_pylist(),
-                        d.column("df").to_pylist(),
-                    ),
+            d_files = _pfiles(tuple(committed_gen_paths(index_dir, "dictionary")))
+            if d_files:
+                d = ds.dataset(d_files).to_table(
+                    columns=["term", "term_id", "df"]
                 )
-            )
+                for t, tid, df in zip(
+                    d.column("term").to_pylist(),
+                    d.column("term_id").to_pylist(),
+                    d.column("df").to_pylist(),
+                ):
+                    old_tid, old_df = self._dict.get(t) or (-1, 0)
+                    self._dict[t] = (max(old_tid, int(tid)), old_df + int(df))
         # norms + tombstones via the shared executor-side loaders (sorted
         # int64 arrays; the Lucene live-docs/norms analog a searcher keeps
         # hot) — committed snapshot paths, keyed by the manifest's monotonic
@@ -92,6 +98,8 @@ class LocalSearcher:
         # pyarrow raises on an empty file list, so serve empty results instead
         seg_files = _parquet_files(tuple(committed_gen_paths(index_dir, "segments")))
         self._segments = ds.dataset(seg_files) if seg_files else None
+        # bounded decoded-postings cache for the TAAT path (see search())
+        self._decoded: dict[str, tuple] = {}
 
     def _load_term_rows(self, term_ids: list[int]) -> dict[int, list[dict]]:
         if self._segments is None:
@@ -99,22 +107,41 @@ class LocalSearcher:
         tbl = self._segments.to_table(
             columns=_SEG_COLS, filter=ds.field("term_id").isin(term_ids)
         )
+        # vectorized arrow -> numpy: each list column flattens ONCE to a
+        # values array + offsets; per-row arrays are then zero-copy slices.
+        # The per-row .as_py() conversion this replaces was the serve-tier
+        # hot spot on head terms (thousands of salted segment rows/term).
+        n = tbl.num_rows
+        tids = tbl.column("term_id").to_numpy()
+        doc_mins = tbl.column("doc_min").to_numpy()
+        n_docs_col = tbl.column("n_docs").to_numpy()
+        blobs = {
+            c: tbl.column(c).to_pylist()  # bytes stay python objects
+            for c in ("docs_blob", "tfs_blob")
+        }
+        flat = {}
+        for c in (
+            "doc_offs", "tf_offs", "block_first", "block_last",
+            "block_max_tf", "block_min_dl",
+        ):
+            arr = tbl.column(c).combine_chunks()
+            flat[c] = (
+                arr.values.to_numpy(zero_copy_only=False).astype(
+                    np.int64, copy=False
+                ),
+                arr.offsets.to_numpy(),
+            )
         rows: dict[int, list[dict]] = {}
-        cols = {c: tbl.column(c) for c in _SEG_COLS}
-        for i in range(tbl.num_rows):
+        for i in range(n):
             enc = {
-                "docs_blob": cols["docs_blob"][i].as_py(),
-                "tfs_blob": cols["tfs_blob"][i].as_py(),
-                "doc_offs": np.asarray(cols["doc_offs"][i].as_py(), np.int64),
-                "tf_offs": np.asarray(cols["tf_offs"][i].as_py(), np.int64),
-                "block_first": np.asarray(cols["block_first"][i].as_py(), np.int64),
-                "block_last": np.asarray(cols["block_last"][i].as_py(), np.int64),
-                "block_max_tf": np.asarray(cols["block_max_tf"][i].as_py(), np.int64),
-                "block_min_dl": np.asarray(cols["block_min_dl"][i].as_py(), np.int64),
-                "doc_min": int(cols["doc_min"][i].as_py()),
-                "n_docs": int(cols["n_docs"][i].as_py()),
+                "docs_blob": blobs["docs_blob"][i],
+                "tfs_blob": blobs["tfs_blob"][i],
+                "doc_min": int(doc_mins[i]),
+                "n_docs": int(n_docs_col[i]),
             }
-            rows.setdefault(int(cols["term_id"][i].as_py()), []).append(enc)
+            for c, (vals, offs) in flat.items():
+                enc[c] = vals[offs[i] : offs[i + 1]]
+            rows.setdefault(int(tids[i]), []).append(enc)
         for lst in rows.values():
             lst.sort(key=lambda e: e["doc_min"])
         return rows
@@ -133,20 +160,27 @@ class LocalSearcher:
             columns=["term", "term_id", "df"],
             filter=ds.field("term").isin(miss),
         )
-        found = dict(
-            zip(
-                tbl.column("term").to_pylist(),
-                zip(
-                    tbl.column("term_id").to_pylist(),
-                    tbl.column("df").to_pylist(),
-                ),
-            )
-        )
+        found: dict[str, tuple[int, int]] = {}
+        for t, tid, df in zip(
+            tbl.column("term").to_pylist(),
+            tbl.column("term_id").to_pylist(),
+            tbl.column("df").to_pylist(),
+        ):
+            old_tid, old_df = found.get(t) or (-1, 0)
+            found[t] = (max(old_tid, int(tid)), old_df + int(df))
         for t in miss:
             self._dict[t] = found.get(t)
 
     def search(self, query_text: str, k: int = 10) -> list[tuple[int, float]]:
-        """-> [(doc_id, score)] — rank-identical to oracle and Spark paths."""
+        """-> [(doc_id, score)] — rank-identical to oracle and Spark paths.
+
+        Head-term latency: the TAAT path keeps a BOUNDED decoded-postings
+        cache (term -> (docs, tfs) arrays, _DECODE_CACHE_MAX_POSTINGS) —
+        reference query sets share head terms heavily, and the varbyte
+        decode of a dense term dominated the old dense-query p50. A cached
+        term also skips the segments parquet read entirely. The cache is
+        safe by construction: a searcher pins ONE committed snapshot at
+        init, so entries can never go stale within its lifetime."""
         terms = sorted(set(tokenize(query_text)))
         self._resolve_terms(terms)
         infos = [
@@ -154,21 +188,41 @@ class LocalSearcher:
         ]
         if not infos:
             return []
-        rows = self._load_term_rows([tid for _t, (tid, _df) in infos])
+        # dispatch on the dictionary's df (live-doc estimate of postings
+        # volume — a pure perf heuristic, both cores are exact)
+        est_total = sum(df for _t, (_tid, df) in infos)
+        use_taat = est_total <= TAAT_MAX_POSTINGS
+        if use_taat:
+            need = [
+                tid for t, (tid, _df) in infos if t not in self._decoded
+            ]
+        else:
+            need = [tid for _t, (tid, _df) in infos]
+        rows = self._load_term_rows(need) if need else {}
         entries = []
-        total = 0
         for t, (tid, df) in infos:
             idf = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
-            encs = rows.get(tid, [])
-            total += sum(e["n_docs"] for e in encs)
-            entries.append((t, idf, encs))
-        fn = taat_topk if total <= TAAT_MAX_POSTINGS else bmw_topk
-        return [
-            (doc, score)
-            for score, doc in fn(
+            entries.append((t, idf, rows.get(tid, [])))
+        if use_taat:
+            res = taat_topk(
+                entries, k, self.avgdl, self.norms, self.tombstones,
+                decode_cache=self._decoded,
+            )
+            self._bound_decode_cache()
+        else:
+            res = bmw_topk(
                 entries, k, self.avgdl, self.norms, self.tombstones
             )
-        ]
+        return [(doc, score) for score, doc in res]
+
+    def _bound_decode_cache(self) -> None:
+        """Evict oldest decoded terms until under the postings budget
+        (~16 bytes/posting: int64 docs + float64 tfs)."""
+        total = sum(d.size for d, _tf in self._decoded.values())
+        while total > _DECODE_CACHE_MAX_POSTINGS and self._decoded:
+            _t, (d, _tf) = next(iter(self._decoded.items()))
+            del self._decoded[_t]
+            total -= d.size
 
 
 def searcher_for_catalog(root: str, alias: str = "documents") -> LocalSearcher:

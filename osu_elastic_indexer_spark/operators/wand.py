@@ -172,6 +172,7 @@ def taat_topk(
     avgdl: float,
     norms: np.ndarray,
     tombstones: np.ndarray | None = None,
+    decode_cache: dict | None = None,
 ) -> list[tuple[int, float]]:
     """Exact exhaustive term-at-a-time top-k, fully numpy-vectorized.
 
@@ -189,20 +190,33 @@ def taat_topk(
     loop costs ~5-10us/doc, which loses to vectorized decode below ~10^6
     candidates. The dispatcher in run_query() picks per query; at 10^12-doc
     scale selective queries route to BMW, where skipping wins.
+
+    ``decode_cache``: optional {term: (docs, tfs)} map a long-lived caller
+    (the serving tier) passes in — head terms' varbyte decode dominates the
+    dense-query latency, and reference query sets share head terms heavily.
+    Filled-in entries are the caller's to bound/evict (LocalSearcher keys a
+    searcher to one pinned snapshot, so entries can never go stale within
+    its lifetime).
     """
     from .state import tomb_mask
 
     per_term: list[tuple[np.ndarray, np.ndarray]] = []
     for t, idf, rows in sorted(term_lists, key=lambda e: e[0]):
-        ds, tfs = [], []
-        for enc in rows:  # caller orders rows by doc_min
-            d, tf = codec.decode_postings(enc)
-            ds.append(d)
-            tfs.append(tf)
-        if not ds:
-            continue
-        d = np.concatenate(ds)
-        tf = np.concatenate(tfs).astype(np.float64)
+        cached = decode_cache.get(t) if decode_cache is not None else None
+        if cached is not None:
+            d, tf = cached
+        else:
+            ds, tfs = [], []
+            for enc in rows:  # caller orders rows by doc_min
+                dd, tt = codec.decode_postings(enc)
+                ds.append(dd)
+                tfs.append(tt)
+            if not ds:
+                continue
+            d = np.concatenate(ds)
+            tf = np.concatenate(tfs).astype(np.float64)
+            if decode_cache is not None:
+                decode_cache[t] = (d, tf)
         dl = norms[d].astype(np.float64)
         # elementwise twin of _tf_norm's scalar expression tree
         contrib = idf * (tf / (tf + K1 * ((1.0 - B) + (B * dl) / avgdl)))
@@ -413,18 +427,14 @@ def wand_topk(
         return spark.createDataFrame([], RESULT_SCHEMA)
     all_terms = sorted({t for _, t in qterms})
 
-    # term -> (term_id, df) via the term-SORTED projection when the index
-    # has one: the IN filter is pushed to the scan and parquet min/max
-    # stats prune to the row groups covering the query terms (the Lucene
-    # term-seek analog; the primary dictionary is term_id-ordered and a
-    # term lookup on it is a full-vocabulary scan at 10^8 terms)
-    bt_dir = resolve_table_dir(index_dir, "dict_by_term")
-    dict_dir = bt_dir if os.path.isdir(bt_dir) else resolve_table_dir(
-        index_dir, "dictionary"
-    )
-    dictionary = spark.read.parquet(dict_dir)
-    dict_rows = dictionary.filter(F.col("term").isin(all_terms)).collect()
-    term_info = {r.term: (int(r.term_id), int(r.df)) for r in dict_rows}
+    # term -> (term_id, df) via the term-SORTED projection's committed
+    # generations: the IN filter is pushed to each gen's scan and parquet
+    # min/max stats prune to the row groups covering the query terms (the
+    # Lucene term-seek analog); per-gen delta rows fold driver-side
+    # (<= |terms| x gens rows — operators/dictionary.lookup_term_info)
+    from .dictionary import lookup_term_info
+
+    term_info = lookup_term_info(spark, index_dir, all_terms)
     tids = [ti[0] for ti in term_info.values()]
     if not tids:
         return spark.createDataFrame([], RESULT_SCHEMA)

@@ -41,8 +41,10 @@ TABLES = (
 
 # on-disk index format version: bump when the segment/table layout changes
 # so cached indexes from older builds are rebuilt, not misread
-# (3 = doc-indexed norms: postings store docs+tfs only, dl read from fwd)
-FORMAT_VERSION = 3
+# (3 = doc-indexed norms: postings store docs+tfs only, dl read from fwd;
+#  4 = generational dictionary: dictionary/dict_by_term are gen= append
+#      tables of per-batch delta rows, merged at read)
+FORMAT_VERSION = 4
 
 
 def read_index_manifest(index_dir: str) -> dict | None:

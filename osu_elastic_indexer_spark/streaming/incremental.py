@@ -205,37 +205,65 @@ def incremental_update(
         int(st.total_postings) + int(add_stats.postings) - int(del_stats.postings)
     )
 
-    # ---- dictionary deltas --------------------------------------------------
-    dictionary = spark.read.parquet(resolve_table_dir(idx, "dictionary"))
+    # ---- dictionary deltas: BATCH vocabulary only --------------------------
+    # The dictionary is generational (operators/dictionary.py): this commit
+    # appends gen=K delta rows (term, term_id, df-delta) for exactly the
+    # terms the batch touched — write volume ~ batch vocab, never corpus
+    # vocab. Existing term_ids come from ONE column-pruned broadcast-semi
+    # scan of the committed gens (matched rows only reach the shuffle);
+    # fresh terms extend the dense id space from the manifest's max_term_id
+    # counter (no vocabulary scan at all on the happy path).
     add_df = exploded_postings(fwd_new).groupBy("term").agg(
         F.count("*").alias("adds")
     )
     del_df = exploded_postings(fwd_dead).groupBy("term").agg(
         F.count("*").alias("dels")
     )
-    merged = (
-        dictionary.join(add_df, "term", "full")
-        .join(del_df, "term", "full")
+    deltas = (
+        add_df.join(del_df, "term", "full")
         .select(
             "term",
-            "term_id",
             (
-                F.coalesce(F.col("df"), F.lit(0))
-                + F.coalesce(F.col("adds"), F.lit(0))
+                F.coalesce(F.col("adds"), F.lit(0))
                 - F.coalesce(F.col("dels"), F.lit(0))
             ).cast("bigint").alias("df"),
         )
     ).persist()
-    known = merged.filter(F.col("term_id").isNotNull())
-    max_tid = dictionary.agg(F.max("term_id")).collect()[0][0]
+    dict_committed = spark.read.parquet(*committed_gen_paths(idx, "dictionary"))
+    known_ids = (
+        dict_committed.join(
+            F.broadcast(deltas.select("term")), "term", "left_semi"
+        )
+        .groupBy("term")
+        .agg(F.max("term_id").alias("term_id"))
+    )
+    batch_dict = deltas.join(known_ids, "term", "left").persist()
+    known = batch_dict.filter(F.col("term_id").isNotNull()).select(
+        "term_id", "term", "df"
+    )
+    old_counters0 = m.get("counters") or {}
+    max_tid = old_counters0.get("max_term_id")
+    n_terms_old = old_counters0.get("terms")
+    if max_tid is None or n_terms_old is None:
+        # legacy manifest without vocab counters: one recovery scan
+        from ..operators.dictionary import read_dictionary_merged
+
+        magg = read_dictionary_merged(spark, idx).agg(
+            F.max("term_id").alias("mt"), F.count("*").alias("n")
+        ).collect()[0]
+        max_tid = int(magg.mt) if magg.mt is not None else -1
+        n_terms_old = int(magg.n)
     fresh = assign_dense_ids(
-        merged.filter(F.col("term_id").isNull()).select("term", "df"),
+        batch_dict.filter(F.col("term_id").isNull()).select("term", "df"),
         [F.desc("df"), F.asc("term")],
         "term_id",
-        start_id=int(max_tid) + 1 if max_tid is not None else 0,
+        start_id=int(max_tid) + 1,
     ).select("term_id", "term", "df")
-    dict2 = known.select("term_id", "term", "df").unionByName(fresh).persist()
-    n_terms2 = dict2.count()
+    dict_delta = known.unionByName(fresh).persist()
+    n_batch_terms = dict_delta.count()
+    n_fresh = batch_dict.filter(F.col("term_id").isNull()).count()
+    n_terms2 = int(n_terms_old) + int(n_fresh)
+    max_tid2 = int(max_tid) + int(n_fresh)
     new_cursor = batch.agg(F.max("warc_ts")).collect()[0][0]
 
     # ---- stage the generation (ALL writes land in uncommitted dirs;
@@ -244,6 +272,7 @@ def incremental_update(
         new_tombs.write.mode("overwrite").parquet(
             f"{resolve_table_dir(idx, 'tombstones')}/gen={gen}"
         )
+    seg_bytes_added = 0
     if int(add_stats.postings) > 0:
         id_span = start_id + n_add
         cap = salt_group_cap or max(50_000, max(n_add, 1) // 8)
@@ -260,19 +289,36 @@ def incremental_update(
         )
         # the merge loads the NEW docs' norms executor-side from the staged
         # fwd gen dir (they are not in the committed fwd snapshot yet)
+        # the batch-scoped delta dictionary covers every term in fwd_new
+        # (adds are a subset of the delta vocabulary) — the spimi join only
+        # needs ids for the batch's own terms, never the whole vocabulary
         segs, _d, sub = build_segments_spimi(
             spark, fwd_new, id_span, cap, fwd_gen_dir, norms_ver,
-            generation=gen, dictionary=dict2, n_terms=int(n_terms2),
+            generation=gen, dictionary=dict_delta, n_terms=int(n_batch_terms),
         )
+        seg_gen_dir = f"{resolve_table_dir(idx, 'segments')}/gen={gen}"
         with arrow_batch_rows(spark, GROUP_BATCH_ROWS):
-            segs.write.mode("overwrite").parquet(
-                f"{resolve_table_dir(idx, 'segments')}/gen={gen}"
-            )
+            segs.write.mode("overwrite").parquet(seg_gen_dir)
         sub.unpersist()
-    dict_name = f"dictionary_v{ver}"
-    dict2.write.mode("overwrite").parquet(os.path.join(idx, dict_name))
-    dict_bt_name = f"dict_by_term_v{ver}"
-    write_dict_by_term(dict2, os.path.join(idx, dict_bt_name))
+        seg_bytes_added = int(
+            spark.read.parquet(seg_gen_dir)
+            .agg(
+                F.coalesce(
+                    F.sum(F.length("docs_blob") + F.length("tfs_blob")),
+                    F.lit(0),
+                ).alias("b")
+            )
+            .collect()[0][0]
+        )
+    # dictionary DELTAS append as gen=K (batch vocabulary only), committed
+    # by the same generations bump as segments/docmap — no versioned-table
+    # rewrite of the corpus vocabulary per batch
+    dict_delta.write.mode("overwrite").parquet(
+        f"{resolve_table_dir(idx, 'dictionary')}/gen={gen}"
+    )
+    write_dict_by_term(
+        dict_delta, f"{resolve_table_dir(idx, 'dict_by_term')}/gen={gen}"
+    )
     stats_name = f"stats_v{ver}"
     spark.createDataFrame(
         [(n_docs2, sum_dl2, float(sum_dl2) / n_docs2 if n_docs2 else 0.0,
@@ -286,26 +332,29 @@ def incremental_update(
     old_tables = dict(m.get("tables") or {})
     m["generations"] = gen + 1
     m["table_ver"] = ver
-    m["tables"] = {
-        **old_tables, "dictionary": dict_name,
-        "dict_by_term": dict_bt_name, "stats": stats_name,
-    }
+    m["tables"] = {**old_tables, "stats": stats_name}
     if new_cursor is not None and (m["cursor"] is None or str(new_cursor) > m["cursor"]):
         m["cursor"] = str(new_cursor)
     old_counters = m.get("counters") or {}
     m["counters"] = {
         "docs": n_docs2,
         "postings": total_postings2,
-        "bytes": old_counters.get("bytes"),
+        # store size grows by the new generation's blob bytes (tombstoned
+        # postings still occupy their old segments until compaction — the
+        # ES store-size analog, ListIndicesCommand.cs:37-51)
+        "bytes": int(old_counters.get("bytes") or 0) + seg_bytes_added,
         # U2-tagged running totals (the DogStatsd add/delete counters,
         # IndexQueueProcessor.cs:52,57) — surfaced by `index-list`
         "adds_total": int(old_counters.get("adds_total") or 0) + int(n_add),
         "deletes_total": int(old_counters.get("deletes_total") or 0) + int(n_del),
+        "terms": int(n_terms2),
+        "max_term_id": int(max_tid2),
     }
     cat.write_manifest(schema_version, m)
     cat.mark_phase(
         schema_version, f"incremental_gen{gen}", "done",
         adds=int(n_add), deletes=int(n_del), terms=int(n_terms2),
+        batch_terms=int(n_batch_terms),
     )
     # GC superseded versioned dirs (keep one version of history behind the
     # pointer as a reader grace window; compaction clears the rest). Only
@@ -319,7 +368,7 @@ def incremental_update(
         _, _, suffix = name.rpartition("_v")
         if suffix.isdigit() and int(suffix) <= ver - 2:
             shutil.rmtree(os.path.join(idx, name), ignore_errors=True)
-    for df_ in (batch, new_tombs, merged, dict2):
+    for df_ in (batch, new_tombs, deltas, batch_dict, dict_delta):
         df_.unpersist()
     return cat.read_manifest(schema_version)
 
@@ -385,10 +434,14 @@ def compact_index(
     with scan_split_bytes(
         spark, fwd_split_bytes(spark, resolve_table_dir(idx, "fwd"))
     ):
+        from ..operators.dictionary import read_dictionary_merged
+
         fwd = spark.read.parquet(*fwd_old_paths).join(tombs, "doc_id", "left_anti")
-        dictionary = spark.read.parquet(
-            resolve_table_dir(idx, "dictionary")
-        ).filter(F.col("df") > 0)
+        # fold all delta generations into one full snapshot (dropping terms
+        # whose df went to 0) — the dictionary-compaction half of the merge
+        dictionary = read_dictionary_merged(spark, idx).filter(
+            F.col("df") > 0
+        ).persist()
         docmap = _read_committed(spark, idx, "docmap", DOCMAP_SCHEMA).join(
             tombs, "doc_id", "left_anti"
         )
@@ -414,6 +467,20 @@ def compact_index(
                 ).parquet(os.path.join(idx, names["segments"], "gen=0"))
     if sub is not None:
         sub.unpersist()
+    # store size after the rewrite: dead postings are gone, so recompute
+    # exactly from the new segments (the only place the counter can shrink)
+    new_bytes = 0
+    if max_live is not None:
+        new_bytes = int(
+            spark.read.parquet(os.path.join(idx, names["segments"]))
+            .agg(
+                F.coalesce(
+                    F.sum(F.length("docs_blob") + F.length("tfs_blob")),
+                    F.lit(0),
+                ).alias("b")
+            )
+            .collect()[0][0]
+        )
     for table, df_ in (("fwd", fwd), ("docmap", docmap)):
         names[table] = f"{table}_v{ver}"
         df_.write.mode("overwrite").parquet(
@@ -421,10 +488,14 @@ def compact_index(
         )
     names["dictionary"] = f"dictionary_v{ver}"
     dictionary.write.mode("overwrite").parquet(
-        os.path.join(idx, names["dictionary"])
+        os.path.join(idx, names["dictionary"], "gen=0")
     )
     names["dict_by_term"] = f"dict_by_term_v{ver}"
-    write_dict_by_term(dictionary, os.path.join(idx, names["dict_by_term"]))
+    write_dict_by_term(
+        dictionary, os.path.join(idx, names["dict_by_term"], "gen=0")
+    )
+    n_terms_live = dictionary.count()
+    dictionary.unpersist()
     # repoint tombstones at a fresh EMPTY versioned name (never written —
     # readers of a missing dir see no tombstones); the old dir must outlive
     # the swap for pinned readers, so it cannot simply be deleted here
@@ -447,6 +518,14 @@ def compact_index(
     m["tables"] = {**(m.get("tables") or {}), **names}
     m["generations"] = 1
     m["table_ver"] = ver
+    # max_term_id is PRESERVED (never shrunk) so dense id assignment can
+    # never reuse a dropped term's id while any pinned reader still holds
+    # pre-compaction state; terms reflects the live vocabulary
+    m["counters"] = {
+        **(m.get("counters") or {}),
+        "bytes": new_bytes,
+        "terms": int(n_terms_live),
+    }
     m["gc_pending"] = sorted(
         set(m.get("gc_pending") or []) | set(old_dirs)
     )

@@ -108,7 +108,24 @@ def watch(
     else:
         q = writer.trigger(processingTime=poll_interval).start()
     try:
-        q.awaitTermination()
+        if available_now:
+            q.awaitTermination()
+        else:
+            # T10 timer poll, independent of queue traffic: the reference's
+            # checkSchema runs on a 5 s timer whether or not batches arrive
+            # (ScoreIndexer.cs:39,52-80). An idle follow-mode stream never
+            # enters process() (no new files -> no micro-batch), so the
+            # driver polls the control channel between waits and stops the
+            # stream on a move — same self-stop, no batch required.
+            poll_sec = _interval_seconds(poll_interval)
+            while q.isActive:
+                current = cat.get_current_schema()
+                if current is not None and current != schema_version:
+                    state["stop_reason"] = f"schema moved to {current}"
+                    q.stop()
+                    break
+                if q.awaitTermination(poll_sec):
+                    break
     except Exception:
         # a T10 schema move is the MIRRORED self-stop, not a failure — in
         # BOTH trigger modes (the reference's checkSchema deregisters and
@@ -129,6 +146,15 @@ def watch(
         # un-consumed batch stays pending for the new schema's watcher
         out = {**out, "stop_reason": state["stop_reason"]}
     return out
+
+
+def _interval_seconds(interval: str) -> float:
+    """'5 seconds' / '500 milliseconds' / '1 minute' -> seconds."""
+    num, _, unit = interval.strip().partition(" ")
+    mult = {"millisecond": 0.001, "second": 1.0, "minute": 60.0}[
+        unit.strip().rstrip("s") or "second"
+    ]
+    return float(num) * mult
 
 
 def push_batch(spark: SparkSession, docs_df, queue_dir: str) -> None:

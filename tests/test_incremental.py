@@ -350,6 +350,81 @@ def test_orphan_gen_cleanup_inside_versioned_dirs(
         assert d in removed
 
 
+def test_dictionary_delta_write_is_batch_sized(
+    spark, evolved, tmp_path_factory
+):
+    """Scale contract (VERDICT r2 #3): an incremental commit writes
+    dictionary rows proportional to the BATCH's vocabulary, not the
+    corpus's — gen=1 carries only the touched terms, and the merged read
+    (sum of deltas, stable term_ids) equals the df a full rebuild computes."""
+    import os
+
+    from osu_elastic_indexer_spark.operators.dictionary import (
+        read_dictionary_merged,
+    )
+
+    base_p, final_p, _base, final = evolved
+    root = str(tmp_path_factory.mktemp("idx_dictdelta"))
+    cat = Catalog(root)
+    build_index(spark, spark.read.parquet(base_p), cat, "v1")
+    m = incremental_update(spark, spark.read.parquet(final_p), cat, "v1")
+    idx = cat.index_dir("v1")
+
+    gen0 = spark.read.parquet(f"{cat.table_path('v1', 'dictionary')}/gen=0")
+    gen1_dir = f"{cat.table_path('v1', 'dictionary')}/gen=1"
+    assert os.path.isdir(gen1_dir), "delta generation not written"
+    gen1 = spark.read.parquet(gen1_dir)
+    n_full, n_delta = gen0.count(), gen1.count()
+    # the evolved batch touches a small fraction of the corpus vocabulary
+    assert n_delta < n_full * 0.6, (n_delta, n_full)
+
+    # merged dictionary == the df a from-scratch build of `final` computes
+    root2 = str(tmp_path_factory.mktemp("idx_dictref"))
+    cat2 = Catalog(root2)
+    build_index(spark, spark.read.parquet(final_p), cat2, "v1")
+    merged = {
+        r.term: r.df
+        for r in read_dictionary_merged(spark, idx)
+        .filter(F.col("df") > 0)
+        .collect()
+    }
+    ref = {
+        r.term: r.df
+        for r in read_dictionary_merged(spark, cat2.index_dir("v1")).collect()
+    }
+    assert merged == ref
+    # vocab counters stay consistent with the merged view
+    assert m["counters"]["terms"] == read_dictionary_merged(spark, idx).count()
+
+
+def test_counters_bytes_track_commits(spark, evolved, tmp_path_factory):
+    """Regression (VERDICT r2 #5): counters.bytes must grow with each
+    incremental generation's segment blobs and be recomputed (exactly, from
+    live postings only) at compaction — not pinned at the gen-0 value."""
+    base_p, final_p, _base, _final = evolved
+    root = str(tmp_path_factory.mktemp("idx_bytes"))
+    cat = Catalog(root)
+    build_index(spark, spark.read.parquet(base_p), cat, "v1")
+    b0 = cat.read_manifest("v1")["counters"]["bytes"]
+    assert b0 > 0
+
+    incremental_update(spark, spark.read.parquet(final_p), cat, "v1")
+    b1 = cat.read_manifest("v1")["counters"]["bytes"]
+    assert b1 > b0, "incremental commit must add the new gen's blob bytes"
+
+    compact_index(spark, cat, "v1")
+    m = cat.read_manifest("v1")
+    b2 = m["counters"]["bytes"]
+    # exact: recomputed from the rewritten segments
+    expected = (
+        spark.read.parquet(cat.table_path("v1", "segments"))
+        .agg(F.sum(F.length("docs_blob") + F.length("tfs_blob")))
+        .collect()[0][0]
+    )
+    assert b2 == int(expected)
+    assert b2 < b1, "compaction drops dead postings' bytes"
+
+
 def test_searcher_on_index_with_no_segments(spark, tmp_path_factory):
     """Regression (ADVICE r2, low): an index whose live corpus is empty
     (all docs deleted, compacted away) commits zero segment files; the

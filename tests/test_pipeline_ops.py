@@ -64,12 +64,12 @@ def test_ngram_jaccard_scores(planted):
 
 def test_simhash_near_dup_close(planted, spark):
     rows = planted.filter(F.col("doc_id") < 3).select(
-        "doc_id", dedup.simhash32(F.col("text")).alias("s")
+        "doc_id", dedup.simhash64(F.col("text")).alias("s")
     ).collect()
     s = {r.doc_id: r.s for r in rows}
     assert s[0] == s[1]  # identical docs -> identical simhash
-    ham = bin(s[0] ^ s[2]).count("1")
-    assert ham <= 6  # near dup -> small hamming distance
+    ham = bin((s[0] ^ s[2]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 6  # near dup -> small hamming distance on 64 bits
 
 
 def test_ann_lsh_recall(spark):

@@ -101,23 +101,26 @@ def test_dict_by_term_lookup_is_pruned_seek(spark, tmp_path):
     from osu_elastic_indexer_spark.sources.catalog import Catalog
     from osu_elastic_indexer_spark.sources.fixtures import write_corpus
 
+    from osu_elastic_indexer_spark.sources.catalog import committed_gen_paths
+
     p = write_corpus(str(tmp_path / "c.parquet"), 300)
     cat = Catalog(str(tmp_path / "idx"))
     build_index(spark, spark.read.parquet(p), cat, "v1")
-    bt_dir = cat.table_path("v1", "dict_by_term")
-    scan = spark.read.parquet(bt_dir).filter(F.col("term").isin(["zebra"]))
+    bt_paths = committed_gen_paths(cat.index_dir("v1"), "dict_by_term")
+    scan = spark.read.parquet(*bt_paths).filter(F.col("term").isin(["zebra"]))
     plan = scan._jdf.queryExecution().toString()
     assert "PushedFilters" in plan and "term" in plan.split("PushedFilters")[-1]
     # physically sorted by term within every file
     import glob
     import os as _os
 
-    for f in glob.glob(_os.path.join(bt_dir, "*.parquet")):
-        terms = pq_.read_table(f, columns=["term"]).column("term").to_pylist()
-        assert terms == sorted(terms), f
+    for gen_dir in bt_paths:
+        for f in glob.glob(_os.path.join(gen_dir, "*.parquet")):
+            terms = pq_.read_table(f, columns=["term"]).column("term").to_pylist()
+            assert terms == sorted(terms), f
     # projection is consistent with the primary dictionary
-    d1 = spark.read.parquet(cat.table_path("v1", "dictionary"))
-    d2 = spark.read.parquet(bt_dir)
+    d1 = spark.read.parquet(*committed_gen_paths(cat.index_dir("v1"), "dictionary"))
+    d2 = spark.read.parquet(*bt_paths)
     assert d1.count() == d2.count()
     assert d1.select("term", "term_id").exceptAll(
         d2.select("term", "term_id")

@@ -41,3 +41,28 @@ def test_serve_latency_ms(searcher):
 
 def test_serve_absent_term(searcher):
     assert searcher.search("zzzznotaword", 10) == []
+
+
+def test_serve_decode_cache_bounded_and_exact(searcher, oracle_index):
+    """The decoded-postings cache must (a) return rank-identical results on
+    a repeat query (cache-hit path skips the parquet read + decode), and
+    (b) stay under its postings budget after eviction."""
+    from osu_elastic_indexer_spark.operators import serve as serve_mod
+
+    q = "the zebra data"
+    cold = searcher.search(q, 10)
+    assert searcher._decoded, "TAAT queries must populate the cache"
+    warm = searcher.search(q, 10)
+    assert warm == cold
+    expect = oracle.search(oracle_index, q, 10)
+    assert_rank_identical(warm, expect, msg="decode-cache warm path")
+
+    old_cap = serve_mod._DECODE_CACHE_MAX_POSTINGS
+    serve_mod._DECODE_CACHE_MAX_POSTINGS = 1  # force eviction
+    try:
+        searcher.search("zebra", 5)  # a present term: triggers the bound
+        total = sum(d.size for d, _ in searcher._decoded.values())
+        assert total <= 1 or len(searcher._decoded) == 0
+    finally:
+        serve_mod._DECODE_CACHE_MAX_POSTINGS = old_cap
+        searcher._decoded.clear()

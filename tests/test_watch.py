@@ -101,3 +101,37 @@ def test_watch_stops_when_schema_moves(stream_env, tmp_path):
     )
     assert adds_after == adds_before
     cat.update_alias("v1")  # restore for other tests
+
+
+def test_idle_follow_watcher_stops_on_schema_move(spark, tmp_path):
+    """T10 timer poll (VERDICT r2 #4): a --follow watcher on an EMPTY queue
+    never enters process() (no files -> no micro-batch), so the schema check
+    must run on a driver-side timer (the reference's 5 s checkSchema timer,
+    ScoreIndexer.cs:39,52-80). Move the schema while the queue is empty and
+    the blocked watcher must stop within ~a poll interval."""
+    import os
+    import threading
+    import time
+
+    queue_dir = str(tmp_path / "queue")
+    os.makedirs(queue_dir)
+    cat = Catalog(str(tmp_path / "idx"))
+    cat.find_or_create_index("v1")
+    cat.update_alias("v1")
+
+    def move_schema():
+        time.sleep(2.0)
+        cat.find_or_create_index("v2")
+        cat.update_alias("v2")
+
+    mover = threading.Thread(target=move_schema)
+    mover.start()
+    t0 = time.monotonic()
+    m = watch(
+        spark, queue_dir, cat, "v1",
+        available_now=False, poll_interval="1 seconds",
+    )
+    elapsed = time.monotonic() - t0
+    mover.join()
+    assert "schema moved" in m.get("stop_reason", ""), m
+    assert elapsed < 30, f"watcher did not stop promptly ({elapsed:.1f}s)"
