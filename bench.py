@@ -148,6 +148,11 @@ def main() -> None:
         extras["scaling_docs"] = next(
             (lv.get("docs") for lv in sc.get("levels", {}).values()), None
         )
+        # single-box DRAM correction (measured microbench — BASELINE.md §3.3)
+        if sc.get("bandwidth_normalized_eff_1_to_4") is not None:
+            extras["scaling_eff_bandwidth_normalized"] = sc[
+                "bandwidth_normalized_eff_1_to_4"
+            ]
 
     total = round(sum(queries.values()), 3)
     out = {

@@ -10,6 +10,7 @@ Commands/QueueCommands.cs) and their analogs here:
   queue clear-queue                   -> queue-clear
   (queue length gauge)                -> queue-depth
   index list                          -> index-list (w/ consistency audit)
+  (DogStatsd per-batch tags)          -> metrics-tail (U2 event stream)
   index close|open|delete|nuke        -> same names
   index alias {schema} [--close]      -> alias {schema} [--close]
   schema get/set, active-schemas ...  -> schema-get / schema-set / schemas
@@ -157,6 +158,17 @@ def cmd_index_list(args) -> int:
     return 0
 
 
+def cmd_metrics_tail(args) -> int:
+    """Tail the per-batch tagged metric event stream (the DogStatsd-tagged
+    add/delete counter analog, IndexQueueProcessor.cs:52,57)."""
+    from .sources.catalog import Catalog, read_metric_events
+
+    cat = Catalog(args.root, alias=args.alias)
+    for ev in read_metric_events(cat.index_dir(args.schema), last=args.n):
+        print(json.dumps(ev, sort_keys=True))
+    return 0
+
+
 def cmd_alias(args) -> int:
     from .sources.catalog import Catalog
 
@@ -253,6 +265,13 @@ def main(argv: list[str] | None = None) -> int:
 
     il = sub.add_parser("index-list", help="list indices + consistency audit")
     il.set_defaults(fn=cmd_index_list)
+
+    mt = sub.add_parser(
+        "metrics-tail", help="tail per-batch metric events (U2 stream)"
+    )
+    mt.add_argument("--schema", required=True)
+    mt.add_argument("-n", type=int, default=20)
+    mt.set_defaults(fn=cmd_metrics_tail)
 
     al = sub.add_parser("alias", help="atomically repoint the alias")
     al.add_argument("schema")

@@ -203,16 +203,29 @@ def decode_block(enc: dict, b: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def decode_postings(enc: dict) -> tuple[np.ndarray, np.ndarray]:
-    """Decode all blocks -> (doc_ids int64 ascending, tfs)."""
+    """Decode ALL blocks -> (doc_ids int64 ascending, tfs) in O(list)
+    VECTORIZED work: the blobs are concatenations of the per-block varbyte
+    streams (varbyte is self-delimiting, so one decode call handles the
+    whole row), and the per-block delta restarts fold into one cumsum with
+    per-block base subtraction. The per-block python loop this replaces
+    cost ~18us of call overhead per 128-posting block — 200ms+ per dense
+    term at 10^6 postings, the serve-tier tail latency."""
     n_blocks = len(enc["block_first"])
     if n_blocks == 0:
         z = np.empty(0, dtype=np.int64)
         return z, z.copy()
-    parts = [decode_block(enc, b) for b in range(n_blocks)]
-    return (
-        np.concatenate([p[0] for p in parts]),
-        np.concatenate([p[1] for p in parts]),
-    )
+    gaps = varbyte_decode(enc["docs_blob"]).astype(np.int64)
+    tfs = varbyte_decode(enc["tfs_blob"]).astype(np.int64)
+    n = gaps.size
+    starts = np.arange(0, n, BLOCK, dtype=np.int64)
+    cs = np.cumsum(gaps)
+    # docs[i] = cumsum-within-block - 1 (each block's first value is stored
+    # as doc_id+1): subtract the running total at each block's entry
+    base = np.zeros(n_blocks, dtype=np.int64)
+    base[1:] = cs[starts[1:] - 1]
+    sizes = np.diff(np.append(starts, n))
+    docs = cs - np.repeat(base, sizes) - 1
+    return docs, tfs
 
 
 def encode_plain(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:

@@ -532,6 +532,11 @@ def write_dict_by_term(dictionary: DataFrame, path: str) -> None:
     )
 
 
+# segments parquet row-group size: term_id-sorted files + ~1 MB groups give
+# narrow per-group term_id ranges, so query-time term seeks read only the
+# covering groups (the Lucene term-index granularity analog)
+SEGMENT_ROW_GROUP_BYTES = 1 << 20
+
 # above this many dictionary rows the tokens⋈dictionary join stops
 # broadcasting (a 10^8-term dictionary OOMs driver+executors) and becomes a
 # shuffle join — AQE's skew splitting handles head terms
@@ -757,6 +762,13 @@ def build_index(
                 (
                     segments.sortWithinPartitions("term_id", "salt")
                     .write.mode("overwrite")
+                    # small row groups: files are term_id-sorted, so narrow
+                    # per-group [min,max] ranges turn a query's term_id IN
+                    # filter into real row-group pruning — both in Spark's
+                    # scan and the serving tier's footer-indexed seeks
+                    # (one 128 MB group per file spans the whole vocabulary
+                    # and prunes nothing)
+                    .option("parquet.block.size", str(SEGMENT_ROW_GROUP_BYTES))
                     .parquet(f"{seg_path}/gen=0")
                 )
         dictionary.unpersist()
@@ -794,4 +806,12 @@ def build_index(
     m["generations"] = 1
     cat.write_manifest(schema_version, m)
     cat.mark_phase(schema_version, "commit", "done")
+    from ..sources.catalog import emit_metric_event
+
+    emit_metric_event(
+        cat.index_dir(schema_version), "full_build", schema=schema_version,
+        adds=int(m["counters"]["docs"] or 0),
+        postings=int(m["counters"]["postings"] or 0),
+        bytes=int(m["counters"]["bytes"] or 0),
+    )
     return cat.read_manifest(schema_version)

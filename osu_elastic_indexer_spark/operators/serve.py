@@ -94,19 +94,61 @@ class LocalSearcher:
         self.tombstones = load_tombstones(
             tuple(committed_gen_paths(index_dir, "tombstones")), seq
         )
-        # empty-corpus / all-deleted indexes commit with zero segment files;
-        # pyarrow raises on an empty file list, so serve empty results instead
+        # empty-corpus / all-deleted indexes commit with zero segment files
+        # -> serve empty results. For non-empty indexes, build the ROW-GROUP
+        # SEEK INDEX once: files are term_id-sorted with ~1 MB row groups
+        # (build.SEGMENT_ROW_GROUP_BYTES), so one footer pass yields
+        # (term_id_min, term_id_max) per group and a term lookup reads ONLY
+        # its covering groups — the Lucene term-index seek, not a dataset
+        # scan whose stats evaluation re-reads every footer per query.
         seg_files = _parquet_files(tuple(committed_gen_paths(index_dir, "segments")))
-        self._segments = ds.dataset(seg_files) if seg_files else None
+        self._seg_pfs: list[pq.ParquetFile] = []
+        rg_mins, rg_maxs, rg_file, rg_idx = [], [], [], []
+        for fi, f in enumerate(seg_files):
+            pf = pq.ParquetFile(f)
+            self._seg_pfs.append(pf)
+            md = pf.metadata
+            tid_col = next(
+                i for i in range(md.row_group(0).num_columns)
+                if md.row_group(0).column(i).path_in_schema == "term_id"
+            ) if md.num_row_groups else 0
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(tid_col).statistics
+                rg_mins.append(st.min if st is not None else -(2**62))
+                rg_maxs.append(st.max if st is not None else 2**62)
+                rg_file.append(fi)
+                rg_idx.append(g)
+        self._rg_min = np.asarray(rg_mins, dtype=np.int64)
+        self._rg_max = np.asarray(rg_maxs, dtype=np.int64)
+        self._rg_file = np.asarray(rg_file, dtype=np.int64)
+        self._rg_idx = np.asarray(rg_idx, dtype=np.int64)
         # bounded decoded-postings cache for the TAAT path (see search())
         self._decoded: dict[str, tuple] = {}
 
     def _load_term_rows(self, term_ids: list[int]) -> dict[int, list[dict]]:
-        if self._segments is None:
+        if not self._seg_pfs:
             return {}
-        tbl = self._segments.to_table(
-            columns=_SEG_COLS, filter=ds.field("term_id").isin(term_ids)
-        )
+        # row-group seek: only groups whose [min,max] covers a query term
+        tids = np.asarray(sorted(term_ids), dtype=np.int64)
+        covers = np.zeros(self._rg_min.size, dtype=bool)
+        for t in tids:
+            covers |= (self._rg_min <= t) & (t <= self._rg_max)
+        hit = np.flatnonzero(covers)
+        if hit.size == 0:
+            return {}
+        parts = []
+        for fi in np.unique(self._rg_file[hit]):
+            groups = self._rg_idx[hit[self._rg_file[hit] == fi]]
+            parts.append(
+                self._seg_pfs[int(fi)].read_row_groups(
+                    [int(g) for g in groups], columns=_SEG_COLS
+                )
+            )
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        tbl = pa.concat_tables(parts)
+        tbl = tbl.filter(pc.is_in(tbl.column("term_id"), value_set=pa.array(tids)))
         # vectorized arrow -> numpy: each list column flattens ONCE to a
         # values array + offsets; per-row arrays are then zero-copy slices.
         # The per-row .as_py() conversion this replaces was the serve-tier

@@ -198,8 +198,6 @@ def taat_topk(
     searcher to one pinned snapshot, so entries can never go stale within
     its lifetime).
     """
-    from .state import tomb_mask
-
     per_term: list[tuple[np.ndarray, np.ndarray]] = []
     for t, idf, rows in sorted(term_lists, key=lambda e: e[0]):
         cached = decode_cache.get(t) if decode_cache is not None else None
@@ -223,17 +221,32 @@ def taat_topk(
         per_term.append((d, contrib))
     if not per_term:
         return []
-    uniq = np.unique(np.concatenate([d for d, _c in per_term]))
-    sums = np.zeros(uniq.size, dtype=np.float64)
-    for d, contrib in per_term:  # sorted-term order: one += per term
-        sums[np.searchsorted(uniq, d)] += contrib
-    keep = tomb_mask(tombstones, uniq)
-    if keep is not None:
-        uniq, sums = uniq[keep], sums[keep]
-    if uniq.size == 0:
+    # dense accumulator sized like the norms array (already O(n_docs)
+    # per-shard state this worker holds — SURVEY §7.4 #5's sharding note):
+    # per-doc sums land by direct index, one += per term in sorted-term
+    # order — the SAME left fold per doc as before, without the
+    # np.unique/searchsorted sort of the concatenated posting lists that
+    # dominated dense-query latency (docIDs are unique within a term, so
+    # fancy-index += is exact)
+    sums = np.zeros(norms.size, dtype=np.float64)
+    for d, contrib in per_term:
+        sums[d] += contrib
+    if tombstones is not None and tombstones.size:
+        t = tombstones[tombstones < sums.size]
+        sums[t] = 0.0
+    nz = np.flatnonzero(sums)  # matched docs: every contrib is > 0
+    if nz.size == 0:
         return []
-    top = np.lexsort((uniq, -sums))[:k]
-    return [(float(sums[i]), int(uniq[i])) for i in top]
+    vals = sums[nz]
+    if nz.size > k:
+        # partition to the k largest, then widen to ALL ties at the kth
+        # value so the final lexsort (score desc, doc asc) is exact
+        part = np.argpartition(-vals, k - 1)[:k]
+        vk = vals[part].min()
+        keep = vals >= vk
+        nz, vals = nz[keep], vals[keep]
+    top = np.lexsort((nz, -vals))[:k]
+    return [(float(vals[i]), int(nz[i])) for i in top]
 
 
 # BMW pays off above this many total candidate postings (decode-everything

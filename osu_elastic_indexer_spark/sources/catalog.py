@@ -137,6 +137,40 @@ def clean_orphan_generations(index_dir: str) -> list[str]:
     return removed
 
 
+def emit_metric_event(index_dir: str, event: str, **tags: Any) -> None:
+    """Append ONE tagged metric event to {index_dir}/metrics.jsonl — the
+    per-batch DogStatsd-tagged counter stream analog (the reference tags
+    every add/delete batch, IndexQueueProcessor.cs:52,57). A metrics sink
+    tails this file (or ships it); the manifest keeps only running totals.
+    Appends are O(event), never O(history); single-line writes keep the
+    stream tail-safe."""
+    line = json.dumps(
+        {"ts_utc": time.time(), "event": event, **tags}, sort_keys=True
+    )
+    with open(os.path.join(index_dir, "metrics.jsonl"), "a") as f:
+        f.write(line + "\n")
+
+
+def read_metric_events(index_dir: str, last: int | None = None) -> list[dict]:
+    """Read the metric event stream (optionally only the last N events)."""
+    p = os.path.join(index_dir, "metrics.jsonl")
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        lines = f.readlines()
+    if last is not None:
+        lines = lines[-last:]
+    out = []
+    for ln in lines:
+        ln = ln.strip()
+        if ln:
+            try:
+                out.append(json.loads(ln))
+            except json.JSONDecodeError:
+                continue  # torn tail line from a crashed writer
+    return out
+
+
 def _atomic_write_json(path: str, obj: Any) -> None:
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:

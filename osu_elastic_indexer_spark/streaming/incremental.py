@@ -58,6 +58,7 @@ from pyspark.sql import functions as F
 from ..operators.build import (
     FWD_SCHEMA,
     GROUP_BATCH_ROWS,
+    SEGMENT_ROW_GROUP_BYTES,
     arrow_batch_rows,
     build_segments_spimi,
     exploded_postings,
@@ -298,7 +299,11 @@ def incremental_update(
         )
         seg_gen_dir = f"{resolve_table_dir(idx, 'segments')}/gen={gen}"
         with arrow_batch_rows(spark, GROUP_BATCH_ROWS):
-            segs.write.mode("overwrite").parquet(seg_gen_dir)
+            segs.sortWithinPartitions("term_id", "salt").write.mode(
+                "overwrite"
+            ).option(
+                "parquet.block.size", str(SEGMENT_ROW_GROUP_BYTES)
+            ).parquet(seg_gen_dir)
         sub.unpersist()
         seg_bytes_added = int(
             spark.read.parquet(seg_gen_dir)
@@ -355,6 +360,15 @@ def incremental_update(
         schema_version, f"incremental_gen{gen}", "done",
         adds=int(n_add), deletes=int(n_del), terms=int(n_terms2),
         batch_terms=int(n_batch_terms),
+    )
+    # U2 per-batch tagged metric event (the DogStatsd stream analog)
+    from ..sources.catalog import emit_metric_event
+
+    emit_metric_event(
+        idx, "incremental_commit", schema=schema_version, generation=gen,
+        adds=int(n_add), deletes=int(n_del), batch_terms=int(n_batch_terms),
+        docs=int(n_docs2), postings=int(total_postings2),
+        bytes_added=int(seg_bytes_added),
     )
     # GC superseded versioned dirs (keep one version of history behind the
     # pointer as a reader grace window; compaction clears the rest). Only
@@ -464,6 +478,8 @@ def compact_index(
             with arrow_batch_rows(spark, GROUP_BATCH_ROWS):
                 segs.sortWithinPartitions("term_id", "salt").write.mode(
                     "overwrite"
+                ).option(
+                    "parquet.block.size", str(SEGMENT_ROW_GROUP_BYTES)
                 ).parquet(os.path.join(idx, names["segments"], "gen=0"))
     if sub is not None:
         sub.unpersist()
@@ -531,4 +547,10 @@ def compact_index(
     )
     cat.write_manifest(schema_version, m)
     cat.mark_phase(schema_version, "compact", "done")
+    from ..sources.catalog import emit_metric_event
+
+    emit_metric_event(
+        idx, "compact", schema=schema_version, bytes=int(new_bytes),
+        terms=int(n_terms_live),
+    )
     return cat.read_manifest(schema_version)

