@@ -103,6 +103,13 @@ def main() -> None:
     queries["wand_batch20"] = round(time.time() - t0, 3)
     extras["wand_batch_rows"] = n_rows
 
+    # ---- document-partitioned batch (blobs shuffle once, query-count-free) -
+    from osu_elastic_indexer_spark.operators.wand import wand_topk_docpart
+
+    t0 = time.time()
+    wand_topk_docpart(spark, idx_dir, qs, 10).count()
+    queries["wand_docpart20"] = round(time.time() - t0, 3)
+
     # ---- WAND per-query p50 (individual jobs, warm JVM) --------------------
     lat = []
     for qid, q in qs[:10]:

@@ -525,6 +525,154 @@ def wand_topk(
     return grouped.groupBy("query_id").applyInPandas(run_query, RESULT_SCHEMA)
 
 
+def wand_topk_docpart(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """DOCUMENT-partitioned batch top-k: queries go to the data.
+
+    ``wand_topk`` joins segment rows to the query map, so each term's
+    compressed blobs are shuffled once PER SUBSCRIBING QUERY — fine for a
+    handful of queries, but a 10^4-query batch sharing Zipf head terms
+    multiplies the shuffle by the subscription count. This operator is the
+    scale shape for large batches (the sharded-Lucene form): segment rows
+    for the union of query terms shuffle ONCE, grouped by their
+    (generation, salt) docID cell — every doc's postings live wholly inside
+    one cell by construction of the salted grid, so per-cell exhaustive
+    scoring of ALL queries is exact — then the global top-k per query is
+    the top-k of the per-cell winners (disjoint docs, union of candidates).
+    Shuffle volume is independent of the query count; the query map rides
+    the closure (tiny). Scores fold in sorted-term order per doc, so
+    results are rank-identical (bit-identical scores) to wand_topk and the
+    oracle; ties break by doc_id via the final exact window.
+    """
+    from ..session import ship_package
+    from ..sources.catalog import committed_gen_paths
+
+    ship_package(spark)
+    n_docs, avgdl, commit_seq = _index_state(spark, index_dir)
+    qterms = [(qid, t) for qid, text in queries for t in sorted(set(tokenize(text)))]
+    if not qterms:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    all_terms = sorted({t for _, t in qterms})
+    from .dictionary import lookup_term_info
+
+    term_info = lookup_term_info(spark, index_dir, all_terms)
+    tids = [ti[0] for ti in term_info.values()]
+    if not tids:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    idf = {
+        t: math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        for t, (_tid, df) in term_info.items()
+    }
+    # tid -> [(query_id, idf)] subscription map — closure-shipped (per-term
+    # scalars only, bounded by the query batch's vocabulary)
+    subs: dict[int, list[tuple[int, float]]] = {}
+    for qid, t in qterms:
+        if t in term_info:
+            tid = term_info[t][0]
+            subs.setdefault(tid, []).append((qid, idf[t]))
+    seg_paths = committed_gen_paths(index_dir, "segments")
+    if not seg_paths or not subs:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    segs = spark.read.parquet(*seg_paths).filter(F.col("term_id").isin(tids))
+
+    kk = int(k)
+    avgdl_b = avgdl
+    fwd_path = tuple(committed_gen_paths(index_dir, "fwd"))
+    tomb_path = tuple(committed_gen_paths(index_dir, "tombstones"))
+    seq = int(commit_seq)
+    _tid_term = {ti[0]: t for t, ti in term_info.items()}
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        from osu_elastic_indexer_spark.operators.state import (
+            load_norms,
+            load_tombstones,
+        )
+
+        norms = load_norms(fwd_path, seq)
+        tomb = load_tombstones(tomb_path, seq)
+        # decode each term's cell postings ONCE; score every subscribed
+        # query against the decoded arrays (cell-local dense accumulator)
+        lo = int(pdf["doc_min"].min())
+        hi = int(pdf["doc_max"].max())
+        span = hi - lo + 1
+        cols = {c: pdf[c].to_numpy() for c in pdf.columns}
+        # per-term decoded postings within this cell, ordered by doc_min
+        by_tid: dict[int, list[tuple[int, dict]]] = {}
+        for i in range(len(pdf)):
+            by_tid.setdefault(int(cols["term_id"][i]), []).append(
+                (int(cols["doc_min"][i]), _row_to_enc({c: cols[c][i] for c in pdf.columns}))
+            )
+        decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for tid, rows in by_tid.items():
+            rows.sort(key=lambda e: e[0])
+            parts = [codec.decode_postings(enc) for _dm, enc in rows]
+            d = np.concatenate([p[0] for p in parts])
+            tf = np.concatenate([p[1] for p in parts]).astype(np.float64)
+            dl = norms[d].astype(np.float64)
+            tfn = tf / (tf + K1 * ((1.0 - B) + (B * dl) / avgdl_b))
+            decoded[tid] = (d, tfn)
+        # per-query accumulation in sorted-term order (same fold as TAAT)
+        q_terms: dict[int, list[tuple[float, int]]] = {}
+        for tid, qlist in subs.items():
+            if tid not in decoded:
+                continue
+            for qid, qidf in qlist:
+                q_terms.setdefault(qid, []).append((qidf, tid))
+        out_q, out_d, out_s = [], [], []
+        for qid, tl in q_terms.items():
+            sums = np.zeros(span, dtype=np.float64)
+            # deterministic order: terms of a query accumulate by tid asc —
+            # NOTE tid order == (df desc, term asc) assignment order; the
+            # per-doc float fold must match the oracle's sorted-TERM order,
+            # so sort by the term string recovered from tid
+            for qidf, tid in sorted(tl, key=lambda e: _tid_term.get(e[1], "")):
+                d, tfn = decoded[tid]
+                sums[d - lo] += qidf * tfn
+            if tomb is not None and tomb.size:
+                tt = tomb[(tomb >= lo) & (tomb <= hi)]
+                if tt.size:
+                    sums[tt - lo] = 0.0
+            nz = np.flatnonzero(sums)
+            if nz.size == 0:
+                continue
+            vals = sums[nz]
+            if nz.size > kk:
+                part = np.argpartition(-vals, kk - 1)[:kk]
+                vk = vals[part].min()
+                keep = vals >= vk
+                nz, vals = nz[keep], vals[keep]
+            top = np.lexsort((nz, -vals))[:kk]
+            for i in top:
+                out_q.append(qid)
+                out_d.append(int(nz[i]) + lo)
+                out_s.append(float(vals[i]))
+        return pd.DataFrame(
+            {"query_id": out_q, "rank": [0] * len(out_q),
+             "doc_id": out_d, "score": out_s}
+        )
+
+    cells = segs.groupBy("generation", "salt").applyInPandas(
+        score_cell, RESULT_SCHEMA
+    )
+    # exact global top-k: per-cell candidates cover disjoint docs, so the
+    # union of per-cell top-ks contains the global top-k; one tiny window
+    # (cells x queries x k rows) finishes it
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        cells.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 def wand_topk_with_urls(
     spark: SparkSession, index_dir: str, queries: list[tuple[int, str]], k: int = 10
 ) -> DataFrame:

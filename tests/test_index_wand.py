@@ -94,6 +94,74 @@ def test_wand_rank_identical_all_queries(spark, built_index, oracle_index):
         assert_rank_identical(got, expect, msg=f"q{qid} {qtext!r}")
 
 
+def test_docpart_identical_to_per_query_path(spark, built_index, oracle_index):
+    """Document-partitioned batch search (wand_topk_docpart — blobs shuffle
+    once per cell, independent of query count) must be EXACTLY the per-query
+    path: same docs, same scores to the last bit, same tie order — and both
+    rank-identical to the oracle."""
+    from osu_elastic_indexer_spark.operators.wand import wand_topk_docpart
+
+    cat, _ = built_index
+    idx_dir = cat.index_dir("v1")
+    queries = [(qid, q) for qid, q, _k in reference_queries()]
+    a = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in wand_topk(spark, idx_dir, queries, k=10).collect()
+    }
+    b = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in wand_topk_docpart(spark, idx_dir, queries, k=10).collect()
+    }
+    assert a == b
+    by_q = {}
+    for (qid, rk), (d, s) in b.items():
+        by_q.setdefault(qid, []).append((rk, d, s))
+    for qid, qtext, k in reference_queries():
+        got = [(d, s) for _rk, d, s in sorted(by_q.get(qid, []))]
+        assert_rank_identical(
+            got, oracle.search(oracle_index, qtext, k),
+            msg=f"docpart q{qid} {qtext!r}",
+        )
+
+
+def test_docpart_after_incremental_and_tombstones(spark, tmp_path_factory):
+    """Docpart grouping stays exact across generations (each generation's
+    salted grid is independent, but every doc's postings share ONE
+    (generation, salt) cell) and respects tombstones."""
+    from osu_elastic_indexer_spark.operators.wand import wand_topk_docpart
+    from osu_elastic_indexer_spark.sources.fixtures import (
+        evolve_corpus,
+        generate_documents,
+    )
+    from osu_elastic_indexer_spark.streaming.incremental import (
+        incremental_update,
+    )
+
+    base = generate_documents(600)
+    final = evolve_corpus(base, n_new=120, n_update=25, n_flip=15)
+    import os
+
+    root = str(tmp_path_factory.mktemp("idx_docpart"))
+    bp, fp = os.path.join(root, "b.parquet"), os.path.join(root, "f.parquet")
+    pq.write_table(base, bp)
+    pq.write_table(final, fp)
+    cat = Catalog(root)
+    build_index(spark, spark.read.parquet(bp), cat, "v1")
+    incremental_update(spark, spark.read.parquet(fp), cat, "v1")
+    queries = [(qid, q) for qid, q, _k in reference_queries()]
+    queries.append((99, "recrawled updatedcontent"))
+    idx_dir = cat.index_dir("v1")
+    a = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in wand_topk(spark, idx_dir, queries, k=10).collect()
+    }
+    b = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in wand_topk_docpart(spark, idx_dir, queries, k=10).collect()
+    }
+    assert a == b and a
+
+
 def test_wand_salted_rank_identical(spark, built_index_salted, corpus_path):
     """The salted build repartitions its input, so its docID space differs
     from the plain build — compare by URL against a url-keyed oracle."""
