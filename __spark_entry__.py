@@ -534,16 +534,27 @@ def _ann_index_dir(spark, sf_dir) -> str:
     )
 
     e = _t(spark, sf_dir, "embeddings")
-    n = e.count()
-    root = f"/tmp/oei_driver_ann/{os.path.basename(sf_dir.rstrip('/'))}_{n}"
+    # CONTENT fingerprint, not just row count: a regenerated corpus with
+    # the same cardinality must invalidate the stored index (one tiny agg,
+    # no costlier than the count it replaces)
+    fp_row = e.agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.element_at(F.col("embedding"), 1).cast("double")), 4
+        ).alias("s"),
+    ).collect()[0]
+    fingerprint = f"{int(fp_row.n)}_{fp_row.s}"
+    root = f"/tmp/oei_driver_ann/{os.path.basename(sf_dir.rstrip('/'))}_{fp_row.n}"
     meta = read_ann_meta(root)
     if (
         meta is None
         or meta.get("format") != ANN_FORMAT
-        or meta.get("n_rows") != n
+        or meta.get("fingerprint") != fingerprint
         or meta.get("bits") != 8
     ):
-        build_ann_index(spark, e, root, bits=8, stride=62)
+        build_ann_index(
+            spark, e, root, bits=8, stride=62, fingerprint=fingerprint
+        )
     return root
 
 

@@ -101,6 +101,7 @@ def build_ann_index(
     seed: int = HYPERPLANE_SEED,
     stride: int = 62,
     centroids: DataFrame | None = None,
+    fingerprint: str | None = None,
 ) -> dict:
     """Write the materialized ANN index (see module doc). ``embeddings``:
     (vec_id bigint, embedding array<float|double>). Returns the meta dict.
@@ -144,6 +145,8 @@ def build_ann_index(
         "stride": stride,
         "planes": planes,
         "n_rows": embeddings.count(),
+        # caller-supplied corpus content fingerprint (cache invalidation)
+        "fingerprint": fingerprint,
     }
     tmp = os.path.join(out_dir, "meta.json.tmp")
     with open(tmp, "w") as f:

@@ -97,6 +97,20 @@ def read_dictionary_merged(spark, index_dir: str) -> DataFrame:
     ).select("term_id", "term", "df")
 
 
+def fold_delta_rows(rows) -> dict[str, tuple[int, int]]:
+    """Fold (term, term_id, df) delta rows -> {term: (term_id, df)} with
+    THE generational-merge invariant: term_id = max over generations
+    (constant once assigned — new terms carry the only fresh id), df = sum
+    of deltas. Every python-side reader (driver lookups, the serving
+    tier's eager load and its pruned seeks) must fold through this one
+    helper so the tiers can never diverge."""
+    out: dict[str, tuple[int, int]] = {}
+    for term, tid, df in rows:
+        old_tid, old_df = out.get(term, (-1, 0))
+        out[term] = (max(old_tid, int(tid)), old_df + int(df))
+    return out
+
+
 def lookup_term_info(
     spark, index_dir: str, terms: list[str]
 ) -> dict[str, tuple[int, int]]:
@@ -120,8 +134,4 @@ def lookup_term_info(
         .filter(F.col("term").isin(sorted(set(terms))))
         .collect()
     )
-    out: dict[str, tuple[int, int]] = {}
-    for r in rows:
-        tid, df = out.get(r.term, (-1, 0))
-        out[r.term] = (max(tid, int(r.term_id)), df + int(r.df))
-    return out
+    return fold_delta_rows((r.term, r.term_id, r.df) for r in rows)

@@ -72,16 +72,18 @@ class LocalSearcher:
         if self._dict_ds is None:
             d_files = _pfiles(tuple(committed_gen_paths(index_dir, "dictionary")))
             if d_files:
+                from .dictionary import fold_delta_rows
+
                 d = ds.dataset(d_files).to_table(
                     columns=["term", "term_id", "df"]
                 )
-                for t, tid, df in zip(
-                    d.column("term").to_pylist(),
-                    d.column("term_id").to_pylist(),
-                    d.column("df").to_pylist(),
-                ):
-                    old_tid, old_df = self._dict.get(t) or (-1, 0)
-                    self._dict[t] = (max(old_tid, int(tid)), old_df + int(df))
+                self._dict = fold_delta_rows(
+                    zip(
+                        d.column("term").to_pylist(),
+                        d.column("term_id").to_pylist(),
+                        d.column("df").to_pylist(),
+                    )
+                )
         # norms + tombstones via the shared executor-side loaders (sorted
         # int64 arrays; the Lucene live-docs/norms analog a searcher keeps
         # hot) — committed snapshot paths, keyed by the manifest's monotonic
@@ -114,8 +116,11 @@ class LocalSearcher:
             ) if md.num_row_groups else 0
             for g in range(md.num_row_groups):
                 st = md.row_group(g).column(tid_col).statistics
-                rg_mins.append(st.min if st is not None else -(2**62))
-                rg_maxs.append(st.max if st is not None else 2**62)
+                has = st is not None and st.has_min_max
+                # groups without min/max stats must stay candidates for
+                # EVERY term (never silently skipped)
+                rg_mins.append(st.min if has else -(2**62))
+                rg_maxs.append(st.max if has else 2**62)
                 rg_file.append(fi)
                 rg_idx.append(g)
         self._rg_min = np.asarray(rg_mins, dtype=np.int64)
@@ -198,18 +203,19 @@ class LocalSearcher:
         miss = [t for t in terms if t not in self._dict]
         if not miss:
             return
+        from .dictionary import fold_delta_rows
+
         tbl = self._dict_ds.to_table(
             columns=["term", "term_id", "df"],
             filter=ds.field("term").isin(miss),
         )
-        found: dict[str, tuple[int, int]] = {}
-        for t, tid, df in zip(
-            tbl.column("term").to_pylist(),
-            tbl.column("term_id").to_pylist(),
-            tbl.column("df").to_pylist(),
-        ):
-            old_tid, old_df = found.get(t) or (-1, 0)
-            found[t] = (max(old_tid, int(tid)), old_df + int(df))
+        found = fold_delta_rows(
+            zip(
+                tbl.column("term").to_pylist(),
+                tbl.column("term_id").to_pylist(),
+                tbl.column("df").to_pylist(),
+            )
+        )
         for t in miss:
             self._dict[t] = found.get(t)
 

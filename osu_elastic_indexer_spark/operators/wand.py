@@ -234,13 +234,21 @@ def taat_topk(
     if tombstones is not None and tombstones.size:
         t = tombstones[tombstones < sums.size]
         sums[t] = 0.0
-    nz = np.flatnonzero(sums)  # matched docs: every contrib is > 0
+    return topk_from_dense(sums, k)
+
+
+def topk_from_dense(sums: np.ndarray, k: int) -> list[tuple[float, int]]:
+    """Exact top-k (score desc, doc asc) from a dense per-doc score array
+    where matched docs are exactly the nonzero entries (every BM25 contrib
+    is > 0). Partition to the k largest, then WIDEN to all ties at the kth
+    value before the final lexsort — both exhaustive paths (taat_topk and
+    the docpart cell scorer) share this finalization so their tie handling
+    can never diverge."""
+    nz = np.flatnonzero(sums)
     if nz.size == 0:
         return []
     vals = sums[nz]
     if nz.size > k:
-        # partition to the k largest, then widen to ALL ties at the kth
-        # value so the final lexsort (score desc, doc asc) is exact
         part = np.argpartition(-vals, k - 1)[:k]
         vk = vals[part].min()
         keep = vals >= vk
@@ -636,20 +644,10 @@ def wand_topk_docpart(
                 tt = tomb[(tomb >= lo) & (tomb <= hi)]
                 if tt.size:
                     sums[tt - lo] = 0.0
-            nz = np.flatnonzero(sums)
-            if nz.size == 0:
-                continue
-            vals = sums[nz]
-            if nz.size > kk:
-                part = np.argpartition(-vals, kk - 1)[:kk]
-                vk = vals[part].min()
-                keep = vals >= vk
-                nz, vals = nz[keep], vals[keep]
-            top = np.lexsort((nz, -vals))[:kk]
-            for i in top:
+            for s, d in topk_from_dense(sums, kk):
                 out_q.append(qid)
-                out_d.append(int(nz[i]) + lo)
-                out_s.append(float(vals[i]))
+                out_d.append(d + lo)
+                out_s.append(s)
         return pd.DataFrame(
             {"query_id": out_q, "rank": [0] * len(out_q),
              "doc_id": out_d, "score": out_s}

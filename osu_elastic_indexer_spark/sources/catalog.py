@@ -152,14 +152,34 @@ def emit_metric_event(index_dir: str, event: str, **tags: Any) -> None:
 
 
 def read_metric_events(index_dir: str, last: int | None = None) -> list[dict]:
-    """Read the metric event stream (optionally only the last N events)."""
+    """Read the metric event stream (optionally only the last N events).
+    Tailing seeks from the END — O(tail bytes), never O(history): the
+    stream grows one line per batch forever on a long-lived index."""
     p = os.path.join(index_dir, "metrics.jsonl")
     if not os.path.exists(p):
         return []
-    with open(p) as f:
-        lines = f.readlines()
-    if last is not None:
-        lines = lines[-last:]
+    if last is None:
+        with open(p) as f:
+            lines = f.readlines()
+    else:
+        # widen the window until it holds `last` full lines (or whole file)
+        size = os.path.getsize(p)
+        window = 4096
+        with open(p, "rb") as f:
+            while True:
+                take = min(size, window)
+                f.seek(size - take)
+                chunk = f.read(take)
+                found = chunk.split(b"\n")
+                # first element may be a partial line unless we read it all
+                complete = found if take == size else found[1:]
+                complete = [ln for ln in complete if ln.strip()]
+                # one line of slack: a torn tail line (crashed writer)
+                # parses to nothing but still occupies a slot
+                if len(complete) >= last + 1 or take == size:
+                    lines = [ln.decode() for ln in complete]
+                    break
+                window *= 4
     out = []
     for ln in lines:
         ln = ln.strip()
@@ -168,7 +188,7 @@ def read_metric_events(index_dir: str, last: int | None = None) -> list[dict]:
                 out.append(json.loads(ln))
             except json.JSONDecodeError:
                 continue  # torn tail line from a crashed writer
-    return out
+    return out[-last:] if last is not None else out
 
 
 def _atomic_write_json(path: str, obj: Any) -> None:

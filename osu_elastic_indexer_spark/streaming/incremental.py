@@ -115,6 +115,7 @@ def incremental_update(
     cat.assert_writable(schema_version)
     m = cat.read_manifest(schema_version)
     assert m is not None and m["phases"].get("commit"), "no base index to update"
+    _assert_format(m, cat.index_name(schema_version))
     idx = cat.index_dir(schema_version)
     # T7 replay safety: remove anything a crashed generation left behind
     clean_orphan_generations(idx)
@@ -410,6 +411,23 @@ def backfill_with_switch(
     return m
 
 
+def _assert_format(m: dict, index_name: str) -> None:
+    """Writers must refuse indexes from an older on-disk format: an
+    incremental applied to a legacy FLAT dictionary layout would stage
+    gen=K inside the flat dir, after which committed_gen_paths sees gen=
+    subdirs and silently stops reading the flat base files — the entire
+    pre-existing vocabulary becomes invisible. Rebuild, don't mix."""
+    from ..sources.catalog import FORMAT_VERSION
+
+    fmt = m.get("format")
+    if fmt != FORMAT_VERSION:
+        raise RuntimeError(
+            f"index {index_name} has on-disk format {fmt}, this engine "
+            f"writes format {FORMAT_VERSION} — run a full rebuild before "
+            "applying incremental updates or compaction"
+        )
+
+
 def _drain_gc_pending(cat: Catalog, schema_version: str) -> None:
     """Delete dirs a PREVIOUS compaction superseded (writer-entry deferred
     GC: by the time the next writer runs, any reader that pinned the old
@@ -436,6 +454,8 @@ def compact_index(
     single manifest swap; the superseded dirs are deleted afterwards."""
     cat = catalog
     cat.assert_writable(schema_version)
+    m = cat.read_manifest(schema_version)
+    _assert_format(m or {}, cat.index_name(schema_version))
     idx = cat.index_dir(schema_version)
     clean_orphan_generations(idx)
     _drain_gc_pending(cat, schema_version)

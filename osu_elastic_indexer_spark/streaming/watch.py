@@ -106,6 +106,9 @@ def watch(
     if available_now:
         q = writer.trigger(availableNow=True).start()
     else:
+        # parse BEFORE starting the stream: an unsupported unit must fail
+        # fast, not crash the driver loop with the query already running
+        poll_sec = _interval_seconds(poll_interval)
         q = writer.trigger(processingTime=poll_interval).start()
     try:
         if available_now:
@@ -117,7 +120,6 @@ def watch(
             # enters process() (no new files -> no micro-batch), so the
             # driver polls the control channel between waits and stops the
             # stream on a move — same self-stop, no batch required.
-            poll_sec = _interval_seconds(poll_interval)
             while q.isActive:
                 current = cat.get_current_schema()
                 if current is not None and current != schema_version:
@@ -126,6 +128,12 @@ def watch(
                     break
                 if q.awaitTermination(poll_sec):
                     break
+            # the stream may have DIED while the driver was between waits
+            # (isActive flipped false without an awaitTermination to raise);
+            # surface that failure instead of returning a success-shaped
+            # manifest — one bounded await re-raises it if present
+            if state["stop_reason"] is None:
+                q.awaitTermination(1)
     except Exception:
         # a T10 schema move is the MIRRORED self-stop, not a failure — in
         # BOTH trigger modes (the reference's checkSchema deregisters and
@@ -149,11 +157,19 @@ def watch(
 
 
 def _interval_seconds(interval: str) -> float:
-    """'5 seconds' / '500 milliseconds' / '1 minute' -> seconds."""
+    """'5 seconds' / '500 ms' / '1 minute' / '2 hours' -> seconds (the unit
+    set Spark's trigger accepts). Raises ValueError on unknown units so the
+    caller fails BEFORE starting a stream it can't poll."""
     num, _, unit = interval.strip().partition(" ")
-    mult = {"millisecond": 0.001, "second": 1.0, "minute": 60.0}[
-        unit.strip().rstrip("s") or "second"
-    ]
+    key = unit.strip().rstrip("s") or "second"
+    mult = {
+        "m": 0.001, "milli": 0.001, "millisecond": 0.001,
+        "second": 1.0, "sec": 1.0,
+        "minute": 60.0, "min": 60.0,
+        "hour": 3600.0,
+    }.get(key)
+    if mult is None:
+        raise ValueError(f"unsupported trigger interval unit: {interval!r}")
     return float(num) * mult
 
 
