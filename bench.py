@@ -134,6 +134,42 @@ def main() -> None:
     extras["serve_p50_ms"] = round(lat[len(lat) // 2] * 1000, 2)
     extras["serve_p90_ms"] = round(lat[int(len(lat) * 0.9)] * 1000, 2)
 
+    # ---- incremental CDC batch (the queue-consume hot path): evolve ~12%
+    # of the corpus and apply one cursor batch — measures tombstone+append,
+    # per-batch dictionary DELTA write, exact stats delta, atomic commit ----
+    from osu_elastic_indexer_spark.sources.fixtures import evolve_corpus
+    from osu_elastic_indexer_spark.streaming.incremental import (
+        incremental_update,
+    )
+
+    import pyarrow.parquet as _pq
+
+    n_delta = max(200, n_docs // 10)
+    evolved_path = f"{root}_delta.parquet"
+    _pq.write_table(
+        evolve_corpus(
+            _pq.read_table(corpus_path),
+            n_new=n_delta, n_update=n_delta // 5, n_flip=n_delta // 10,
+        ),
+        evolved_path,
+    )
+    t0 = time.time()
+    m_inc = incremental_update(
+        spark, spark.read.parquet(evolved_path), cat, "bench"
+    )
+    t_inc = time.time() - t0
+    inc_phase = m_inc["phases"].get("incremental_gen1", {})
+    extras["incremental_sec"] = round(t_inc, 3)
+    extras["incremental_adds"] = inc_phase.get("adds")
+    extras["incremental_deletes"] = inc_phase.get("deletes")
+    extras["incremental_docs_per_sec"] = round(
+        (int(inc_phase.get("adds") or 0) + int(inc_phase.get("deletes") or 0))
+        / max(t_inc, 1e-9),
+        1,
+    )
+    os.remove(evolved_path)
+
+
     # ---- relational sanity at the sf dir ------------------------------------
     import __spark_entry__ as entry_mod
 
