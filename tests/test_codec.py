@@ -74,6 +74,35 @@ def test_postings_roundtrip_and_blocks():
         assert enc["block_min_dl"][b] == dls[lo:hi].min()
 
 
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10**9),
+        min_size=1, max_size=700, unique=True,
+    ),
+    tf_seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_bulk_decode_equals_blockwise_decode(ids, tf_seed):
+    """The vectorized whole-row decode (one varbyte pass + reset-cumsum)
+    must be EXACTLY the concatenation of per-block decodes for every list
+    shape — including lists shorter than a block, exact multiples of BLOCK,
+    and ragged tails (the per-block delta restart is the subtle part)."""
+    from osu_elastic_indexer_spark.functions.codec import decode_block
+
+    doc_ids = np.sort(np.asarray(ids, dtype=np.int64))
+    rng = np.random.default_rng(tf_seed)
+    tfs = rng.integers(1, 1000, doc_ids.size).astype(np.int64)
+    enc = encode_postings(doc_ids, tfs)
+    d_bulk, t_bulk = decode_postings(enc)
+    parts = [decode_block(enc, b) for b in range(len(enc["block_first"]))]
+    d_blk = np.concatenate([p[0] for p in parts])
+    t_blk = np.concatenate([p[1] for p in parts])
+    assert np.array_equal(d_bulk, d_blk)
+    assert np.array_equal(t_bulk, t_blk)
+    assert np.array_equal(d_bulk, doc_ids)
+    assert np.array_equal(t_bulk, tfs)
+
+
 def test_merge_disjoint_ranges():
     a = encode_postings(np.array([1, 5, 9]), np.array([2, 1, 3]))
     b = encode_postings(np.array([100, 200]), np.array([7, 1]))
