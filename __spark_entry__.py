@@ -504,6 +504,19 @@ def q_dedup_embedding_pairs(spark, sf_dir):
     return embedding_near_dup_pairs(e, threshold=0.25).orderBy("vec_a", "vec_b")
 
 
+def q_dedup_embedding_pairs_indexed(spark, sf_dir):
+    """Embedding near-dup pairs through the STORED bucket-partitioned LSH
+    table (co-located self-join — the 100-TB form of
+    dedup_embedding_pairs; same hyperplanes, same oracle)."""
+    from osu_elastic_indexer_spark.operators.ann_index import (
+        near_dup_pairs_indexed,
+    )
+
+    return near_dup_pairs_indexed(
+        spark, _ann_index_dir(spark, sf_dir), threshold=0.25
+    ).orderBy("vec_a", "vec_b")
+
+
 def _query_vec(spark, sf_dir) -> list[float]:
     row = (
         _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).collect()[0]
@@ -1037,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding_pairs": q_dedup_embedding_pairs,
+        "dedup_embedding_pairs_indexed": q_dedup_embedding_pairs_indexed,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
@@ -1234,6 +1248,17 @@ FROM sel GROUP BY 1 ORDER BY pred_lang
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash_pairs": _simhash_pairs_sql(6, 200),
         "dedup_embedding_pairs": f"""
+WITH eb AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({_cos_sql("a.embedding", "b.embedding")}, 6) AS cos
+FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND({_cos_sql("a.embedding", "b.embedding")}, 6) >= 0.25
+ORDER BY vec_a, vec_b
+""",
+        # identical semantics through the STORED bucket table
+        "dedup_embedding_pairs_indexed": f"""
 WITH eb AS (
   SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
 )

@@ -184,6 +184,45 @@ def lsh_topk_indexed(
     return brute_force_topk(cand, query_vec, k, exclude_vec_id)
 
 
+def near_dup_pairs_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding near-duplicate pairs over the MATERIALIZED LSH table:
+    (vec_a, vec_b, cos) with cos >= threshold, vec_a < vec_b.
+
+    The self-join runs per STORED bucket partition — both sides read the
+    same bucket-partitioned files, so the join keys are co-located at the
+    storage layout level (no full-corpus shuffle of raw vectors; the
+    shuffle moves only each bucket's members). Same candidate generation
+    as similarity.embedding_near_dup_pairs (identical hyperplanes from the
+    index meta), so results are identical — this is the 100-TB form."""
+    from .similarity import _as_double, cosine_expr
+
+    lsh = spark.read.parquet(os.path.join(index_dir, "lsh"))
+    a = lsh.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_a"),
+        _as_double(F.col("embedding")).alias("va"),
+    )
+    b = lsh.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_b"),
+        _as_double(F.col("embedding")).alias("vb"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def ivf_topk_indexed(
     spark: SparkSession,
     index_dir: str,

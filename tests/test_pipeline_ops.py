@@ -269,6 +269,42 @@ def test_ann_indexed_paths_match_on_the_fly(spark, tmp_path):
         assert [(r.vec_id, r.cos) for r in a] == [(r.vec_id, r.cos) for r in b]
 
 
+def test_near_dup_pairs_indexed_matches_on_the_fly(spark, tmp_path):
+    """Stored-bucket near-dup pairs must equal the on-the-fly bucketed
+    self-join (same hyperplanes, same cosine rounding)."""
+    import numpy as np
+
+    from osu_elastic_indexer_spark.operators import ann_index
+
+    rng = np.random.RandomState(31)
+    rows = []
+    for i in range(120):
+        rows.append((i, [float(x) for x in rng.standard_normal(12)]))
+    for i in range(120, 140):  # planted near-dups of the first 20
+        base = np.asarray(rows[i - 120][1])
+        rows.append(
+            (i, [float(x) for x in base + rng.standard_normal(12) * 0.01])
+        )
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    idx = str(tmp_path / "ann")
+    meta = ann_index.build_ann_index(spark, df, idx, bits=5, stride=30)
+    got = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in ann_index.near_dup_pairs_indexed(
+            spark, idx, threshold=0.9
+        ).collect()
+    }
+    ref = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in similarity.embedding_near_dup_pairs(
+            df, threshold=0.9, bits=5, planes=meta["planes"]
+        ).collect()
+    }
+    assert got == ref
+    # the planted pairs that share a bucket are found
+    assert len(got) >= 10
+
+
 def test_random_hyperplanes_beat_axis_signs_on_skewed_dims(spark):
     """Recall rationale for seeded random hyperplanes (vs the old
     coordinate-sign placeholder) at EQUAL bucket counts: when the first
