@@ -108,6 +108,7 @@ def cmd_queue_watch(args) -> int:
         spark, args.queue_dir, cat, args.schema,
         available_now=not args.follow,
         max_files_per_trigger=args.max_files or None,
+        compact_every=args.compact_every or None,
     )
     print(json.dumps({"counters": m["counters"], "queue": m.get("queue")}))
     return 0
@@ -249,6 +250,8 @@ def main(argv: list[str] | None = None) -> int:
     qw = sub.add_parser("queue-watch", help="consume the queue (queue watch)")
     qw.add_argument("--queue-dir", required=True)
     qw.add_argument("--schema", required=True)
+    qw.add_argument("--compact-every", type=int, default=0,
+                    help="auto-compact when generations reach N (segment-merge analog)")
     qw.add_argument("--follow", action="store_true",
                     help="keep polling (default: drain available and stop)")
     qw.add_argument("--max-files", type=int, default=None,

@@ -262,8 +262,13 @@ def incremental_update(
         start_id=int(max_tid) + 1,
     ).select("term_id", "term", "df")
     dict_delta = known.unionByName(fresh).persist()
-    n_batch_terms = dict_delta.count()
-    n_fresh = batch_dict.filter(F.col("term_id").isNull()).count()
+    # one job for both vocab counts (batch size + fresh-term count)
+    bd_agg = batch_dict.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("term_id").isNull(), 1)).alias("fresh"),
+    ).collect()[0]
+    n_batch_terms = int(bd_agg.n)
+    n_fresh = int(bd_agg.fresh)
     n_terms2 = int(n_terms_old) + int(n_fresh)
     max_tid2 = int(max_tid) + int(n_fresh)
     new_cursor = batch.agg(F.max("warc_ts")).collect()[0][0]

@@ -40,6 +40,7 @@ def watch(
     available_now: bool = True,
     poll_interval: str = "5 seconds",
     max_files_per_trigger: int | None = None,
+    compact_every: int | None = None,
 ) -> dict:
     """Consume document batches from ``queue_dir`` into the index.
 
@@ -48,6 +49,12 @@ def watch(
     continuously with `poll_interval` micro-batches until the control
     channel moves the current schema elsewhere (T10) or the stream is
     stopped externally. Returns the final manifest.
+
+    ``compact_every``: auto-compaction threshold (the ES segment-merge
+    analog — the reference's store merges continuously): when a batch
+    commit leaves >= this many generations, run compact_index inline
+    before the next batch. Readers are safe throughout (pinned snapshots +
+    gc_pending deferred deletion).
     """
     from ..session import ship_package
 
@@ -82,10 +89,17 @@ def watch(
             else:
                 # queue semantics: the batch rows ARE the changed documents;
                 # rows failing ShouldIndex route to delete inside the update
-                incremental_update(
+                m_new = incremental_update(
                     spark, rows, cat, schema_version,
                     queue_urls=rows.select("url"),
                 )
+                if (
+                    compact_every
+                    and int(m_new.get("generations", 0)) >= compact_every
+                ):
+                    from .incremental import compact_index
+
+                    compact_index(spark, cat, schema_version)
             # A2 gauge: pending backlog after this batch, recorded with the
             # manifest counters (the DogStatsd-tagged metrics analog,
             # IndexQueueProcessor.cs:52,57 + PumpAllScoresCommand.cs:93-97)

@@ -103,6 +103,43 @@ def test_watch_stops_when_schema_moves(stream_env, tmp_path):
     cat.update_alias("v1")  # restore for other tests
 
 
+def test_watch_auto_compaction(spark, tmp_path):
+    """compact_every: once a batch commit reaches the generation threshold,
+    the watcher compacts inline (ES segment-merge analog) — generations
+    fold back to 1, tombstones clear, results unchanged."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    queue_dir = str(tmp_path / "queue")
+    os.makedirs(queue_dir)
+    cat = Catalog(str(tmp_path / "idx"))
+    base = generate_documents(400)
+    final = evolve_corpus(base, n_new=50, n_update=10, n_flip=5)
+    bp = str(tmp_path / "b.parquet")
+    fp = str(tmp_path / "f.parquet")
+    pq.write_table(base, bp)
+    pq.write_table(final, fp)
+
+    push_batch(spark, spark.read.parquet(bp), queue_dir)
+    m1 = watch(spark, queue_dir, cat, "v1", available_now=True, compact_every=2)
+    assert m1["generations"] == 1  # bootstrap build
+
+    cursor = m1["cursor"]
+    delta = spark.read.parquet(fp).filter(
+        F.col("warc_ts") > F.lit(cursor).cast("timestamp")
+    )
+    push_batch(spark, delta, queue_dir)
+    m2 = watch(spark, queue_dir, cat, "v1", available_now=True, compact_every=2)
+    # incremental made generations 2 -> threshold hit -> compacted back to 1
+    assert m2["generations"] == 1
+    assert (m2.get("tables") or {}).get("segments", "").startswith("segments_v")
+    from osu_elastic_indexer_spark.sources.catalog import read_metric_events
+
+    kinds = [e["event"] for e in read_metric_events(cat.index_dir("v1"))]
+    assert kinds == ["full_build", "incremental_commit", "compact"]
+
+
 def test_idle_follow_watcher_stops_on_schema_move(spark, tmp_path):
     """T10 timer poll (VERDICT r2 #4): a --follow watcher on an EMPTY queue
     never enters process() (no files -> no micro-batch), so the schema check
