@@ -242,11 +242,12 @@ class LocalSearcher:
         use_taat = est_total <= TAAT_MAX_POSTINGS
         if use_taat:
             need = [
-                tid for t, (tid, _df) in infos if t not in self._decoded
+                (t, tid) for t, (tid, _df) in infos if t not in self._decoded
             ]
+            rows = self._load_term_rows([tid for _t, tid in need]) if need else {}
+            self._decode_terms_parallel(need, rows)
         else:
-            need = [tid for _t, (tid, _df) in infos]
-        rows = self._load_term_rows(need) if need else {}
+            rows = self._load_term_rows([tid for _t, (tid, _df) in infos])
         entries = []
         for t, (tid, df) in infos:
             idf = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
@@ -262,6 +263,42 @@ class LocalSearcher:
                 entries, k, self.avgdl, self.norms, self.tombstones
             )
         return [(doc, score) for score, doc in res]
+
+    def _decode_terms_parallel(self, need: list, rows: dict) -> None:
+        """Decode uncached terms into the cache, MULTI-TERM queries in a
+        small thread pool: the varbyte decode kernels are numpy (GIL
+        released for the array ops), so a 3-head-term conjunction decodes
+        ~Nx faster — this was the serve-tier p90 tail. Entries are stored
+        exactly as taat_topk would build them (doc_min-ordered concat,
+        float64 tfs), so the cache-hit path is bit-identical."""
+        from ..functions import codec as _codec
+        from .wand import B as _B
+        from .wand import K1 as _K1
+
+        norms, avgdl = self.norms, self.avgdl
+
+        def dec(item):
+            t, tid = item
+            encs = rows.get(tid, [])
+            if not encs:
+                return None
+            parts = [_codec.decode_postings(e) for e in encs]
+            d = np.concatenate([p[0] for p in parts])
+            tf = np.concatenate([p[1] for p in parts]).astype(np.float64)
+            dl = norms[d].astype(np.float64)
+            tfn = tf / (tf + _K1 * ((1.0 - _B) + (_B * dl) / avgdl))
+            return t, (d, tfn)
+
+        if len(need) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(8, len(need))) as ex:
+                results = list(ex.map(dec, need))
+        else:
+            results = [dec(item) for item in need]
+        for r in results:
+            if r is not None:
+                self._decoded[r[0]] = r[1]
 
     def _bound_decode_cache(self) -> None:
         """Evict oldest decoded terms until under the postings budget

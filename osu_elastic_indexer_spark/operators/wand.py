@@ -191,18 +191,22 @@ def taat_topk(
     candidates. The dispatcher in run_query() picks per query; at 10^12-doc
     scale selective queries route to BMW, where skipping wins.
 
-    ``decode_cache``: optional {term: (docs, tfs)} map a long-lived caller
+    ``decode_cache``: optional {term: (docs, tfn)} map a long-lived caller
     (the serving tier) passes in — head terms' varbyte decode dominates the
     dense-query latency, and reference query sets share head terms heavily.
-    Filled-in entries are the caller's to bound/evict (LocalSearcher keys a
-    searcher to one pinned snapshot, so entries can never go stale within
-    its lifetime).
+    Cached entries hold the QUERY-INDEPENDENT tf-norm (tf/(tf+K1(...)),
+    a function of the index's avgdl/norms only), so a warm query pays one
+    idf multiply + scatter per term — no norms gather, no division. The
+    contrib arithmetic (idf x tfnorm) is the same expression shape as the
+    uncached path and the oracle, so scores stay bit-identical. Entries
+    are the caller's to bound/evict (LocalSearcher keys a searcher to one
+    pinned snapshot, so entries can never go stale within its lifetime).
     """
     per_term: list[tuple[np.ndarray, np.ndarray]] = []
     for t, idf, rows in sorted(term_lists, key=lambda e: e[0]):
         cached = decode_cache.get(t) if decode_cache is not None else None
         if cached is not None:
-            d, tf = cached
+            d, tfn = cached
         else:
             ds, tfs = [], []
             for enc in rows:  # caller orders rows by doc_min
@@ -213,12 +217,12 @@ def taat_topk(
                 continue
             d = np.concatenate(ds)
             tf = np.concatenate(tfs).astype(np.float64)
+            dl = norms[d].astype(np.float64)
+            # elementwise twin of _tf_norm's scalar expression tree
+            tfn = tf / (tf + K1 * ((1.0 - B) + (B * dl) / avgdl))
             if decode_cache is not None:
-                decode_cache[t] = (d, tf)
-        dl = norms[d].astype(np.float64)
-        # elementwise twin of _tf_norm's scalar expression tree
-        contrib = idf * (tf / (tf + K1 * ((1.0 - B) + (B * dl) / avgdl)))
-        per_term.append((d, contrib))
+                decode_cache[t] = (d, tfn)
+        per_term.append((d, idf * tfn))
     if not per_term:
         return []
     # dense accumulator sized like the norms array (already O(n_docs)
