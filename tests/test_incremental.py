@@ -397,6 +397,57 @@ def test_dictionary_delta_write_is_batch_sized(
     assert m["counters"]["terms"] == read_dictionary_merged(spark, idx).count()
 
 
+def test_dictionary_fold_across_many_generations(spark, tmp_path_factory):
+    """Five successive incremental generations: term lookups, served
+    queries, and the merged dictionary must stay exact through the whole
+    delta chain (the fold depth the single-batch tests never reach), and a
+    compaction at the end folds back to one generation with identical
+    results."""
+    import os
+
+    from osu_elastic_indexer_spark.operators.dictionary import (
+        lookup_term_info,
+        read_dictionary_merged,
+    )
+
+    corpus = generate_documents(500)
+    root = str(tmp_path_factory.mktemp("idx_deep"))
+    p0 = os.path.join(root, "c0.parquet")
+    pq.write_table(corpus, p0)
+    cat = Catalog(root)
+    build_index(spark, spark.read.parquet(p0), cat, "v1")
+    for g in range(1, 5):
+        corpus = evolve_corpus(corpus, n_new=40, n_update=10, n_flip=5)
+        pg = os.path.join(root, f"c{g}.parquet")
+        pq.write_table(corpus, pg)
+        incremental_update(spark, spark.read.parquet(pg), cat, "v1")
+    m = cat.read_manifest("v1")
+    assert m["generations"] == 5
+    idx = cat.index_dir("v1")
+
+    oidx, ourls = _oracle_for(corpus)
+    # merged dictionary == oracle df for every live term
+    merged = {
+        r.term: r.df
+        for r in read_dictionary_merged(spark, idx)
+        .filter(F.col("df") > 0)
+        .collect()
+    }
+    odf = {t: len(pl) for t, pl in oidx.postings.items()}
+    assert merged == odf
+    # the pruned seek path agrees with the merged read for a probe set
+    probe = list(merged)[:25] + ["zzz-absent"]
+    info = lookup_term_info(spark, idx, probe)
+    for t in probe[:25]:
+        assert info[t][1] == merged[t], t
+    assert "zzz-absent" not in info
+    # end-to-end ranking across the 5-generation index, then post-compaction
+    _check_all_queries(spark, idx, oidx, ourls, "gen5")
+    compact_index(spark, cat, "v1")
+    assert cat.read_manifest("v1")["generations"] == 1
+    _check_all_queries(spark, idx, oidx, ourls, "gen5-compacted")
+
+
 def test_writers_refuse_legacy_on_disk_format(spark, evolved, tmp_path_factory):
     """A writer applied to an older-format index must REFUSE (rebuild
     required): staging gen= dirs inside a legacy flat dictionary layout
