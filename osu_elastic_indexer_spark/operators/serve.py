@@ -32,8 +32,12 @@ _SEG_COLS = [
     "block_max_tf", "block_min_dl",
 ]
 
-# decoded-postings cache budget per searcher (~16 bytes/posting)
-_DECODE_CACHE_MAX_POSTINGS = 8_000_000
+# Decoded-postings cache budget per searcher (~16 bytes/posting). Aligned
+# with TAAT_MAX_POSTINGS: df-based dispatch routes terms with up to that
+# many postings to the TAAT/cache path, so a smaller budget could never
+# retain the densest head term — it would be re-read and re-decoded on
+# EVERY query, the exact workload the cache exists for.
+_DECODE_CACHE_MAX_POSTINGS = TAAT_MAX_POSTINGS
 
 
 class LocalSearcher:
@@ -241,9 +245,15 @@ class LocalSearcher:
         est_total = sum(df for _t, (_tid, df) in infos)
         use_taat = est_total <= TAAT_MAX_POSTINGS
         if use_taat:
-            need = [
-                (t, tid) for t, (tid, _df) in infos if t not in self._decoded
-            ]
+            need = []
+            for t, (tid, _df) in infos:
+                if t in self._decoded:
+                    # LRU: move-to-end on hit, so eviction (which pops from
+                    # the dict head) removes the least-recently-USED term,
+                    # not the oldest-inserted (often the hottest head term)
+                    self._decoded[t] = self._decoded.pop(t)
+                else:
+                    need.append((t, tid))
             rows = self._load_term_rows([tid for _t, tid in need]) if need else {}
             self._decode_terms_parallel(need, rows)
         else:
@@ -301,10 +311,14 @@ class LocalSearcher:
                 self._decoded[r[0]] = r[1]
 
     def _bound_decode_cache(self) -> None:
-        """Evict oldest decoded terms until under the postings budget
-        (~16 bytes/posting: int64 docs + float64 tfs)."""
+        """Evict least-recently-used decoded terms (dict head — hits are
+        moved to the tail in search()) until under the postings budget
+        (~16 bytes/posting: int64 docs + float64 tfs). Always keeps at
+        least the most recent entry: evicting the term just decoded would
+        guarantee a re-decode on its next appearance while buying nothing
+        for the terms that remain."""
         total = sum(d.size for d, _tf in self._decoded.values())
-        while total > _DECODE_CACHE_MAX_POSTINGS and self._decoded:
+        while total > _DECODE_CACHE_MAX_POSTINGS and len(self._decoded) > 1:
             _t, (d, _tf) = next(iter(self._decoded.items()))
             del self._decoded[_t]
             total -= d.size

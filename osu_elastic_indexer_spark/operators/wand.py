@@ -248,6 +248,8 @@ def topk_from_dense(sums: np.ndarray, k: int) -> list[tuple[float, int]]:
     value before the final lexsort — both exhaustive paths (taat_topk and
     the docpart cell scorer) share this finalization so their tie handling
     can never diverge."""
+    if k <= 0:  # argpartition(kth=k-1) would wrap to -1 and min() an
+        return []  # empty slice; bmw_topk has the same guard
     nz = np.flatnonzero(sums)
     if nz.size == 0:
         return []

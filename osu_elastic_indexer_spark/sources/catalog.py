@@ -155,6 +155,10 @@ def read_metric_events(index_dir: str, last: int | None = None) -> list[dict]:
     """Read the metric event stream (optionally only the last N events).
     Tailing seeks from the END — O(tail bytes), never O(history): the
     stream grows one line per batch forever on a long-lived index."""
+    if last is not None and last <= 0:
+        # a 0/negative tail is an empty tail, NEVER the whole history
+        # (out[-0:] would slice from index 0)
+        return []
     p = os.path.join(index_dir, "metrics.jsonl")
     if not os.path.exists(p):
         return []

@@ -171,16 +171,23 @@ def watch(
 
 
 def _interval_seconds(interval: str) -> float:
-    """'5 seconds' / '500 ms' / '1 minute' / '2 hours' -> seconds (the unit
-    set Spark's trigger accepts). Raises ValueError on unknown units so the
-    caller fails BEFORE starting a stream it can't poll."""
+    """'5 seconds' / '500 milliseconds' / '1 day' -> seconds. The unit set
+    mirrors what Spark's processingTime trigger itself parses (microsecond
+    through week, singular or plural — IntervalUtils unit names; month/year
+    are not fixed durations so a trigger rejects them and so do we), so
+    this pre-parse only rejects what Spark would also reject. Raises
+    ValueError on unknown units so the caller fails BEFORE starting a
+    stream it can't poll."""
     num, _, unit = interval.strip().partition(" ")
-    key = unit.strip().rstrip("s") or "second"
+    key = unit.strip().lower().rstrip("s") or "second"
     mult = {
-        "m": 0.001, "milli": 0.001, "millisecond": 0.001,
-        "second": 1.0, "sec": 1.0,
-        "minute": 60.0, "min": 60.0,
+        "microsecond": 1e-6,
+        "millisecond": 0.001,
+        "second": 1.0,
+        "minute": 60.0,
         "hour": 3600.0,
+        "day": 86400.0,
+        "week": 604800.0,
     }.get(key)
     if mult is None:
         raise ValueError(f"unsupported trigger interval unit: {interval!r}")

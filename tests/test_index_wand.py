@@ -268,3 +268,18 @@ def test_bmw_pure_random_vs_oracle():
 
         got2 = taat_topk(terms, k, avgdl, norms)
         assert got2 == brute[:k], f"trial {trial} taat: {got2} != {brute[:k]}"
+
+
+def test_topk_from_dense_k_zero():
+    """k=0 returns [] instead of crashing in argpartition(kth=-1)
+    (ADVICE r3); both exhaustive finalizers share the guard."""
+    import numpy as np
+
+    from osu_elastic_indexer_spark.operators.wand import topk_from_dense
+
+    sums = np.zeros(8)
+    sums[3] = 1.5
+    sums[5] = 0.5
+    assert topk_from_dense(sums, 0) == []
+    assert topk_from_dense(sums, -1) == []
+    assert topk_from_dense(sums, 1) == [(1.5, 3)]

@@ -61,8 +61,44 @@ def test_serve_decode_cache_bounded_and_exact(searcher, oracle_index):
     serve_mod._DECODE_CACHE_MAX_POSTINGS = 1  # force eviction
     try:
         searcher.search("zebra", 5)  # a present term: triggers the bound
-        total = sum(d.size for d, _ in searcher._decoded.values())
-        assert total <= 1 or len(searcher._decoded) == 0
+        # the bound keeps at least the most-recently-used entry (evicting
+        # the term just decoded would buy nothing), evicts everything else
+        assert len(searcher._decoded) == 1
     finally:
         serve_mod._DECODE_CACHE_MAX_POSTINGS = old_cap
         searcher._decoded.clear()
+
+
+def test_serve_decode_cache_lru_eviction_order(searcher):
+    """Eviction must remove the least-recently-USED term, not the
+    oldest-inserted: a hit moves the entry to the dict tail, so the head
+    is always the LRU entry."""
+    import numpy as np
+
+    from osu_elastic_indexer_spark.operators import serve as serve_mod
+
+    searcher._decoded.clear()
+
+    def entry(n):
+        return (np.arange(n, dtype=np.int64), np.zeros(n))
+
+    searcher._decoded["a"] = entry(4)
+    searcher._decoded["b"] = entry(4)
+    searcher._decoded["a"] = searcher._decoded.pop("a")  # hit on "a"
+    searcher._decoded["c"] = entry(4)
+    old_cap = serve_mod._DECODE_CACHE_MAX_POSTINGS
+    serve_mod._DECODE_CACHE_MAX_POSTINGS = 8
+    try:
+        searcher._bound_decode_cache()
+        # b (LRU head) evicted; the hit kept "a" alive
+        assert set(searcher._decoded) == {"a", "c"}
+    finally:
+        serve_mod._DECODE_CACHE_MAX_POSTINGS = old_cap
+        searcher._decoded.clear()
+
+    # end-to-end: search() itself must move a cache hit to the tail
+    searcher.search("zebra", 5)
+    searcher.search("data", 5)
+    searcher.search("zebra", 5)  # hit
+    assert list(searcher._decoded)[-1] == "zebra"
+    searcher._decoded.clear()

@@ -172,3 +172,43 @@ def test_idle_follow_watcher_stops_on_schema_move(spark, tmp_path):
     mover.join()
     assert "schema moved" in m.get("stop_reason", ""), m
     assert elapsed < 30, f"watcher did not stop promptly ({elapsed:.1f}s)"
+
+
+def test_interval_seconds_unit_set():
+    """The pre-parse accepts exactly the fixed-duration units Spark's
+    processingTime trigger parses (microsecond..week), and rejects
+    ambiguous/unknown units BEFORE a stream starts (ADVICE r3)."""
+    from osu_elastic_indexer_spark.streaming.watch import _interval_seconds
+
+    assert _interval_seconds("5 seconds") == 5.0
+    assert _interval_seconds("500 milliseconds") == 0.5
+    assert _interval_seconds("250 microseconds") == 2.5e-4
+    assert _interval_seconds("2 minutes") == 120.0
+    assert _interval_seconds("1 hour") == 3600.0
+    assert _interval_seconds("1 day") == 86400.0
+    assert _interval_seconds("2 weeks") == 1209600.0
+    import pytest as _pytest
+
+    for bad in ("5 parsecs", "1 m", "3 months", "1 year"):
+        with _pytest.raises(ValueError):
+            _interval_seconds(bad)
+
+
+def test_metrics_tail_zero_is_empty(tmp_path):
+    """metrics-tail -n 0 must print NOTHING, not the entire history
+    (out[-0:] slices from index 0 — ADVICE r3)."""
+    import os
+
+    from osu_elastic_indexer_spark.sources.catalog import (
+        emit_metric_event,
+        read_metric_events,
+    )
+
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    for i in range(5):
+        emit_metric_event(d, "e", i=i)
+    assert read_metric_events(d, last=0) == []
+    assert read_metric_events(d, last=-3) == []
+    assert len(read_metric_events(d, last=2)) == 2
+    assert len(read_metric_events(d)) == 5
