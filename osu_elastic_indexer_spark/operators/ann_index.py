@@ -192,35 +192,93 @@ def near_dup_pairs_indexed(
     """Embedding near-duplicate pairs over the MATERIALIZED LSH table:
     (vec_a, vec_b, cos) with cos >= threshold, vec_a < vec_b.
 
-    The self-join runs per STORED bucket partition — both sides read the
-    same bucket-partitioned files, so the join keys are co-located at the
-    storage layout level (no full-corpus shuffle of raw vectors; the
-    shuffle moves only each bucket's members). Same candidate generation
-    as similarity.embedding_near_dup_pairs (identical hyperplanes from the
-    index meta), so results are identical — this is the 100-TB form."""
-    from .similarity import _as_double, cosine_expr
+    Pair generation is a single GROUPED pass (groupBy bucket +
+    applyInPandas): each bucket's members shuffle ONCE to their group and
+    the pairs are emitted in-worker — no self-join, so the raw embedding
+    vectors cross the network exactly once instead of twice (a bucket
+    self-join hash-exchanges BOTH sides; parquet partitionBy carries no
+    bucketed-join metadata that would let Catalyst elide it). The plan is
+    Scan -> one Exchange(bucket) -> FlatMapGroupsInPandas — asserted in
+    tests/test_plans.py. Per-bucket work is blocked (row-block x members),
+    so worker memory is O(block x bucket), never O(bucket^2) at once.
+
+    Float discipline: the in-worker cosine accumulates per-DIMENSION in
+    index order (one fused add per dimension), which is bit-identical to
+    similarity.cosine_expr's sequential F.aggregate fold and to the SQL
+    oracle's ordinal list_reduce; rounding stays in the Spark plan
+    (F.round) so engine rounding semantics are shared with every other
+    entry. Candidate generation equals similarity.embedding_near_dup_pairs
+    PROVIDED the index was built with the same (seed, bits) hyperplanes
+    the on-the-fly path derives (the build records both in meta.json; the
+    parity test pins the default HYPERPLANE_SEED/bits on both sides — an
+    index built with a different seed is a different, equally valid LSH
+    blocking and its candidate set legitimately differs)."""
+    import pandas as pd
+
+    # emit with >= (threshold - slack) RAW cosine: F.round(.., 6) moves a
+    # value by at most 5e-7, so the in-worker pre-filter can only keep a
+    # superset of the post-round survivors (bounds UDF output volume
+    # without taking over the engine-level rounding decision)
+    thr_slack = float(threshold) - 1e-6
+
+    def emit_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        m = len(ids)
+        if m < 2:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "cos_raw": []}
+            ).astype({"vec_a": "int64", "vec_b": "int64", "cos_raw": "float64"})
+        X = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        )
+        d = X.shape[1]
+        # sequential-order norms: acc + x*x per dimension, index order —
+        # the same left fold as dot_expr(a, a)
+        nsq = np.zeros(m)
+        for t in range(d):
+            nsq += X[:, t] * X[:, t]
+        nrm = np.sqrt(nsq)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        B = 1024
+        for s in range(0, m, B):
+            e = min(s + B, m)
+            # G[i-s, j] = ordered fold over t of X[i,t]*X[j,t]
+            G = np.zeros((e - s, m))
+            for t in range(d):
+                G += np.outer(X[s:e, t], X[:, t])
+            C = G / (nrm[s:e, None] * nrm[None, :])
+            for li in range(e - s):
+                gi = s + li
+                row = C[li, gi + 1 :]
+                js = np.flatnonzero(row >= thr_slack)
+                if js.size:
+                    out_a.append(np.full(js.size, ids[gi]))
+                    out_b.append(ids[gi + 1 + js])
+                    out_c.append(row[js])
+        if not out_a:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "cos_raw": []}
+            ).astype({"vec_a": "int64", "vec_b": "int64", "cos_raw": "float64"})
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a).astype("int64"),
+                "vec_b": np.concatenate(out_b).astype("int64"),
+                "cos_raw": np.concatenate(out_c),
+            }
+        )
 
     lsh = spark.read.parquet(os.path.join(index_dir, "lsh"))
-    a = lsh.select(
-        F.col("bucket"),
-        F.col("vec_id").alias("vec_a"),
-        _as_double(F.col("embedding")).alias("va"),
+    pairs = lsh.select("bucket", "vec_id", "embedding").groupBy(
+        "bucket"
+    ).applyInPandas(
+        emit_pairs, "vec_a bigint, vec_b bigint, cos_raw double"
     )
-    b = lsh.select(
-        F.col("bucket"),
-        F.col("vec_id").alias("vec_b"),
-        _as_double(F.col("embedding")).alias("vb"),
-    )
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cos"),
-        )
-        .filter(F.col("cos") >= threshold)
-    )
+    return pairs.select(
+        "vec_a", "vec_b", F.round(F.col("cos_raw"), 6).alias("cos")
+    ).filter(F.col("cos") >= threshold)
 
 
 def ivf_topk_indexed(

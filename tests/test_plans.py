@@ -190,3 +190,33 @@ def test_segments_scan_prunes_by_term_id(spark, tmp_path):
     )
     plan = segs._jdf.queryExecution().toString()
     assert "PushedFilters" in plan and "term_id" in plan.split("PushedFilters")[-1]
+
+
+def test_near_dup_pairs_indexed_is_single_exchange_no_join(spark, tmp_path):
+    """VERDICT r3 #1: pair generation over the stored LSH table must be a
+    grouped pass, not a bucket self-join — a self-join hash-exchanges the
+    raw embedding vectors on BOTH sides (2x full-corpus shuffle at scale).
+    The accepted shape is Scan -> one Exchange(bucket) ->
+    FlatMapGroupsInPandas, with pairs emitted in-worker."""
+    import numpy as np
+
+    from osu_elastic_indexer_spark.operators.ann_index import (
+        build_ann_index,
+        near_dup_pairs_indexed,
+    )
+
+    rs = np.random.RandomState(5)
+    rows = [
+        (i, [float(x) for x in rs.standard_normal(8)]) for i in range(150)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    idx = str(tmp_path / "ann")
+    build_ann_index(spark, emb, idx, bits=4, stride=40)
+
+    plan = near_dup_pairs_indexed(
+        spark, idx, 0.5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    # the embedding column crosses the wire exactly once: one exchange
+    assert plan.count("Exchange") == 1, plan
