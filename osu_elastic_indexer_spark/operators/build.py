@@ -243,7 +243,7 @@ def materialize_forward(
     docmap_dir: str,
     staging_dir: str,
     start_id: int = 0,
-) -> None:
+) -> int:
     """ONE scan of the heavy input -> staged forward rows keyed by
     (pid, pos) -> dense docIDs assigned by a file-based projection.
 
@@ -256,6 +256,10 @@ def materialize_forward(
     the STAGED FILES (deterministic). Bonus: the input html is scanned once,
     not three times (count + fwd + docmap passes); the staging table is
     ~a few % of the input size (compressed token lists, no html).
+
+    Returns the number of staged rows (== docmap rows written) — already
+    known from the per-partition offset counts, so callers never need a
+    follow-up count() job over the written docmap.
     """
     import shutil
 
@@ -289,6 +293,7 @@ def materialize_forward(
         "overwrite"
     ).parquet(docmap_dir)
     shutil.rmtree(staging_dir, ignore_errors=True)
+    return acc - start_id
 
 
 def exploded_postings(fwd: DataFrame) -> DataFrame:

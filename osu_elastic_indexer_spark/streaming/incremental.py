@@ -79,6 +79,13 @@ from ..sources.catalog import (
 DOCMAP_SCHEMA = "url string, warc_ts timestamp, doc_id bigint"
 TOMB_SCHEMA = "doc_id bigint"
 
+# known-id resolution: batches whose vocabulary fits under this bound use a
+# driver-held IN filter against the term-sorted dict_by_term projection
+# (row-group-pruned point lookups); wider batches fall back to the
+# distributed semi-join (a pushed IN list that wide costs more than the
+# scan it prunes, and such a batch is approaching rebuild volume anyway)
+KNOWN_ID_IN_MAX = 100_000
+
 
 def _read_committed(
     spark: SparkSession, index_dir: str, table: str, schema: str
@@ -159,23 +166,25 @@ def incremental_update(
     start_id = int(max_doc) + 1 if max_doc is not None else 0
     fwd_gen_dir = f"{resolve_table_dir(idx, 'fwd')}/gen={gen}"
     dm_gen_dir = f"{resolve_table_dir(idx, 'docmap')}/gen={gen}"
-    materialize_forward(
+    # n_add comes straight from the staging offsets (== docmap rows):
+    # no follow-up count() job over the written generation
+    n_add = materialize_forward(
         spark, adds, fwd_gen_dir, dm_gen_dir,
         os.path.join(idx, "_fwd_stage"), start_id=start_id,
     )
     fwd_new = spark.read.parquet(fwd_gen_dir)
-    dm_new = spark.read.parquet(dm_gen_dir)
-    n_add = dm_new.count()
+    # batch cursor: ONE job on the persisted batch, shared by the no-op
+    # advance and the commit (max ignores the nulls a queue-resolve leaves)
+    new_cursor = batch.agg(F.max("warc_ts")).collect()[0][0]
 
     if n_add == 0 and n_del == 0:
         # still advance the cursor past a batch of purely non-indexable rows
         # — otherwise every subsequent cursor batch re-scans them forever
         if queue_urls is None:
-            seen_cursor = batch.agg(F.max("warc_ts")).collect()[0][0]
-            if seen_cursor is not None and (
-                m["cursor"] is None or str(seen_cursor) > m["cursor"]
+            if new_cursor is not None and (
+                m["cursor"] is None or str(new_cursor) > m["cursor"]
             ):
-                m["cursor"] = str(seen_cursor)
+                m["cursor"] = str(new_cursor)
                 cat.write_manifest(schema_version, m)
         for df_ in (batch, new_tombs):
             df_.unpersist()
@@ -183,7 +192,11 @@ def incremental_update(
 
     # ---- stats deltas (exact; see module doc) ------------------------------
     fwd_old = _read_committed(spark, idx, "fwd", FWD_SCHEMA)
-    st = spark.read.parquet(resolve_table_dir(idx, "stats")).collect()[0]
+    # the stats table is ONE row — read it driver-side with pyarrow instead
+    # of paying a Spark job (the serving tier reads it the same way)
+    import pyarrow.parquet as _pq
+
+    st = _pq.read_table(resolve_table_dir(idx, "stats")).to_pylist()[0]
 
     add_stats = fwd_new.agg(
         F.count("*").alias("n"),
@@ -198,13 +211,15 @@ def incremental_update(
         F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
         F.coalesce(F.sum(F.size("terms")), F.lit(0)).alias("postings"),
     ).collect()[0]
-    n_docs2 = int(st.n_docs) + int(add_stats.n) - int(del_stats.n)
-    sum_dl2 = int(st.sum_dl) + int(add_stats.sum_dl) - int(del_stats.sum_dl)
-    dl_min2 = int(st.dl_min)
+    n_docs2 = int(st["n_docs"]) + int(add_stats.n) - int(del_stats.n)
+    sum_dl2 = int(st["sum_dl"]) + int(add_stats.sum_dl) - int(del_stats.sum_dl)
+    dl_min2 = int(st["dl_min"])
     if add_stats.dl_min is not None:
         dl_min2 = min(dl_min2, int(add_stats.dl_min))
     total_postings2 = (
-        int(st.total_postings) + int(add_stats.postings) - int(del_stats.postings)
+        int(st["total_postings"])
+        + int(add_stats.postings)
+        - int(del_stats.postings)
     )
 
     # ---- dictionary deltas: BATCH vocabulary only --------------------------
@@ -231,15 +246,40 @@ def incremental_update(
             ).cast("bigint").alias("df"),
         )
     ).persist()
-    dict_committed = spark.read.parquet(*committed_gen_paths(idx, "dictionary"))
-    known_ids = (
-        dict_committed.join(
-            F.broadcast(deltas.select("term")), "term", "left_semi"
+    # the batch vocabulary is batch-scoped by construction — collect it once
+    # (materializes the persisted deltas in the same job) so the known-id
+    # READ can be a pruned point lookup, matching the delta-sized WRITE
+    batch_terms = [r.term for r in deltas.select("term").collect()]
+    n_batch_terms = len(batch_terms)
+    if n_batch_terms <= KNOWN_ID_IN_MAX:
+        # term-sorted dict_by_term generations with the batch vocabulary as
+        # an IN filter: parquet row-group pruning makes the per-batch
+        # dictionary read ∝ batch vocab x gens, never O(corpus vocabulary)
+        # (the lookup_term_info term-seek pattern the query path uses)
+        from ..operators.dictionary import lookup_term_info
+
+        known_map = lookup_term_info(spark, idx, batch_terms)
+        n_known = len(known_map)
+        known_ids = spark.createDataFrame(
+            [(t, int(tid)) for t, (tid, _df) in known_map.items()],
+            "term string, term_id bigint",
         )
-        .groupBy("term")
-        .agg(F.max("term_id").alias("term_id"))
-    )
-    batch_dict = deltas.join(known_ids, "term", "left").persist()
+    else:
+        # degenerate giant-vocab batch (approaching a rebuild): a pushed IN
+        # list this wide costs more than the scan it prunes — fall back to
+        # the distributed semi-join over the committed generations
+        dict_committed = spark.read.parquet(
+            *committed_gen_paths(idx, "dictionary")
+        )
+        known_ids = (
+            dict_committed.join(
+                F.broadcast(deltas.select("term")), "term", "left_semi"
+            )
+            .groupBy("term")
+            .agg(F.max("term_id").alias("term_id"))
+        )
+        n_known = None
+    batch_dict = deltas.join(F.broadcast(known_ids), "term", "left").persist()
     known = batch_dict.filter(F.col("term_id").isNotNull()).select(
         "term_id", "term", "df"
     )
@@ -262,16 +302,16 @@ def incremental_update(
         start_id=int(max_tid) + 1,
     ).select("term_id", "term", "df")
     dict_delta = known.unionByName(fresh).persist()
-    # one job for both vocab counts (batch size + fresh-term count)
-    bd_agg = batch_dict.agg(
-        F.count("*").alias("n"),
-        F.count(F.when(F.col("term_id").isNull(), 1)).alias("fresh"),
-    ).collect()[0]
-    n_batch_terms = int(bd_agg.n)
-    n_fresh = int(bd_agg.fresh)
+    if n_known is None:
+        # fallback path: one job for the fresh-term count
+        n_known = n_batch_terms - int(
+            batch_dict.agg(
+                F.count(F.when(F.col("term_id").isNull(), 1)).alias("fresh")
+            ).collect()[0].fresh
+        )
+    n_fresh = n_batch_terms - int(n_known)
     n_terms2 = int(n_terms_old) + int(n_fresh)
     max_tid2 = int(max_tid) + int(n_fresh)
-    new_cursor = batch.agg(F.max("warc_ts")).collect()[0][0]
 
     # ---- stage the generation (ALL writes land in uncommitted dirs;
     #      fwd/docmap gen dirs were staged by materialize_forward above) ----
@@ -304,23 +344,25 @@ def incremental_update(
             generation=gen, dictionary=dict_delta, n_terms=int(n_batch_terms),
         )
         seg_gen_dir = f"{resolve_table_dir(idx, 'segments')}/gen={gen}"
+        # blob-bytes counter rides the write job itself (CollectMetrics on
+        # the plan) instead of a follow-up re-scan of the new generation
+        from pyspark.sql import Observation
+
+        obs = Observation(f"seg_bytes_gen{gen}")
         with arrow_batch_rows(spark, GROUP_BATCH_ROWS):
-            segs.sortWithinPartitions("term_id", "salt").write.mode(
+            segs.observe(
+                obs,
+                F.coalesce(
+                    F.sum(F.length("docs_blob") + F.length("tfs_blob")),
+                    F.lit(0),
+                ).alias("b"),
+            ).sortWithinPartitions("term_id", "salt").write.mode(
                 "overwrite"
             ).option(
                 "parquet.block.size", str(SEGMENT_ROW_GROUP_BYTES)
             ).parquet(seg_gen_dir)
         sub.unpersist()
-        seg_bytes_added = int(
-            spark.read.parquet(seg_gen_dir)
-            .agg(
-                F.coalesce(
-                    F.sum(F.length("docs_blob") + F.length("tfs_blob")),
-                    F.lit(0),
-                ).alias("b")
-            )
-            .collect()[0][0]
-        )
+        seg_bytes_added = int(obs.get["b"])
     # dictionary DELTAS append as gen=K (batch vocabulary only), committed
     # by the same generations bump as segments/docmap — no versioned-table
     # rewrite of the corpus vocabulary per batch
@@ -486,6 +528,7 @@ def compact_index(
         )
         max_live = docmap.agg(F.max("doc_id")).collect()[0][0]
         names["segments"] = f"segments_v{ver}"
+        new_bytes = 0
         if max_live is None:
             # fully-deleted index: commit an EMPTY (absent) segments dir —
             # readers treat a missing/empty table as zero postings
@@ -500,42 +543,44 @@ def compact_index(
                 tuple(fwd_old_paths), int(m.get("commit_seq", 0)),
                 generation=0, dictionary=dictionary,
             )
+            # bytes counter rides the write (the only place it can shrink:
+            # dead postings are gone after the rewrite)
+            from pyspark.sql import Observation
+
+            obs = Observation(f"compact_bytes_v{ver}")
             with arrow_batch_rows(spark, GROUP_BATCH_ROWS):
-                segs.sortWithinPartitions("term_id", "salt").write.mode(
+                segs.observe(
+                    obs,
+                    F.coalesce(
+                        F.sum(F.length("docs_blob") + F.length("tfs_blob")),
+                        F.lit(0),
+                    ).alias("b"),
+                ).sortWithinPartitions("term_id", "salt").write.mode(
                     "overwrite"
                 ).option(
                     "parquet.block.size", str(SEGMENT_ROW_GROUP_BYTES)
                 ).parquet(os.path.join(idx, names["segments"], "gen=0"))
+            new_bytes = int(obs.get["b"])
+        # the fwd/docmap/dictionary rewrites scan the SAME old fwd/derived
+        # tables, so their (lazy) writes must execute inside this split-size
+        # context too — outside it they'd run with the session default
+        # splits and under-partition the CPU-bound rewrite pass
+        for table, df_ in (("fwd", fwd), ("docmap", docmap)):
+            names[table] = f"{table}_v{ver}"
+            df_.write.mode("overwrite").parquet(
+                os.path.join(idx, names[table], "gen=0")
+            )
+        names["dictionary"] = f"dictionary_v{ver}"
+        dictionary.write.mode("overwrite").parquet(
+            os.path.join(idx, names["dictionary"], "gen=0")
+        )
+        names["dict_by_term"] = f"dict_by_term_v{ver}"
+        write_dict_by_term(
+            dictionary, os.path.join(idx, names["dict_by_term"], "gen=0")
+        )
+        n_terms_live = dictionary.count()
     if sub is not None:
         sub.unpersist()
-    # store size after the rewrite: dead postings are gone, so recompute
-    # exactly from the new segments (the only place the counter can shrink)
-    new_bytes = 0
-    if max_live is not None:
-        new_bytes = int(
-            spark.read.parquet(os.path.join(idx, names["segments"]))
-            .agg(
-                F.coalesce(
-                    F.sum(F.length("docs_blob") + F.length("tfs_blob")),
-                    F.lit(0),
-                ).alias("b")
-            )
-            .collect()[0][0]
-        )
-    for table, df_ in (("fwd", fwd), ("docmap", docmap)):
-        names[table] = f"{table}_v{ver}"
-        df_.write.mode("overwrite").parquet(
-            os.path.join(idx, names[table], "gen=0")
-        )
-    names["dictionary"] = f"dictionary_v{ver}"
-    dictionary.write.mode("overwrite").parquet(
-        os.path.join(idx, names["dictionary"], "gen=0")
-    )
-    names["dict_by_term"] = f"dict_by_term_v{ver}"
-    write_dict_by_term(
-        dictionary, os.path.join(idx, names["dict_by_term"], "gen=0")
-    )
-    n_terms_live = dictionary.count()
     dictionary.unpersist()
     # repoint tombstones at a fresh EMPTY versioned name (never written —
     # readers of a missing dir see no tombstones); the old dir must outlive

@@ -610,3 +610,42 @@ def test_queue_path_explicit_urls(spark, evolved, tmp_path_factory):
     oidx, ourls = _oracle_for(base)
     assert m["counters"]["docs"] == oidx.n_docs
     _check_all_queries(spark, cat.index_dir("v1"), oidx, ourls, "queue")
+
+
+def test_incremental_known_id_lookup_is_pruned(
+    spark, evolved, tmp_path, monkeypatch
+):
+    """VERDICT r3 #2: known-id resolution must be a point lookup against the
+    term-sorted dict_by_term projection with the batch vocabulary as an IN
+    filter (read ∝ batch vocab x gens), not a scan of the whole committed
+    dictionary per micro-batch."""
+    base_p, final_p, _b, _f = evolved
+    root = str(tmp_path / "idx")
+    cat = Catalog(root)
+    build_index(spark, spark.read.parquet(base_p), cat, "v1")
+
+    import osu_elastic_indexer_spark.operators.dictionary as dict_mod
+
+    calls = []
+    orig = dict_mod.lookup_term_info
+
+    def spy(spark_, index_dir, terms):
+        calls.append(list(terms))
+        return orig(spark_, index_dir, terms)
+
+    monkeypatch.setattr(dict_mod, "lookup_term_info", spy)
+    m = incremental_update(spark, spark.read.parquet(final_p), cat, "v1")
+    assert m["generations"] == 2
+    # the fast (pruned) path ran exactly once, on the batch vocabulary
+    assert len(calls) == 1 and 0 < len(calls[0]) <= 100_000
+
+    # and the underlying scan pushes the IN filter to parquet (row-group
+    # pruning on the term-sorted layout — the term-seek analog)
+    from osu_elastic_indexer_spark.sources.catalog import committed_gen_paths
+
+    dfp = spark.read.parquet(
+        *committed_gen_paths(cat.index_dir("v1"), "dict_by_term")
+    ).filter(F.col("term").isin(sorted(calls[0])[:50]))
+    plan = dfp._jdf.queryExecution().toString()
+    assert "PushedFilters" in plan
+    assert "term" in plan.split("PushedFilters")[-1]
