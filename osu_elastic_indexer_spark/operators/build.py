@@ -243,7 +243,7 @@ def materialize_forward(
     docmap_dir: str,
     staging_dir: str,
     start_id: int = 0,
-) -> int:
+) -> dict:
     """ONE scan of the heavy input -> staged forward rows keyed by
     (pid, pos) -> dense docIDs assigned by a file-based projection.
 
@@ -257,9 +257,11 @@ def materialize_forward(
     not three times (count + fwd + docmap passes); the staging table is
     ~a few % of the input size (compressed token lists, no html).
 
-    Returns the number of staged rows (== docmap rows written) — already
-    known from the per-partition offset counts, so callers never need a
-    follow-up count() job over the written docmap.
+    Returns {"n_rows": staged rows (== docmap rows written, known from the
+    per-partition offset counts), "fwd": {n, sum_dl, dl_min, postings}} —
+    the forward-table stats ride the fwd write itself as a CollectMetrics
+    observation, so callers never need follow-up count()/agg() jobs over
+    the generation they just wrote.
     """
     import shutil
 
@@ -286,14 +288,23 @@ def materialize_forward(
         )
     else:
         with_ids = stage.withColumn("doc_id", F.col("pos"))
+    from pyspark.sql import Observation
+
+    obs = Observation(f"fwd_stats_{start_id}")
     with_ids.filter(F.col("dl") > 0).select(
         "doc_id", "dl", "terms", "tfs"
+    ).observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
+        F.min("dl").alias("dl_min"),
+        F.coalesce(F.sum(F.size("terms")), F.lit(0)).alias("postings"),
     ).write.mode("overwrite").parquet(fwd_dir)
     with_ids.select("url", "warc_ts", "doc_id").write.mode(
         "overwrite"
     ).parquet(docmap_dir)
     shutil.rmtree(staging_dir, ignore_errors=True)
-    return acc - start_id
+    return {"n_rows": acc - start_id, "fwd": dict(obs.get)}
 
 
 def exploded_postings(fwd: DataFrame) -> DataFrame:

@@ -25,9 +25,11 @@ Scale notes:
     expected bucket occupancy is N/2^16 per band (vs the old 32-bit
     4x256-bucket scheme whose buckets grew linearly with the corpus and
     made the within-bucket self-join quadratic). Wider corpora scale by
-    raising SIMHASH_KEY_BLOCKS (3 blocks -> 24-bit keys, C(8,3) = 56
-    bands, complete for hamming <= 5): bucket count grows geometrically
-    with key width while band count grows polynomially.
+    passing key_blocks=3 to simhash_band_pairs (24-bit keys, C(8,3) = 56
+    bands, complete for hamming <= 5; occupancy N/2^24 per band): bucket
+    count grows geometrically with key width while band count grows
+    polynomially, and the function REFUSES thresholds its banding cannot
+    cover completely.
 """
 
 from __future__ import annotations
@@ -104,13 +106,25 @@ def minhash_signature(text: Column, n_shingle: int = 3) -> Column:
 
 SIMHASH_BITS = 64
 SIMHASH_BLOCKS = 8  # 8-bit blocks of the 64-bit signature
-SIMHASH_KEY_BLOCKS = 2  # band key = a PAIR of blocks (16-bit keys)
-# every (i, j) block pair, i < j — C(8,2) = 28 band keys per doc
-SIMHASH_BAND_COMBOS = [
-    (i, j)
-    for i in range(SIMHASH_BLOCKS)
-    for j in range(i + 1, SIMHASH_BLOCKS)
-]
+SIMHASH_KEY_BLOCKS = 2  # default band key width: a PAIR of blocks (16 bits)
+
+
+def simhash_band_combos(key_blocks: int = SIMHASH_KEY_BLOCKS) -> list[tuple]:
+    """Every sorted key_blocks-subset of the 8 signature blocks — one band
+    per combination: C(8,2) = 28 16-bit bands, C(8,3) = 56 24-bit bands.
+    Completeness (pigeonhole): h flipped bits dirty at most h blocks, so
+    any pair at hamming <= SIMHASH_BLOCKS - key_blocks shares >= key_blocks
+    clean blocks — and every block subset of that size is a band, so the
+    pair collides in at least one band. Expected occupancy per band bucket
+    is N / 2^(8*key_blocks): corpus growth is bought with key width
+    (geometric bucket growth) at polynomial band-count cost."""
+    from itertools import combinations
+
+    return list(combinations(range(SIMHASH_BLOCKS), key_blocks))
+
+
+# back-compat alias: the default PAIR banding
+SIMHASH_BAND_COMBOS = simhash_band_combos(SIMHASH_KEY_BLOCKS)
 
 
 def hash32_hi_expr(s: Column) -> Column:
@@ -172,18 +186,30 @@ def simhash64_from_tokens(toks: Column) -> Column:
 
 
 def simhash_band_pairs(
-    docs: DataFrame, max_hamming: int = 6, text_col: str = "text"
+    docs: DataFrame,
+    max_hamming: int = 6,
+    text_col: str = "text",
+    key_blocks: int = SIMHASH_KEY_BLOCKS,
 ) -> DataFrame:
     """Near-duplicate pairs by 64-bit SimHash: (doc_a, doc_b, hamming) with
     hamming(simhash_a, simhash_b) <= max_hamming.
 
-    Candidates come from Manku-style block-combination banding (module
-    doc): 8-bit blocks, every block PAIR a 16-bit band key — 28 bands x
-    65,536 buckets, candidate generation COMPLETE for hamming <= 6 (any 6
-    flipped bits leave >= 2 clean blocks, and every pair of blocks is a
-    band). Expected occupancy N/2^16 per band bucket keeps the
-    within-bucket self-join linear-ish at corpus scale. Verification is an
-    exact popcount on the joined pair."""
+    Candidates come from Manku-style block-combination banding
+    (simhash_band_combos): 8-bit blocks, every key_blocks-subset a band key
+    — key_blocks=2 gives 28 bands x 2^16 buckets (complete for hamming <=
+    6), key_blocks=3 gives 56 bands x 2^24 buckets (complete for hamming
+    <= 5). ``key_blocks`` is the corpus-scale knob: expected occupancy per
+    band bucket is N/2^(8*key_blocks), which keeps the within-bucket
+    self-join linear-ish as N grows. Raises when the requested max_hamming
+    exceeds what the banding can generate completely (a silent recall hole
+    otherwise). Verification is an exact popcount on the joined pair."""
+    if max_hamming > SIMHASH_BLOCKS - key_blocks:
+        raise ValueError(
+            f"key_blocks={key_blocks} banding is only complete for "
+            f"hamming <= {SIMHASH_BLOCKS - key_blocks}, got max_hamming="
+            f"{max_hamming} — lower key_blocks or the threshold"
+        )
+    combos = simhash_band_combos(key_blocks)
     toks = docs.select(
         "doc_id", tokens_expr(F.col(text_col)).alias("toks")
     ).filter(F.size("toks") > 0)
@@ -196,6 +222,12 @@ def simhash_band_pairs(
         # sign-extension, so arithmetic vs logical shift cannot diverge
         return F.shiftright("sig", 8 * i).bitwiseAND(F.lit(255))
 
+    def band_val(combo: tuple) -> Column:
+        v = block(combo[0])
+        for b in combo[1:]:
+            v = v * F.lit(256) + block(b)
+        return v
+
     bands = withsig.select(
         "doc_id",
         "sig",
@@ -203,10 +235,10 @@ def simhash_band_pairs(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i * SIMHASH_BLOCKS + j).alias("band"),
-                        (block(i) * F.lit(256) + block(j)).alias("val"),
+                        F.lit(bi).alias("band"),
+                        band_val(combo).alias("val"),
                     )
-                    for i, j in SIMHASH_BAND_COMBOS
+                    for bi, combo in enumerate(combos)
                 ]
             )
         ).alias("bv"),

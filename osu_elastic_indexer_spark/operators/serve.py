@@ -51,7 +51,12 @@ class LocalSearcher:
             resolve_table_dir,
         )
 
+        from ..sources.catalog import assert_index_readable
+
         self.index_dir = index_dir
+        # closed-index parity: a closed ES index rejects searches too
+        # (CloseIndexCommand.cs) — a searcher must refuse to open it
+        assert_index_readable(index_dir)
         m = read_index_manifest(index_dir)
         if m is not None and m.get("format") != FORMAT_VERSION:
             raise RuntimeError(

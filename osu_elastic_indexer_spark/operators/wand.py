@@ -443,9 +443,16 @@ def wand_topk(
     absent produce no rows (empty result — matches the oracle).
     """
     from ..session import ship_package
-    from ..sources.catalog import committed_gen_paths, resolve_table_dir
+    from ..sources.catalog import (
+        assert_index_readable,
+        committed_gen_paths,
+        resolve_table_dir,
+    )
 
     ship_package(spark)
+    # closed-index parity: a closed ES index rejects searches too
+    # (CloseIndexCommand.cs) — refuse before planning anything
+    assert_index_readable(index_dir)
     n_docs, avgdl, commit_seq = _index_state(spark, index_dir)
 
     # per-query sorted unique terms (scoring dedups terms — oracle parity)
@@ -563,9 +570,10 @@ def wand_topk_docpart(
     oracle; ties break by doc_id via the final exact window.
     """
     from ..session import ship_package
-    from ..sources.catalog import committed_gen_paths
+    from ..sources.catalog import assert_index_readable, committed_gen_paths
 
     ship_package(spark)
+    assert_index_readable(index_dir)  # closed-index parity (see wand_topk)
     n_docs, avgdl, commit_seq = _index_state(spark, index_dir)
     qterms = [(qid, t) for qid, text in queries for t in sorted(set(tokenize(text)))]
     if not qterms:

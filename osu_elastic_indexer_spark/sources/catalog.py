@@ -52,6 +52,21 @@ def read_index_manifest(index_dir: str) -> dict | None:
     return _read_json(os.path.join(index_dir, "manifest.json"), None)
 
 
+def assert_index_readable(index_dir: str) -> None:
+    """Closed-index READ refusal: in the reference, a closed ES index
+    rejects searches as well as writes (CloseIndexCommand.cs; the alias
+    cutover closes retired indices, OsuElasticClient.cs:70-86) — an
+    operator draining an old version must notice, not silently keep
+    serving it. Readers resolve their snapshot through the manifest
+    anyway, so the status check costs nothing extra."""
+    m = read_index_manifest(index_dir)
+    if m is not None and m.get("status") == "closed":
+        raise IndexClosedError(
+            f"index at {index_dir} is closed — reopen it (open_index / "
+            "`cli open`) before searching"
+        )
+
+
 def resolve_table_dir(index_dir: str, table: str) -> str:
     """Current physical directory of a logical table: the manifest's
     ``tables`` map names rewritten (versioned) tables; unmapped tables live

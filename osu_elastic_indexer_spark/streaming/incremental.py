@@ -155,23 +155,42 @@ def incremental_update(
     changed_urls = batch.select("url").distinct()
     new_tombs = live.join(changed_urls, "url", "left_semi").select("doc_id")
     new_tombs = new_tombs.persist()
-    n_del = new_tombs.count()
 
     # ---- fresh docIDs for additions (ids extend the space: start=max+1) ---
-    # the new generation's fwd/docmap are STAGED into their (uncommitted)
-    # gen dirs right away: one heavy scan, file-deterministic id projection
-    # (operators/build.materialize_forward); a no-op batch leaves them as
-    # orphans for clean_orphan_generations
-    max_doc = docmap.agg(F.max("doc_id")).collect()[0][0]
+    # ONE job yields both the docID bound (max over ALL committed ids — dead
+    # ids must never be reused) and the delete count (live ∩ changed): the
+    # left-join flags reproduce the anti/semi joins above row-for-row.
+    # Tombstone doc_ids are unique by the commit protocol (a tombstoned doc
+    # is no longer live, so it can never be tombstoned again), so the flag
+    # join cannot duplicate docmap rows.
+    bound = (
+        docmap.join(old_tombs.withColumn("__dead", F.lit(1)), "doc_id", "left")
+        .join(changed_urls.withColumn("__chg", F.lit(1)), "url", "left")
+        .agg(
+            F.max("doc_id").alias("max_doc"),
+            F.count(
+                F.when(F.col("__dead").isNull() & (F.col("__chg") == 1), 1)
+            ).alias("n_del"),
+        )
+        .collect()[0]
+    )
+    max_doc = bound.max_doc
+    n_del = int(bound.n_del)
     start_id = int(max_doc) + 1 if max_doc is not None else 0
     fwd_gen_dir = f"{resolve_table_dir(idx, 'fwd')}/gen={gen}"
     dm_gen_dir = f"{resolve_table_dir(idx, 'docmap')}/gen={gen}"
-    # n_add comes straight from the staging offsets (== docmap rows):
-    # no follow-up count() job over the written generation
-    n_add = materialize_forward(
+    # the new generation's fwd/docmap are STAGED into their (uncommitted)
+    # gen dirs right away: one heavy scan, file-deterministic id projection
+    # (operators/build.materialize_forward); a no-op batch leaves them as
+    # orphans for clean_orphan_generations. n_add comes from the staging
+    # offsets and the forward-table stats ride the fwd write (no follow-up
+    # count()/agg() jobs over the generation just written).
+    staged = materialize_forward(
         spark, adds, fwd_gen_dir, dm_gen_dir,
         os.path.join(idx, "_fwd_stage"), start_id=start_id,
     )
+    n_add = int(staged["n_rows"])
+    add_stats = staged["fwd"]  # {n, sum_dl, dl_min, postings}
     fwd_new = spark.read.parquet(fwd_gen_dir)
     # batch cursor: ONE job on the persisted batch, shared by the no-op
     # advance and the commit (max ignores the nulls a queue-resolve leaves)
@@ -198,27 +217,24 @@ def incremental_update(
 
     st = _pq.read_table(resolve_table_dir(idx, "stats")).to_pylist()[0]
 
-    add_stats = fwd_new.agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
-        F.min("dl").alias("dl_min"),
-        F.coalesce(F.sum(F.size("terms")), F.lit(0)).alias("postings"),
-    ).collect()[0]
     # deleted docs' forward rows: pruned lookup in the doc-clustered fwd
+    # (add-side stats came with the fwd write — see materialize_forward)
     fwd_dead = fwd_old.join(F.broadcast(new_tombs), "doc_id", "left_semi")
     del_stats = fwd_dead.agg(
         F.count("*").alias("n"),
         F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
         F.coalesce(F.sum(F.size("terms")), F.lit(0)).alias("postings"),
     ).collect()[0]
-    n_docs2 = int(st["n_docs"]) + int(add_stats.n) - int(del_stats.n)
-    sum_dl2 = int(st["sum_dl"]) + int(add_stats.sum_dl) - int(del_stats.sum_dl)
+    n_docs2 = int(st["n_docs"]) + int(add_stats["n"]) - int(del_stats.n)
+    sum_dl2 = (
+        int(st["sum_dl"]) + int(add_stats["sum_dl"]) - int(del_stats.sum_dl)
+    )
     dl_min2 = int(st["dl_min"])
-    if add_stats.dl_min is not None:
-        dl_min2 = min(dl_min2, int(add_stats.dl_min))
+    if add_stats["dl_min"] is not None:
+        dl_min2 = min(dl_min2, int(add_stats["dl_min"]))
     total_postings2 = (
         int(st["total_postings"])
-        + int(add_stats.postings)
+        + int(add_stats["postings"])
         - int(del_stats.postings)
     )
 
@@ -236,52 +252,12 @@ def incremental_update(
     del_df = exploded_postings(fwd_dead).groupBy("term").agg(
         F.count("*").alias("dels")
     )
-    deltas = (
-        add_df.join(del_df, "term", "full")
-        .select(
-            "term",
-            (
-                F.coalesce(F.col("adds"), F.lit(0))
-                - F.coalesce(F.col("dels"), F.lit(0))
-            ).cast("bigint").alias("df"),
-        )
-    ).persist()
-    # the batch vocabulary is batch-scoped by construction — collect it once
-    # (materializes the persisted deltas in the same job) so the known-id
-    # READ can be a pruned point lookup, matching the delta-sized WRITE
-    batch_terms = [r.term for r in deltas.select("term").collect()]
-    n_batch_terms = len(batch_terms)
-    if n_batch_terms <= KNOWN_ID_IN_MAX:
-        # term-sorted dict_by_term generations with the batch vocabulary as
-        # an IN filter: parquet row-group pruning makes the per-batch
-        # dictionary read ∝ batch vocab x gens, never O(corpus vocabulary)
-        # (the lookup_term_info term-seek pattern the query path uses)
-        from ..operators.dictionary import lookup_term_info
-
-        known_map = lookup_term_info(spark, idx, batch_terms)
-        n_known = len(known_map)
-        known_ids = spark.createDataFrame(
-            [(t, int(tid)) for t, (tid, _df) in known_map.items()],
-            "term string, term_id bigint",
-        )
-    else:
-        # degenerate giant-vocab batch (approaching a rebuild): a pushed IN
-        # list this wide costs more than the scan it prunes — fall back to
-        # the distributed semi-join over the committed generations
-        dict_committed = spark.read.parquet(
-            *committed_gen_paths(idx, "dictionary")
-        )
-        known_ids = (
-            dict_committed.join(
-                F.broadcast(deltas.select("term")), "term", "left_semi"
-            )
-            .groupBy("term")
-            .agg(F.max("term_id").alias("term_id"))
-        )
-        n_known = None
-    batch_dict = deltas.join(F.broadcast(known_ids), "term", "left").persist()
-    known = batch_dict.filter(F.col("term_id").isNotNull()).select(
-        "term_id", "term", "df"
+    deltas = add_df.join(del_df, "term", "full").select(
+        "term",
+        (
+            F.coalesce(F.col("adds"), F.lit(0))
+            - F.coalesce(F.col("dels"), F.lit(0))
+        ).cast("bigint").alias("df"),
     )
     old_counters0 = m.get("counters") or {}
     max_tid = old_counters0.get("max_term_id")
@@ -295,21 +271,78 @@ def incremental_update(
         ).collect()[0]
         max_tid = int(magg.mt) if magg.mt is not None else -1
         n_terms_old = int(magg.n)
-    fresh = assign_dense_ids(
-        batch_dict.filter(F.col("term_id").isNull()).select("term", "df"),
-        [F.desc("df"), F.asc("term")],
-        "term_id",
-        start_id=int(max_tid) + 1,
-    ).select("term_id", "term", "df")
-    dict_delta = known.unionByName(fresh).persist()
-    if n_known is None:
-        # fallback path: one job for the fresh-term count
-        n_known = n_batch_terms - int(
-            batch_dict.agg(
-                F.count(F.when(F.col("term_id").isNull(), 1)).alias("fresh")
-            ).collect()[0].fresh
+    # the (term, df-delta) rows are batch-scoped by construction: collect
+    # them once (one job — the only materialization of the delta shuffle)
+    # and probe whether they fit the driver-resolved path
+    delta_rows = deltas.limit(KNOWN_ID_IN_MAX + 1).collect()
+    n_batch_terms = len(delta_rows)
+    extra_persisted: list[DataFrame] = []
+    if n_batch_terms <= KNOWN_ID_IN_MAX:
+        # known ids: the term-sorted dict_by_term generations with the
+        # batch vocabulary as a pushed IN filter — parquet row-group
+        # pruning makes the per-batch dictionary READ ∝ batch vocab x
+        # gens, never O(corpus vocabulary) (the lookup_term_info
+        # term-seek pattern the query path uses). Fresh ids are then
+        # assigned entirely driver-side in the SAME (df desc, term asc)
+        # total order assign_dense_ids would use — no join, no dense-rank
+        # jobs, one createDataFrame for the whole delta.
+        from ..operators.dictionary import lookup_term_info
+
+        known_map = lookup_term_info(
+            spark, idx, [r.term for r in delta_rows]
         )
-    n_fresh = n_batch_terms - int(n_known)
+        fresh_rows = sorted(
+            (r for r in delta_rows if r.term not in known_map),
+            key=lambda r: (-int(r.df), r.term),
+        )
+        n_fresh = len(fresh_rows)
+        rows = [
+            (int(known_map[r.term][0]), r.term, int(r.df))
+            for r in delta_rows
+            if r.term in known_map
+        ] + [
+            (int(max_tid) + 1 + i, r.term, int(r.df))
+            for i, r in enumerate(fresh_rows)
+        ]
+        dict_delta = spark.createDataFrame(
+            rows, "term_id bigint, term string, df bigint"
+        )
+        dict_rows = rows  # driver-held: gen writes go through pyarrow below
+    else:
+        # degenerate giant-vocab batch (approaching rebuild volume): a
+        # pushed IN list this wide costs more than the scan it prunes —
+        # fall back to the distributed semi-join + dense-rank assignment
+        deltas = deltas.persist()
+        dict_committed = spark.read.parquet(
+            *committed_gen_paths(idx, "dictionary")
+        )
+        known_ids = (
+            dict_committed.join(
+                F.broadcast(deltas.select("term")), "term", "left_semi"
+            )
+            .groupBy("term")
+            .agg(F.max("term_id").alias("term_id"))
+        )
+        batch_dict = deltas.join(known_ids, "term", "left").persist()
+        extra_persisted += [deltas, batch_dict]
+        dict_rows = None
+        known = batch_dict.filter(F.col("term_id").isNotNull()).select(
+            "term_id", "term", "df"
+        )
+        fresh = assign_dense_ids(
+            batch_dict.filter(F.col("term_id").isNull()).select("term", "df"),
+            [F.desc("df"), F.asc("term")],
+            "term_id",
+            start_id=int(max_tid) + 1,
+        ).select("term_id", "term", "df")
+        dict_delta = known.unionByName(fresh).persist()
+        extra_persisted.append(dict_delta)
+        bd_agg = batch_dict.agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("term_id").isNull(), 1)).alias("fresh"),
+        ).collect()[0]
+        n_batch_terms = int(bd_agg.n)
+        n_fresh = int(bd_agg.fresh)
     n_terms2 = int(n_terms_old) + int(n_fresh)
     max_tid2 = int(max_tid) + int(n_fresh)
 
@@ -320,7 +353,7 @@ def incremental_update(
             f"{resolve_table_dir(idx, 'tombstones')}/gen={gen}"
         )
     seg_bytes_added = 0
-    if int(add_stats.postings) > 0:
+    if int(add_stats["postings"]) > 0:
         id_span = start_id + n_add
         cap = salt_group_cap or max(50_000, max(n_add, 1) // 8)
         # norms version must be UNIQUE PER ATTEMPT, not per generation: a
@@ -365,20 +398,58 @@ def incremental_update(
         seg_bytes_added = int(obs.get["b"])
     # dictionary DELTAS append as gen=K (batch vocabulary only), committed
     # by the same generations bump as segments/docmap — no versioned-table
-    # rewrite of the corpus vocabulary per batch
-    dict_delta.write.mode("overwrite").parquet(
-        f"{resolve_table_dir(idx, 'dictionary')}/gen={gen}"
-    )
-    write_dict_by_term(
-        dict_delta, f"{resolve_table_dir(idx, 'dict_by_term')}/gen={gen}"
-    )
+    # rewrite of the corpus vocabulary per batch. When the delta rows are
+    # already driver-held (fast path), both gen files are written directly
+    # with pyarrow — the rows never earn two more Spark jobs; wider batches
+    # keep the distributed writes.
+    dict_gen_dir = f"{resolve_table_dir(idx, 'dictionary')}/gen={gen}"
+    bt_gen_dir = f"{resolve_table_dir(idx, 'dict_by_term')}/gen={gen}"
+    if dict_rows is not None:
+        import pyarrow as _pa
+
+        dt = _pa.table(
+            {
+                "term_id": _pa.array([r[0] for r in dict_rows], _pa.int64()),
+                "term": _pa.array([r[1] for r in dict_rows], _pa.string()),
+                "df": _pa.array([r[2] for r in dict_rows], _pa.int64()),
+            }
+        )
+        for d_, t_ in (
+            (dict_gen_dir, dt),
+            # term-SORTED projection with small row groups (the same
+            # term-seek layout write_dict_by_term produces)
+            (bt_gen_dir, dt.select(["term", "term_id", "df"]).sort_by("term")),
+        ):
+            shutil.rmtree(d_, ignore_errors=True)  # crashed-attempt replay
+            os.makedirs(d_)
+            _pq.write_table(
+                t_, os.path.join(d_, "part-00000.parquet"),
+                row_group_size=50_000,
+            )
+    else:
+        dict_delta.write.mode("overwrite").parquet(dict_gen_dir)
+        write_dict_by_term(dict_delta, bt_gen_dir)
     stats_name = f"stats_v{ver}"
-    spark.createDataFrame(
-        [(n_docs2, sum_dl2, float(sum_dl2) / n_docs2 if n_docs2 else 0.0,
-          dl_min2, total_postings2)],
-        "n_docs bigint, sum_dl bigint, avgdl double, dl_min bigint, "
-        "total_postings bigint",
-    ).write.mode("overwrite").parquet(os.path.join(idx, stats_name))
+    stats_dir = os.path.join(idx, stats_name)
+    shutil.rmtree(stats_dir, ignore_errors=True)
+    os.makedirs(stats_dir)
+    import pyarrow as _pa
+
+    _pq.write_table(
+        _pa.table(
+            {
+                "n_docs": _pa.array([n_docs2], _pa.int64()),
+                "sum_dl": _pa.array([sum_dl2], _pa.int64()),
+                "avgdl": _pa.array(
+                    [float(sum_dl2) / n_docs2 if n_docs2 else 0.0],
+                    _pa.float64(),
+                ),
+                "dl_min": _pa.array([dl_min2], _pa.int64()),
+                "total_postings": _pa.array([total_postings2], _pa.int64()),
+            }
+        ),
+        os.path.join(stats_dir, "part-00000.parquet"),
+    )
 
     # ---- ATOMIC commit: one manifest swap makes the generation visible -----
     m = cat.read_manifest(schema_version)
@@ -430,7 +501,7 @@ def incremental_update(
         _, _, suffix = name.rpartition("_v")
         if suffix.isdigit() and int(suffix) <= ver - 2:
             shutil.rmtree(os.path.join(idx, name), ignore_errors=True)
-    for df_ in (batch, new_tombs, deltas, batch_dict, dict_delta):
+    for df_ in (batch, new_tombs, *extra_persisted):
         df_.unpersist()
     return cat.read_manifest(schema_version)
 

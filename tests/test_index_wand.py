@@ -283,3 +283,31 @@ def test_topk_from_dense_k_zero():
     assert topk_from_dense(sums, 0) == []
     assert topk_from_dense(sums, -1) == []
     assert topk_from_dense(sums, 1) == [(1.5, 3)]
+
+
+def test_closed_index_read_refusal(spark, built_index):
+    """VERDICT r3 #3: a closed index must reject READS as well as writes
+    (ES parity: CloseIndexCommand.cs; alias cutover closes old indices,
+    OsuElasticClient.cs:70-86) — close -> both batch search paths and the
+    serving tier refuse; open -> they serve again."""
+    from osu_elastic_indexer_spark.operators.serve import LocalSearcher
+    from osu_elastic_indexer_spark.operators.wand import (
+        wand_topk,
+        wand_topk_docpart,
+    )
+    from osu_elastic_indexer_spark.sources.catalog import IndexClosedError
+
+    cat, _ = built_index
+    idx = cat.index_dir("v1")
+    cat.close_index("v1")
+    try:
+        with pytest.raises(IndexClosedError):
+            wand_topk(spark, idx, [(0, "zebra")], 5)
+        with pytest.raises(IndexClosedError):
+            wand_topk_docpart(spark, idx, [(0, "zebra")], 5)
+        with pytest.raises(IndexClosedError):
+            LocalSearcher(idx)
+    finally:
+        cat.open_index("v1")
+    assert wand_topk(spark, idx, [(0, "zebra")], 5).count() > 0
+    assert LocalSearcher(idx).search("zebra", 5)

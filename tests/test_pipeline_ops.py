@@ -380,3 +380,72 @@ def test_multimodal_stub_contract(spark):
     assert meta["a"].fake_width >= 1 and meta["a"].fake_height >= 1
     frames = multimodal.sample_frames(df, "k", "payload", n_frames=3).collect()
     assert len(frames) == 9  # 3 per doc, empties included deterministically
+
+
+def test_simhash_band_pairs_key_blocks_widths(planted):
+    """VERDICT r3 #5: key_blocks is a parameter — planted pairs must be
+    found at BOTH band widths (2-block/16-bit and 3-block/24-bit keys),
+    and the function must refuse a threshold its banding cannot cover
+    completely (hamming > 8 - key_blocks would be a silent recall hole)."""
+    import pytest as _pytest
+
+    for kb, max_h in ((2, 6), (3, 5)):
+        pairs = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in dedup.simhash_band_pairs(
+                planted, max_hamming=max_h, key_blocks=kb
+            ).collect()
+        }
+        assert pairs[(0, 1)] == 0 and pairs[(0, 5)] == 0, f"kb={kb}"
+        assert pairs[(9, 10)] == 0, f"kb={kb}"
+        assert (0, 2) in pairs and pairs[(0, 2)] <= max_h, f"kb={kb}"
+        assert (3, 4) not in pairs, f"kb={kb}"
+    with _pytest.raises(ValueError):
+        dedup.simhash_band_pairs(planted, max_hamming=6, key_blocks=3)
+
+
+def test_ivf_trained_quantizer_through_index(spark, tmp_path):
+    """VERDICT r3 #8: the production k-means quantizer must flow through
+    build_ann_index(centroids=...) + ivf_topk_indexed. Recall vs brute
+    force at equal nprobe must be at least the seed-centroid path's (a
+    trained quantizer can only tighten the cells around real clusters).
+    The oracle-checked driver entry stays on seed centroids (k-means is
+    iterative, not SQL-expressible)."""
+    import numpy as np
+
+    from osu_elastic_indexer_spark.operators.ann_index import (
+        build_ann_index,
+        ivf_topk_indexed,
+    )
+
+    rng = np.random.default_rng(31)
+    # 4 planted clusters + noise, so a trained quantizer has structure
+    centers = rng.normal(size=(4, 16)) * 3.0
+    rows = []
+    for i in range(400):
+        c = centers[i % 4]
+        rows.append((i, [float(x) for x in c + rng.normal(size=16) * 0.3]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = rows[0][1]
+    brute = {
+        r.vec_id
+        for r in similarity.brute_force_topk(df, q, 10, 0).collect()
+    }
+
+    def recall(index_dir):
+        got = {
+            r.vec_id
+            for r in ivf_topk_indexed(
+                spark, index_dir, q, 10, nprobe=2, exclude_vec_id=0
+            ).collect()
+        }
+        return len(got & brute) / len(brute)
+
+    seed_idx = str(tmp_path / "ann_seed")
+    build_ann_index(spark, df, seed_idx, bits=4, stride=40)
+    trained_idx = str(tmp_path / "ann_trained")
+    cents = similarity.kmeans_centroids(df, k=8, seed=7)
+    build_ann_index(spark, df, trained_idx, bits=4, centroids=cents)
+    r_seed, r_trained = recall(seed_idx), recall(trained_idx)
+    assert r_trained >= r_seed, (r_trained, r_seed)
+    assert r_trained >= 0.9  # planted cluster shares the query's cell
