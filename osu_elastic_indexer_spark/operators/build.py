@@ -454,71 +454,173 @@ def _local_invert_pass(id_span: int, grid_salts: int):
     return run
 
 
+def _binary_flat(arr) -> tuple[np.ndarray, np.ndarray]:
+    """BinaryArray -> (flat uint8 data view, int64 value offsets rebased to
+    0). Zero-copy views of the arrow buffers — no per-value .as_py() bytes
+    objects (blobs are never null in the sub-segment schema)."""
+    bufs = arr.buffers()
+    off_all = np.frombuffer(bufs[1], dtype=np.int32)
+    offs = off_all[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0] : offs[-1]]
+    return data, offs - offs[0]
+
+
 def _merge_subsegments_arrow(generation: int, norms_path: str, norms_version: int):
     """mapInArrow body over grouped sub-segments (term_id, salt,
-    subs: list<struct<doc_min, n_docs, docs_blob, tfs_blob>>):
-    decode each sub-list (vectorized), concatenate in doc_min order
-    (disjoint ascending partition ranges -> order-safe), encode the final
-    block-addressed posting list. block_min_dl metadata comes from the
-    doc-indexed norms array (operators/state.load_norms over ``norms_path``'s
-    (doc_id, dl) columns) — dl never rides the merge shuffle."""
+    subs: list<struct<docs_blob, tfs_blob>>): decode every sub-list,
+    merge-sort each group by docID, re-encode as the final block-addressed
+    posting list. block_min_dl metadata comes from the doc-indexed norms
+    array (operators/state.load_norms over ``norms_path``'s (doc_id, dl)
+    columns) — dl never rides the merge shuffle.
+
+    Fully vectorized across the WHOLE arrow batch (same discipline as the
+    invert pass): the sub blobs decode in ONE varbyte pass over the
+    concatenated buffer (varbyte is value-delimited, so sub boundaries are
+    just value offsets), rows sort with one fused-key argsort, and the
+    output blobs/offsets/block metadata come from one encode + reduceat
+    over block-start indices — bit-identical to codec.encode_postings per
+    row (pinned by a property test), with zero per-row python work. The
+    per-row decode_plain/encode_postings loop this replaces allocated
+    ~10 python objects per sub-blob and was the bandwidth-flat half of the
+    segments phase in the round-3 scaling measurement."""
 
     def run(batches):
         # absolute import: this body executes on executors (shipped zip)
         from osu_elastic_indexer_spark.operators.state import load_norms
 
         norms = None
+        B = codec.BLOCK
         for batch in batches:
             if batch.num_rows == 0:
                 continue
             if norms is None:
                 norms = load_norms(norms_path, norms_version)
+            nrows = batch.num_rows
             tids = batch.column("term_id").to_numpy()
             salts = batch.column("salt").to_numpy()
             subs = batch.column("subs")
-            lengths = np.asarray(subs.value_lengths())
-            starts = np.zeros(len(lengths) + 1, dtype=np.int64)
-            np.cumsum(lengths, out=starts[1:])
+            sub_lengths = np.asarray(subs.value_lengths(), dtype=np.int64)
             vals = subs.flatten()
-            sub_db = vals.field("docs_blob")
-            sub_tb = vals.field("tfs_blob")
-            cols: dict[str, list] = {n: [] for n in _SEGMENT_PA_SCHEMA.names}
-            for i in range(batch.num_rows):
-                s, e = int(starts[i]), int(starts[i + 1])
-                ds, ts = [], []
-                for j in range(s, e):
-                    d, t = codec.decode_plain(
-                        sub_db[j].as_py(), sub_tb[j].as_py()
-                    )
-                    ds.append(d)
-                    ts.append(t)
-                doc = np.concatenate(ds)
-                # full merge-sort: sub-blob doc RANGES may interleave (scan
-                # partitions are arbitrary file packings), docs never repeat
-                order = np.argsort(doc, kind="stable")
-                doc = doc[order]
-                enc = codec.encode_postings(
-                    doc,
-                    np.concatenate(ts)[order],
-                    norms[doc],
+            db_data, db_offs = _binary_flat(vals.field("docs_blob"))
+            tb_data, _tb_offs = _binary_flat(vals.field("tfs_blob"))
+
+            # ---- decode all subs in two vectorized passes ----------------
+            gaps_all = codec.varbyte_decode(memoryview(db_data))
+            tfs = codec.varbyte_decode(memoryview(tb_data)).astype(np.int64)
+            # per-sub posting counts = terminal bytes (high bit clear) per
+            # sub byte range
+            tp = np.zeros(db_data.size + 1, dtype=np.int64)
+            np.cumsum((db_data & 0x80) == 0, out=tp[1:])
+            sub_counts = tp[db_offs[1:]] - tp[db_offs[:-1]]
+            sub_starts = np.zeros(sub_counts.size + 1, dtype=np.int64)
+            np.cumsum(sub_counts, out=sub_starts[1:])
+            total = int(sub_starts[-1])
+            # per-sub delta restart (each sub blob is its own delta stream):
+            # one global cumsum minus the running base at each sub start
+            cs = np.cumsum(gaps_all.astype(np.int64))
+            base = np.zeros(sub_counts.size, dtype=np.int64)
+            nz = sub_starts[:-1] > 0
+            base[nz] = cs[sub_starts[:-1][nz] - 1]
+            docs = cs - np.repeat(base, sub_counts) - 1
+
+            # ---- group postings by output row, sort by docID -------------
+            row_sub = np.zeros(nrows + 1, dtype=np.int64)
+            np.cumsum(sub_lengths, out=row_sub[1:])
+            row_starts = sub_starts[row_sub[:-1]]
+            row_ends = sub_starts[row_sub[1:]]
+            row_sizes = row_ends - row_starts
+            prow = np.repeat(np.arange(nrows, dtype=np.int64), row_sizes)
+            # full merge-sort within each row: sub-blob doc RANGES may
+            # interleave (scan partitions are arbitrary file packings),
+            # docs never repeat within a (term, salt) cell
+            span = int(docs.max()) + 1 if total else 1
+            if nrows * span < 2**62:
+                order = np.argsort(
+                    prow * np.int64(span) + docs, kind="stable"
                 )
-                cols["term_id"].append(int(tids[i]))
-                cols["salt"].append(int(salts[i]))
-                cols["generation"].append(generation)
-                cols["n_docs"].append(enc["n_docs"])
-                cols["doc_min"].append(int(doc[0]))
-                cols["doc_max"].append(int(doc[-1]))
-                cols["max_tf"].append(enc["max_tf"])
-                cols["docs_blob"].append(enc["docs_blob"])
-                cols["tfs_blob"].append(enc["tfs_blob"])
-                cols["doc_offs"].append(enc["doc_offs"].tolist())
-                cols["tf_offs"].append(enc["tf_offs"].tolist())
-                cols["block_first"].append(enc["block_first"].tolist())
-                cols["block_last"].append(enc["block_last"].tolist())
-                cols["block_max_tf"].append(enc["block_max_tf"].tolist())
-                cols["block_min_dl"].append(enc["block_min_dl"].tolist())
+            else:
+                order = np.lexsort((docs, prow))
+            docs = docs[order]
+            tfs = tfs[order]
+
+            # ---- block grid (identical to codec.encode_postings) ---------
+            n_blocks = (row_sizes + B - 1) // B
+            tot_blocks = int(n_blocks.sum())
+            nb_prefix = np.zeros(nrows + 1, dtype=np.int64)
+            np.cumsum(n_blocks, out=nb_prefix[1:])
+            block_row = np.repeat(np.arange(nrows, dtype=np.int64), n_blocks)
+            intra = np.arange(tot_blocks, dtype=np.int64) - nb_prefix[block_row]
+            bstart = row_starts[block_row] + intra * B
+            bend = np.minimum(bstart + B, row_ends[block_row])
+
+            # block-local delta gaps: plain diff, then every block's first
+            # entry reset to doc_id+1 (this also overwrites the wrapped
+            # negative diffs at row boundaries — every row start IS a
+            # block start)
+            out_gaps = np.empty(total, dtype=np.uint64)
+            out_gaps[0] = np.uint64(docs[0] + 1)
+            if total > 1:
+                out_gaps[1:] = np.diff(docs).astype(np.uint64)
+            out_gaps[bstart] = (docs[bstart] + 1).astype(np.uint64)
+            tfs_u = tfs.astype(np.uint64)
+
+            # ---- one encode per column; per-row blobs are buffer slices --
+            docs_bytes = codec.varbyte_encode(out_gaps)
+            tfs_bytes = codec.varbyte_encode(tfs_u)
+            dprefix = np.zeros(total + 1, dtype=np.int64)
+            np.cumsum(codec.varbyte_lengths(out_gaps), out=dprefix[1:])
+            tprefix = np.zeros(total + 1, dtype=np.int64)
+            np.cumsum(codec.varbyte_lengths(tfs_u), out=tprefix[1:])
+            row_bounds = np.append(row_starts, total)
+
+            def bin_col(data: bytes, prefix: np.ndarray):
+                offs32 = prefix[row_bounds].astype(np.int32)
+                return pa.Array.from_buffers(
+                    pa.binary(), nrows,
+                    [None, pa.py_buffer(offs32.tobytes()), pa.py_buffer(data)],
+                )
+
+            # per-row byte-offset lists (n_blocks+1 entries each): block
+            # offsets rebased to the row's blob start, then the terminal
+            loffs = nb_prefix + np.arange(nrows + 1, dtype=np.int64)
+            main_idx = np.arange(tot_blocks, dtype=np.int64) + block_row
+            term_idx = loffs[1:] - 1
+
+            def offs_list(prefix: np.ndarray):
+                v = np.empty(tot_blocks + nrows, dtype=np.int64)
+                v[main_idx] = prefix[bstart] - prefix[row_starts[block_row]]
+                v[term_idx] = prefix[row_ends] - prefix[row_starts]
+                return pa.ListArray.from_arrays(
+                    pa.array(loffs.astype(np.int32), pa.int32()),
+                    pa.array(v, pa.int64()),
+                )
+
+            def blk_list(v: np.ndarray):
+                return pa.ListArray.from_arrays(
+                    pa.array(nb_prefix.astype(np.int32), pa.int32()),
+                    pa.array(v.astype(np.int64), pa.int64()),
+                )
+
             yield pa.RecordBatch.from_arrays(
-                [pa.array(cols[f.name], f.type) for f in _SEGMENT_PA_SCHEMA],
+                [
+                    pa.array(tids, pa.int64()),
+                    pa.array(salts.astype(np.int32), pa.int32()),
+                    pa.array(
+                        np.full(nrows, generation, dtype=np.int32), pa.int32()
+                    ),
+                    pa.array(row_sizes, pa.int64()),
+                    pa.array(docs[row_starts], pa.int64()),
+                    pa.array(docs[row_ends - 1], pa.int64()),
+                    pa.array(np.maximum.reduceat(tfs, row_starts), pa.int64()),
+                    bin_col(docs_bytes, dprefix),
+                    bin_col(tfs_bytes, tprefix),
+                    offs_list(dprefix),
+                    offs_list(tprefix),
+                    blk_list(docs[bstart]),
+                    blk_list(docs[bend - 1]),
+                    blk_list(np.maximum.reduceat(tfs, bstart)),
+                    blk_list(np.minimum.reduceat(norms[docs], bstart)),
+                ],
                 schema=_SEGMENT_PA_SCHEMA,
             )
 

@@ -136,3 +136,86 @@ def test_compression_actually_compresses():
     enc = encode_postings(ids, tfs)
     assert len(enc["docs_blob"]) < 110_000  # vs 800k raw int64
     assert len(enc["tfs_blob"]) == 100_000
+
+
+def test_vectorized_merge_bit_identical_to_encode_postings(tmp_path):
+    """The batch-vectorized merge kernel must produce BIT-IDENTICAL segment
+    rows to per-row codec.encode_postings over merge-sorted subs — blobs,
+    offsets, block metadata, scalars — across randomized row shapes
+    (singleton rows, exact block multiples, interleaved sub ranges)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osu_elastic_indexer_spark.functions import codec
+    from osu_elastic_indexer_spark.operators.build import (
+        _merge_subsegments_arrow,
+    )
+
+    rng = np.random.default_rng(17)
+    span = 5000
+    norms_dir = tmp_path / "fwd"
+    norms_dir.mkdir()
+    dls = rng.integers(1, 60, size=span).astype("int64")
+    pq.write_table(
+        pa.table({"doc_id": np.arange(span, dtype="int64"), "dl": dls}),
+        str(norms_dir / "p.parquet"),
+    )
+
+    rows = []
+    for r in range(60):
+        size = int(rng.choice([1, 2, 127, 128, 129, 256, 301, 500]))
+        docs = np.sort(rng.choice(span, size=size, replace=False)).astype(
+            "int64"
+        )
+        tfs = rng.integers(1, 200, size=size).astype("int64")
+        # split into 1-4 subs of INTERLEAVED doc ranges (sorted within sub)
+        n_subs = int(rng.integers(1, 5))
+        assign = rng.integers(0, n_subs, size=size)
+        subs = []
+        for s in range(n_subs):
+            m = assign == s
+            if not m.any():
+                continue
+            db, tb = codec.encode_plain(docs[m], tfs[m])
+            subs.append({"docs_blob": db, "tfs_blob": tb})
+        rng.shuffle(subs)  # collect_list order is arbitrary
+        rows.append((r, int(rng.integers(0, 4)), docs, tfs, subs))
+
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array([r[0] for r in rows], pa.int64()),
+            pa.array([r[1] for r in rows], pa.int32()),
+            pa.array(
+                [r[4] for r in rows],
+                pa.list_(
+                    pa.struct(
+                        [("docs_blob", pa.binary()), ("tfs_blob", pa.binary())]
+                    )
+                ),
+            ),
+        ],
+        names=["term_id", "salt", "subs"],
+    )
+    run = _merge_subsegments_arrow(3, str(norms_dir), 12345)
+    out = list(run([batch]))
+    assert len(out) == 1
+    got = out[0].to_pylist()
+    assert len(got) == len(rows)
+    norms = np.zeros(span, dtype=np.int64)
+    norms[:] = dls
+    by_tid = {g["term_id"]: g for g in got}
+    for r, salt, docs, tfs, _subs in rows:
+        g = by_tid[r]
+        enc = codec.encode_postings(docs, tfs, norms[docs])
+        assert g["salt"] == salt and g["generation"] == 3
+        assert g["n_docs"] == docs.size
+        assert g["doc_min"] == docs[0] and g["doc_max"] == docs[-1]
+        assert g["max_tf"] == enc["max_tf"]
+        assert g["docs_blob"] == enc["docs_blob"]
+        assert g["tfs_blob"] == enc["tfs_blob"]
+        for k in (
+            "doc_offs", "tf_offs", "block_first", "block_last",
+            "block_max_tf", "block_min_dl",
+        ):
+            assert g[k] == enc[k].tolist(), (r, k)
