@@ -92,6 +92,70 @@ def _bm25_sql_raw_order(query_terms: list[str], k: int = 10) -> str:
     return _bm25_sql(query_terms, k, order_raw=True)
 
 
+def _bool_sql(spec: dict, k: int = 10) -> str:
+    """DuckDB twin of operators/boolquery.bool_topk: BM25 over must∪should
+    with must-conjunction / must_not-exclusion eligibility filters."""
+    must = sorted(set(tokenize(spec.get("must") or "")))
+    should = sorted(set(tokenize(spec.get("should") or "")))
+    mnot = sorted(set(tokenize(spec.get("must_not") or "")))
+    scored = ", ".join(f"'{t}'" for t in sorted(set(must) | set(should)))
+    conds = [
+        f"doc_id IN (SELECT doc_id FROM tf WHERE term = '{t}')" for t in must
+    ]
+    if mnot:
+        nlist = ", ".join(f"'{t}'" for t in mnot)
+        conds.append(
+            f"doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN ({nlist}))"
+        )
+    where = ("WHERE " + "\n  AND ".join(conds)) if conds else ""
+    return f"""
+WITH {_TOKS_SQL},
+  q(term) AS (SELECT unnest([{scored}])),
+  dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf JOIN q USING (term) GROUP BY 1),
+  contrib AS (
+    SELECT tf.doc_id, tf.term,
+           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS contrib
+    FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+        JOIN dl USING (doc_id) CROSS JOIN stats
+  ),
+  agg AS (SELECT doc_id, SUM(contrib ORDER BY term) AS raw FROM contrib GROUP BY doc_id)
+SELECT doc_id, ROUND(raw, 4) AS score FROM agg
+{where}
+ORDER BY raw DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _phrase_sql(phrase_text: str, k: int = 10) -> str:
+    """DuckDB twin of operators/boolquery.phrase_topk: BM25 over the
+    phrase's unique terms, restricted to docs whose FILTERED token stream
+    contains the phrase tokens consecutively (tokens are [a-z0-9]+, so the
+    space-joined LIKE probe is an exact adjacency test)."""
+    ph = tokenize(phrase_text)
+    scored = ", ".join(f"'{t}'" for t in sorted(set(ph)))
+    needle = " " + " ".join(ph) + " "
+    return f"""
+WITH {_TOKS_SQL},
+  q(term) AS (SELECT unnest([{scored}])),
+  dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf JOIN q USING (term) GROUP BY 1),
+  contrib AS (
+    SELECT tf.doc_id, tf.term,
+           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS contrib
+    FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+        JOIN dl USING (doc_id) CROSS JOIN stats
+  ),
+  agg AS (SELECT doc_id, SUM(contrib ORDER BY term) AS raw FROM contrib GROUP BY doc_id),
+  phr AS (
+    SELECT doc_id FROM docs
+    WHERE ' ' || array_to_string({_toks_sql('text')}, ' ') || ' ' LIKE '%{needle}%'
+  )
+SELECT doc_id, ROUND(raw, 4) AS score FROM agg
+WHERE doc_id IN (SELECT doc_id FROM phr)
+ORDER BY raw DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _bm25_spark(spark, sf_dir, query_text: str, k: int = 10) -> DataFrame:
     tf = S.tf_table(_en_docs(spark, sf_dir))
     scored = S.fold_scores(S.bm25_contributions(tf, tokenize(query_text)))
@@ -807,6 +871,44 @@ def q_wand_bm25_topk_docpart(spark, sf_dir):
     return _wand_result_as_oracle_shape(spark, idx_dir, res)
 
 
+BOOL_SPEC = {"must": "hash join", "should": "merge", "must_not": "stream"}
+PHRASE_QUERY = "hash join"
+
+
+def q_bool_bm25_topk(spark, sf_dir):
+    """ES bool-query parity (must/should/must_not) over the REAL built
+    index — the query surface the reference's consumers use against ES
+    (SURVEY.md §3.4). Dense-TAAT accumulators: score fold over must∪should
+    in sorted-term order (bit-identical to plain BM25 on those terms),
+    int16 must-count eligibility, boolean must_not exclusion."""
+    from osu_elastic_indexer_spark.operators.boolquery import bool_topk
+
+    idx_dir = _driver_index_dir(spark, sf_dir)
+    res = bool_topk(spark, idx_dir, [(0, BOOL_SPEC)], 10)
+    return _wand_result_as_oracle_shape(spark, idx_dir, res)
+
+
+def q_phrase_bm25_topk(spark, sf_dir):
+    """match_phrase parity via match-then-verify: conjunctive candidates +
+    BM25 scores from the index (bounded by the rarest term's df), then a
+    distributed verify stage joining candidates -> docmap -> SOURCE html
+    and re-tokenizing with the build's own extract+tokenize (positions are
+    deliberately not in the index; the reference keeps _source outside ES
+    and re-reads rows by PK the same way)."""
+    from osu_elastic_indexer_spark.operators.boolquery import phrase_topk
+
+    idx_dir = _driver_index_dir(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    source = d.select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        F.encode(
+            F.concat(F.lit("<body>"), F.col("text"), F.lit("</body>")), "utf-8"
+        ).alias("html"),
+    )
+    res = phrase_topk(spark, idx_dir, source, [(0, PHRASE_QUERY)], 10)
+    return _wand_result_as_oracle_shape(spark, idx_dir, res)
+
+
 # ---------------------------------------------------------------------------
 # oracle-SQL generators for the pipeline operators (mirror the Spark
 # expressions term by term; constants imported from the operator modules so
@@ -1041,6 +1143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_distinct_users": q_a2_distinct_users,
         "wand_bm25_topk": q_wand_bm25_topk,
         "wand_bm25_topk_docpart": q_wand_bm25_topk_docpart,
+        "bool_bm25_topk": q_bool_bm25_topk,
+        "phrase_bm25_topk": q_phrase_bm25_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_bands": q_dedup_minhash_bands,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
@@ -1168,6 +1272,8 @@ FROM events GROUP BY event_type ORDER BY event_type
         # oracle orders by RAW score (WAND ranks by raw, rounds for output)
         "wand_bm25_topk": _bm25_sql_raw_order(tokenize(FLAGSHIP_QUERY), 10),
         "wand_bm25_topk_docpart": _bm25_sql_raw_order(tokenize(FLAGSHIP_QUERY), 10),
+        "bool_bm25_topk": _bool_sql(BOOL_SPEC, 10),
+        "phrase_bm25_topk": _phrase_sql(PHRASE_QUERY, 10),
         "dedup_exact": """
 SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_docs,
        min(doc_id)::BIGINT AS keep_doc_id

@@ -15,6 +15,8 @@ Commands/QueueCommands.cs) and their analogs here:
   index alias {schema} [--close]      -> alias {schema} [--close]
   schema get/set, active-schemas ...  -> schema-get / schema-set / schemas
   search (delegated to ES)            -> search "query text" [-k 10]
+  (ES bool query)                     -> search --must ... [--should ...]
+                                           [--must-not ...] [--local]
 
 Run with spark-submit (cluster) or plain python (local):
   python -m osu_elastic_indexer_spark.cli build --input docs.parquet \
@@ -119,17 +121,40 @@ def cmd_search(args) -> int:
 
     cat = Catalog(args.root, alias=args.alias)
     idx = cat.index_dir(args.schema) if args.schema else cat.current_index_dir()
+    spec = None
+    if args.must or args.should or args.must_not:
+        spec = {"must": args.must, "should": args.should,
+                "must_not": args.must_not}
+        if args.query:
+            raise SystemExit(
+                "search: give either a free-text query or bool clauses"
+            )
+    elif not args.query:
+        raise SystemExit("search: query text or bool clauses required")
     if args.local:
         # serving path: no Spark session, millisecond latency
         from .operators.serve import LocalSearcher
 
-        res = LocalSearcher(idx).search(args.query, args.k)
+        searcher = LocalSearcher(idx)
+        res = (
+            searcher.search_bool(spec, args.k)
+            if spec is not None
+            else searcher.search(args.query, args.k)
+        )
         for rank, (doc_id, score) in enumerate(res, 1):
             print(json.dumps({"rank": rank, "doc_id": doc_id, "score": score}))
         return 0
+    spark = _spark(args)
+    if spec is not None:
+        from .operators.boolquery import bool_topk
+
+        rows = bool_topk(spark, idx, [(0, spec)], args.k).orderBy("rank").collect()
+        for r in rows:
+            print(json.dumps({"rank": r.rank, "doc_id": r.doc_id,
+                              "score": r.score}))
+        return 0
     from .operators.wand import wand_topk_with_urls
 
-    spark = _spark(args)
     rows = (
         wand_topk_with_urls(spark, idx, [(0, args.query)], args.k)
         .orderBy("rank")
@@ -259,11 +284,18 @@ def main(argv: list[str] | None = None) -> int:
     qw.set_defaults(fn=cmd_queue_watch)
 
     s = sub.add_parser("search", help="BM25 top-k over the current index")
-    s.add_argument("query")
+    s.add_argument("query", nargs="?", default=None,
+                   help="free-text query (omit when using bool clauses)")
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--schema", default=None)
     s.add_argument("--local", action="store_true",
                    help="serve from parquet directly (no Spark job)")
+    s.add_argument("--must", default=None,
+                   help="bool query: every term must match (scored)")
+    s.add_argument("--should", default=None,
+                   help="bool query: optional scored terms")
+    s.add_argument("--must-not", dest="must_not", default=None,
+                   help="bool query: excluded terms")
     s.set_defaults(fn=cmd_search)
 
     il = sub.add_parser("index-list", help="list indices + consistency audit")

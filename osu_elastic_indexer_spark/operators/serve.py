@@ -250,17 +250,8 @@ class LocalSearcher:
         est_total = sum(df for _t, (_tid, df) in infos)
         use_taat = est_total <= TAAT_MAX_POSTINGS
         if use_taat:
-            need = []
-            for t, (tid, _df) in infos:
-                if t in self._decoded:
-                    # LRU: move-to-end on hit, so eviction (which pops from
-                    # the dict head) removes the least-recently-USED term,
-                    # not the oldest-inserted (often the hottest head term)
-                    self._decoded[t] = self._decoded.pop(t)
-                else:
-                    need.append((t, tid))
-            rows = self._load_term_rows([tid for _t, tid in need]) if need else {}
-            self._decode_terms_parallel(need, rows)
+            self._decoded_for(infos)  # every term lands in the decode cache
+            rows = {}  # taat_topk reads cache entries, not segment rows
         else:
             rows = self._load_term_rows([tid for _t, (tid, _df) in infos])
         entries = []
@@ -278,6 +269,78 @@ class LocalSearcher:
                 entries, k, self.avgdl, self.norms, self.tombstones
             )
         return [(doc, score) for score, doc in res]
+
+    def _decoded_for(self, infos: list[tuple[str, tuple[int, int]]]) -> None:
+        """Ensure every term in ``infos`` is decoded into the cache.
+        LRU: move-to-end on hit, so eviction (which pops from the dict
+        head) removes the least-recently-USED term, not the oldest-inserted
+        (often the hottest head term)."""
+        need = []
+        for t, (tid, _df) in infos:
+            if t in self._decoded:
+                self._decoded[t] = self._decoded.pop(t)
+            else:
+                need.append((t, tid))
+        rows = self._load_term_rows([tid for _t, tid in need]) if need else {}
+        self._decode_terms_parallel(need, rows)
+
+    def search_bool(self, spec: dict, k: int = 10) -> list[tuple[int, float]]:
+        """ES bool-query serving: must (scored AND), should (scored OR),
+        must_not (excluded) — same dense masks as
+        operators/boolquery.bool_topk, same sorted-term score fold as
+        search(), so a surviving doc's score is bit-identical to a plain
+        query over the same terms. Always the dense/cache path: the
+        eligibility masks need full postings regardless of df."""
+        from .boolquery import _normalize_spec
+        from .wand import topk_from_dense
+
+        s = _normalize_spec(spec)
+        must, mnot = s["must"], s["must_not"]
+        scored = set(must) | set(s["should"])
+        all_terms = sorted(scored | set(mnot))
+        if not all_terms:
+            return []
+        self._resolve_terms(all_terms)
+        if any(self._dict.get(t) is None for t in must):
+            return []  # ES semantics: unmatched must clause -> empty
+        infos = [
+            (t, self._dict[t])
+            for t in all_terms
+            if self._dict.get(t) is not None
+        ]
+        if not infos:
+            return []
+        self._decoded_for(infos)
+        sums = np.zeros(self.norms.size, dtype=np.float64)
+        must_cnt = np.zeros(self.norms.size, dtype=np.int16) if must else None
+        excluded = None
+        seen_must = 0
+        for t, (tid, df) in infos:  # sorted-term order (all_terms sorted)
+            ent = self._decoded.get(t)
+            if ent is None:
+                continue  # dict row without live postings
+            d, tfn = ent
+            if t in scored:
+                idf = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+                sums[d] += idf * tfn
+            if t in must:
+                must_cnt[d] += 1
+                seen_must += 1
+            if t in mnot:
+                if excluded is None:
+                    excluded = np.zeros(self.norms.size, dtype=bool)
+                excluded[d] = True
+        self._bound_decode_cache()
+        if must:
+            if seen_must < len(must):
+                return []
+            sums[must_cnt < len(must)] = 0.0
+        if excluded is not None:
+            sums[excluded] = 0.0
+        if self.tombstones is not None and self.tombstones.size:
+            tt = self.tombstones[self.tombstones < sums.size]
+            sums[tt] = 0.0
+        return [(doc, score) for score, doc in topk_from_dense(sums, k)]
 
     def _decode_terms_parallel(self, need: list, rows: dict) -> None:
         """Decode uncached terms into the cache, MULTI-TERM queries in a

@@ -86,3 +86,69 @@ def search_corpus(
     """End-to-end oracle over raw html: extract → index → search."""
     docs = [(i, extract_text(h) or "") for i, h in corpus]
     return search(build_index(docs), query_text, k)
+
+
+def _clause_terms(v) -> list[str]:
+    if v is None:
+        return []
+    if isinstance(v, str):
+        return sorted(set(tokenize(v)))
+    out: set[str] = set()
+    for item in v:
+        out.update(tokenize(item))
+    return sorted(out)
+
+
+def search_bool(index: OracleIndex, spec: dict, k: int = 10) -> list[tuple[int, float]]:
+    """ES-style bool query truth: must (AND, scored), should (OR, scored),
+    must_not (excluded). Same sorted-term fold as ``search``; a must term
+    absent from the index empties the result (every must clause must
+    match); with no must clauses a doc qualifies by matching >=1 scored
+    term."""
+    must = _clause_terms(spec.get("must"))
+    should = _clause_terms(spec.get("should"))
+    mnot = _clause_terms(spec.get("must_not"))
+    if any(t not in index.postings for t in must):
+        return []
+    scores: dict[int, float] = {}
+    for t in sorted(set(must) | set(should)):
+        plist = index.postings.get(t)
+        if not plist:
+            continue
+        w = idf(index.n_docs, len(plist))
+        for doc_id, tf in plist.items():
+            scores[doc_id] = scores.get(doc_id, 0.0) + w * tf_norm(
+                tf, index.dl[doc_id], index.avgdl
+            )
+
+    def eligible(d: int) -> bool:
+        if any(d not in index.postings[t] for t in must):
+            return False
+        return not any(d in index.postings.get(t, {}) for t in mnot)
+
+    ranked = sorted(
+        ((d, s) for d, s in scores.items() if eligible(d)),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    return ranked[:k]
+
+
+def search_phrase(
+    index: OracleIndex, texts: dict[int, str], query_text: str, k: int = 10
+) -> list[tuple[int, float]]:
+    """match_phrase truth: docs whose token stream contains the query's
+    tokens consecutively, scored by BM25 over the phrase's unique terms
+    (same values ``search`` would give those docs)."""
+    ph = tokenize(query_text)
+    if not ph:
+        return []
+    base = search_bool(index, {"must": query_text}, k=len(index.dl) + 1)
+    m = len(ph)
+    out = []
+    for d, s in base:
+        toks = tokenize(texts.get(d, ""))
+        if any(toks[i : i + m] == ph for i in range(len(toks) - m + 1)):
+            out.append((d, s))
+            if len(out) == k:
+                break
+    return out

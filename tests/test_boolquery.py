@@ -1,0 +1,161 @@
+"""Boolean (must/should/must_not) and phrase query rank-identity vs the
+pure-python oracle — the query surface the reference delegates to ES bool /
+match_phrase queries (SURVEY.md §3.4)."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from osu_elastic_indexer_spark import oracle
+from osu_elastic_indexer_spark.functions.textprep import extract_text, tokenize
+from osu_elastic_indexer_spark.operators.boolquery import bool_topk, phrase_topk
+from osu_elastic_indexer_spark.operators.build import build_index
+from osu_elastic_indexer_spark.sources.catalog import Catalog
+
+from util import assert_rank_identical
+
+
+@pytest.fixture(scope="module")
+def bq_index(spark, corpus_path, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("bq_indexes"))
+    cat = Catalog(root)
+    docs = spark.read.parquet(corpus_path)
+    build_index(spark, docs, cat, "v1")
+    return cat
+
+
+@pytest.fixture(scope="module")
+def bq_oracle(corpus_path, bq_index, spark):
+    """(OracleIndex, texts map) in the engine's id space."""
+    id_by_url = {
+        r.url: r.doc_id
+        for r in spark.read.parquet(bq_index.table_path("v1", "docmap")).collect()
+    }
+    tbl = pq.read_table(corpus_path)
+    texts = {
+        id_by_url[u]: (extract_text(h) or "")
+        for u, h, lang, txt in zip(
+            tbl["url"].to_pylist(),
+            tbl["html"].to_pylist(),
+            tbl["lang"].to_pylist(),
+            tbl["text"].to_pylist(),
+        )
+        if lang == "en" and txt and u in id_by_url
+    }
+    idx = oracle.build_index(sorted(texts.items()))
+    return idx, texts
+
+
+BOOL_SPECS = [
+    {"must": "w00100"},  # single must, scored
+    {"must": "w00100 w00200"},  # conjunction
+    {"must": "w00100", "should": "the"},  # must + head-term should
+    {"should": "w00100 w00200"},  # pure disjunction
+    {"must": "the", "must_not": "w00100"},  # head must, rare exclusion
+    {"must": "w00100", "must_not": "the"},  # exclusion that nearly empties
+    {"must": "xyzzyabsent w00100"},  # absent must term -> empty
+    {"must": "w00200", "must_not": "w00200"},  # contradiction -> empty
+    {"should": "the and of", "must_not": "w00100 w00200"},
+]
+
+
+def test_bool_matches_oracle(spark, bq_index, bq_oracle):
+    idx, _texts = bq_oracle
+    queries = list(enumerate(BOOL_SPECS))
+    res = bool_topk(spark, bq_index.index_dir("v1"), queries, k=10).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    for qid, spec in queries:
+        got = [(d, s) for _rk, d, s in sorted(by_q.get(qid, []))]
+        expect = oracle.search_bool(idx, spec, k=10)
+        assert_rank_identical(got, expect, msg=f"bool q{qid} {spec!r}")
+
+
+def test_bool_must_restricts_and_scores_match_plain_bm25(bq_oracle):
+    """Sanity on the oracle itself: a must doc's bool score equals its plain
+    BM25 score over the same terms (eligibility filters, scoring doesn't)."""
+    idx, _ = bq_oracle
+    plain = dict(oracle.search(idx, "w00100 w00200", k=10**6))
+    boolr = oracle.search_bool(idx, {"must": "w00100 w00200"}, k=10**6)
+    assert boolr, "conjunction should match some docs"
+    for d, s in boolr:
+        assert plain[d] == s
+        assert d in idx.postings["w00100"] and d in idx.postings["w00200"]
+
+
+def test_phrase_matches_oracle(spark, bq_index, bq_oracle, corpus_path):
+    idx, texts = bq_oracle
+    # phrases harvested from real docs -> guaranteed matches; plus an
+    # absent-adjacency pair and an absent term
+    sample = texts[min(texts)]
+    toks = tokenize(sample)
+    harvested = [
+        " ".join(toks[2:4]),
+        " ".join(toks[5:8]),  # 3-token phrase
+    ]
+    queries = list(
+        enumerate(harvested + ["the the", "w00100 xyzzyabsent"])
+    )
+    source = spark.read.parquet(corpus_path)
+    res = phrase_topk(
+        spark, bq_index.index_dir("v1"), source, queries, k=10
+    ).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    matched_any = False
+    for qid, qtext in queries:
+        got = [(d, s) for _rk, d, s in sorted(by_q.get(qid, []))]
+        expect = oracle.search_phrase(idx, texts, qtext, k=10)
+        assert_rank_identical(got, expect, msg=f"phrase q{qid} {qtext!r}")
+        matched_any = matched_any or bool(expect)
+    assert matched_any, "fixture should yield at least one phrase match"
+
+
+def test_phrase_excludes_nonadjacent_cooccurrence(bq_oracle):
+    """The oracle itself: a doc containing both terms NON-adjacently must be
+    in the conjunction but not the phrase result."""
+    idx, texts = bq_oracle
+    # find a pair of terms that co-occur somewhere non-adjacently
+    d0 = min(texts)
+    toks = tokenize(texts[d0])
+    t1, t2 = toks[0], toks[len(toks) // 2]
+    conj = {d for d, _ in oracle.search_bool(idx, {"must": f"{t1} {t2}"}, k=10**6)}
+    phr = {d for d, _ in oracle.search_phrase(idx, texts, f"{t1} {t2}", k=10**6)}
+    assert phr <= conj
+    nonadj = conj - phr
+    if nonadj:  # expected for random word-stream docs
+        d = next(iter(nonadj))
+        dt = tokenize(texts[d])
+        assert not any(
+            dt[i] == t1 and dt[i + 1] == t2 for i in range(len(dt) - 1)
+        )
+
+
+def test_serve_bool_matches_oracle(bq_index, bq_oracle):
+    """LocalSearcher.search_bool (no Spark, decode-cache path) must agree
+    with the oracle on every spec — including repeats, which exercise
+    cache hits for the eligibility masks."""
+    from osu_elastic_indexer_spark.operators.serve import LocalSearcher
+
+    idx, _texts = bq_oracle
+    s = LocalSearcher(bq_index.index_dir("v1"))
+    for _repeat in range(2):
+        for qid, spec in enumerate(BOOL_SPECS):
+            got = s.search_bool(spec, k=10)
+            expect = oracle.search_bool(idx, spec, k=10)
+            assert_rank_identical(got, expect, msg=f"serve bool q{qid} {spec!r}")
+
+
+def test_bool_closed_index_refused(spark, corpus_path, tmp_path_factory):
+    from osu_elastic_indexer_spark.sources.catalog import IndexClosedError
+
+    root = str(tmp_path_factory.mktemp("bq_closed"))
+    cat = Catalog(root)
+    docs = spark.read.parquet(corpus_path).limit(80)
+    build_index(spark, docs, cat, "v1")
+    cat.close_index("v1")
+    with pytest.raises(IndexClosedError):
+        bool_topk(spark, cat.index_dir("v1"), [(0, {"must": "the"})], k=5)
+    cat.open_index("v1")
+    bool_topk(spark, cat.index_dir("v1"), [(0, {"must": "the"})], k=5).collect()

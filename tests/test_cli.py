@@ -45,6 +45,18 @@ def test_cli_queue_roundtrip(spark, env, capsys):
         "search", "cliword", "--schema", "v1", "--local", "-k", "5",
     ])
     assert [h["doc_id"] for h in local] == [h["doc_id"] for h in hits]
+    # ES bool-query surface: must + must_not, Spark and serving paths agree
+    bool_hits = _run(capsys, base + [
+        "search", "--schema", "v1", "--must", "alpha",
+        "--must-not", "delta", "-k", "5",
+    ])
+    bool_local = _run(capsys, base + [
+        "search", "--schema", "v1", "--local", "--must", "alpha",
+        "--must-not", "delta", "-k", "5",
+    ])
+    # u0 has alpha w/o delta; u1 has alpha+delta (excluded); u2 no alpha
+    assert len(bool_hits) == 1
+    assert [h["doc_id"] for h in bool_local] == [h["doc_id"] for h in bool_hits]
 
     # update one doc + delete another, drain, verify both took effect
     _run(capsys, base + [
