@@ -116,11 +116,25 @@ def lookup_term_info(
 ) -> dict[str, tuple[int, int]]:
     """Driver-side point lookups for a query's terms -> {term: (tid, df)}.
 
-    Reads the term-SORTED dict_by_term generations with the IN filter pushed
-    to the scan (row-group pruning per generation — the term-seek analog),
-    then folds the <= |terms| x gens delta rows in python. Falls back to the
-    primary dictionary when the projection is absent (legacy layout)."""
+    Pure-pyarrow term seek over the term-SORTED dict_by_term generations:
+    row groups are pruned by their footer (min, max) statistics against the
+    sorted probe list, matched groups are read column-pruned and filtered
+    with one vectorized ``is_in``, and the <= |terms| x gens delta rows
+    fold in python. No Spark job: the previous implementation pushed the
+    probe list as a Spark ``isin`` literal, whose Catalyst planning cost
+    scales with the LIST (a 25k-term incremental batch vocabulary took
+    ~15 s of pure planning at sf0.1 — the scan itself is milliseconds).
+    Falls back to the primary dictionary when the sorted projection is
+    absent (legacy layout; no pruning there, the stats never match).
+    ``spark`` is unused, kept for call-site compatibility."""
+    import bisect
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
     from ..sources.catalog import committed_gen_paths
+    from .state import _parquet_files
 
     if not terms:
         return {}
@@ -129,9 +143,46 @@ def lookup_term_info(
     )
     if not paths:
         return {}
-    rows = (
-        spark.read.parquet(*paths)
-        .filter(F.col("term").isin(sorted(set(terms))))
-        .collect()
+    want = sorted(set(terms))
+    want_arr = pa.array(want, pa.string())
+
+    def _s(v):  # parquet string stats may surface as bytes
+        return v.decode("utf-8", "replace") if isinstance(v, bytes) else v
+
+    parts = []
+    for f in _parquet_files(tuple(paths)):
+        pf = pq.ParquetFile(f)
+        md = pf.metadata
+        if md.num_rows == 0 or md.num_row_groups == 0:
+            continue
+        tcol = next(
+            i
+            for i in range(md.row_group(0).num_columns)
+            if md.row_group(0).column(i).path_in_schema == "term"
+        )
+        groups = []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(tcol).statistics
+            if st is None or not st.has_min_max:
+                groups.append(g)  # stats-less groups stay candidates
+                continue
+            lo, hi = _s(st.min), _s(st.max)
+            i = bisect.bisect_left(want, lo)
+            if i < len(want) and want[i] <= hi:
+                groups.append(g)
+        if not groups:
+            continue
+        tbl = pf.read_row_groups(groups, columns=["term", "term_id", "df"])
+        tbl = tbl.filter(pc.is_in(tbl.column("term"), value_set=want_arr))
+        if tbl.num_rows:
+            parts.append(tbl)
+    if not parts:
+        return {}
+    t = pa.concat_tables(parts)
+    return fold_delta_rows(
+        zip(
+            t.column("term").to_pylist(),
+            t.column("term_id").to_pylist(),
+            t.column("df").to_pylist(),
+        )
     )
-    return fold_delta_rows((r.term, r.term_id, r.df) for r in rows)

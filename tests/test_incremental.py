@@ -639,8 +639,10 @@ def test_incremental_known_id_lookup_is_pruned(
     # the fast (pruned) path ran exactly once, on the batch vocabulary
     assert len(calls) == 1 and 0 < len(calls[0]) <= 100_000
 
-    # and the underlying scan pushes the IN filter to parquet (row-group
-    # pruning on the term-sorted layout — the term-seek analog)
+    # and the term-sorted layout supports pushed-IN row-group pruning for
+    # ANY reader (lookup_term_info itself seeks with pyarrow footer stats —
+    # no Spark job — but the layout property is what makes both forms
+    # O(probe), and this pins it)
     from osu_elastic_indexer_spark.sources.catalog import committed_gen_paths
 
     dfp = spark.read.parquet(
