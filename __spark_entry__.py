@@ -126,6 +126,29 @@ ORDER BY raw DESC, doc_id ASC LIMIT {k}
 """
 
 
+def _prefix_sql(prefix: str, k: int = 10, max_expansions: int = 50) -> str:
+    """DuckDB twin of operators/boolquery.prefix_topk: BM25 over the
+    term-asc-capped live terms matching the prefix (scoring_boolean)."""
+    return f"""
+WITH {_TOKS_SQL},
+  q(term) AS (
+    SELECT DISTINCT term FROM tf WHERE term LIKE '{prefix}%'
+    ORDER BY term LIMIT {max_expansions}
+  ),
+  dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf JOIN q USING (term) GROUP BY 1),
+  contrib AS (
+    SELECT tf.doc_id, tf.term,
+           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS contrib
+    FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+        JOIN dl USING (doc_id) CROSS JOIN stats
+  ),
+  agg AS (SELECT doc_id, SUM(contrib ORDER BY term) AS raw FROM contrib GROUP BY doc_id)
+SELECT doc_id, ROUND(raw, 4) AS score FROM agg
+ORDER BY raw DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _phrase_sql(phrase_text: str, k: int = 10) -> str:
     """DuckDB twin of operators/boolquery.phrase_topk: BM25 over the
     phrase's unique terms, restricted to docs whose FILTERED token stream
@@ -873,6 +896,23 @@ def q_wand_bm25_topk_docpart(spark, sf_dir):
 
 BOOL_SPEC = {"must": "hash join", "should": "merge", "must_not": "stream"}
 PHRASE_QUERY = "hash join"
+PREFIX_QUERY = "s"  # expands to scan/slow/small/sort/spark/stream
+PREFIX_MAX_EXPANSIONS = 50
+
+
+def q_prefix_bm25_topk(spark, sf_dir):
+    """ES prefix-query parity (scoring_boolean rewrite): the prefix expands
+    against the LIVE dictionary via a footer-stats range seek (term-asc,
+    capped — ES's rewrite-cap analog), then the standard batched BM25 path
+    scores the expanded terms over the real index."""
+    from osu_elastic_indexer_spark.operators.boolquery import prefix_topk
+
+    idx_dir = _driver_index_dir(spark, sf_dir)
+    res = prefix_topk(
+        spark, idx_dir, [(0, PREFIX_QUERY)], 10,
+        max_expansions=PREFIX_MAX_EXPANSIONS,
+    )
+    return _wand_result_as_oracle_shape(spark, idx_dir, res)
 
 
 def q_bool_bm25_topk(spark, sf_dir):
@@ -1145,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_bm25_topk_docpart": q_wand_bm25_topk_docpart,
         "bool_bm25_topk": q_bool_bm25_topk,
         "phrase_bm25_topk": q_phrase_bm25_topk,
+        "prefix_bm25_topk": q_prefix_bm25_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_bands": q_dedup_minhash_bands,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
@@ -1274,6 +1315,9 @@ FROM events GROUP BY event_type ORDER BY event_type
         "wand_bm25_topk_docpart": _bm25_sql_raw_order(tokenize(FLAGSHIP_QUERY), 10),
         "bool_bm25_topk": _bool_sql(BOOL_SPEC, 10),
         "phrase_bm25_topk": _phrase_sql(PHRASE_QUERY, 10),
+        "prefix_bm25_topk": _prefix_sql(
+            PREFIX_QUERY, 10, PREFIX_MAX_EXPANSIONS
+        ),
         "dedup_exact": """
 SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_docs,
        min(doc_id)::BIGINT AS keep_doc_id

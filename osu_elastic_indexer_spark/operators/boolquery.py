@@ -269,6 +269,39 @@ def bool_topk(
     )
 
 
+def prefix_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """ES prefix query (scoring_boolean rewrite): expand each prefix
+    against the LIVE dictionary via a footer-stats range seek
+    (dictionary.lookup_terms_by_prefix — term-asc, capped at
+    ``max_expansions``, ES's rewrite-cap analog), then run the standard
+    batched BM25 path over the expanded terms: per-term idf over the
+    union, sorted-term fold, so scores are exactly what a plain query on
+    the expanded terms would produce. A prefix with no live expansion
+    yields no rows for that query."""
+    from ..sources.catalog import assert_index_readable
+    from .dictionary import lookup_terms_by_prefix
+    from .wand import wand_topk
+
+    assert_index_readable(index_dir)  # refuse closed indexes before seeks
+    expanded = []
+    for qid, prefix in queries:
+        toks = tokenize(prefix)
+        if not toks:
+            continue
+        terms = lookup_terms_by_prefix(index_dir, toks[0], max_expansions)
+        if terms:
+            expanded.append((qid, " ".join(terms)))
+    if not expanded:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    return wand_topk(spark, index_dir, expanded, k)
+
+
 def _contains_phrase(tokens: list[str], phrase: list[str]) -> bool:
     m = len(phrase)
     if m == 0:

@@ -186,3 +186,73 @@ def lookup_term_info(
             t.column("df").to_pylist(),
         )
     )
+
+
+def lookup_terms_by_prefix(
+    index_dir: str, prefix: str, max_expansions: int | None = None
+) -> list[str]:
+    """ES prefix-query term expansion: LIVE terms starting with ``prefix``,
+    term-asc, capped at ``max_expansions`` (the deterministic analog of
+    ES's index-order rewrite cap). Same pyarrow footer-stats seek as
+    ``lookup_term_info``, but with a RANGE predicate: only row groups whose
+    [min, max] intersects [prefix, successor(prefix)) are read. Delta rows
+    fold first, so a fully-deleted term (df summed to 0) never expands."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..sources.catalog import committed_gen_paths
+    from .state import _parquet_files
+
+    if not prefix:
+        return []
+    paths = committed_gen_paths(index_dir, "dict_by_term") or committed_gen_paths(
+        index_dir, "dictionary"
+    )
+    if not paths:
+        return []
+    # successor string: smallest string greater than every prefix-match
+    hi = prefix[:-1] + chr(ord(prefix[-1]) + 1) if ord(prefix[-1]) < 0x10FFFF else None
+
+    def _s(v):
+        return v.decode("utf-8", "replace") if isinstance(v, bytes) else v
+
+    parts = []
+    for f in _parquet_files(tuple(paths)):
+        pf = pq.ParquetFile(f)
+        md = pf.metadata
+        if md.num_rows == 0 or md.num_row_groups == 0:
+            continue
+        tcol = next(
+            i
+            for i in range(md.row_group(0).num_columns)
+            if md.row_group(0).column(i).path_in_schema == "term"
+        )
+        groups = []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(tcol).statistics
+            if st is None or not st.has_min_max:
+                groups.append(g)
+                continue
+            lo_g, hi_g = _s(st.min), _s(st.max)
+            if hi_g < prefix or (hi is not None and lo_g >= hi):
+                continue
+            groups.append(g)
+        if not groups:
+            continue
+        tbl = pf.read_row_groups(groups, columns=["term", "term_id", "df"])
+        tbl = tbl.filter(pc.starts_with(tbl.column("term"), prefix))
+        if tbl.num_rows:
+            parts.append(tbl)
+    if not parts:
+        return []
+    t = pa.concat_tables(parts)
+    folded = fold_delta_rows(
+        zip(
+            t.column("term").to_pylist(),
+            t.column("term_id").to_pylist(),
+            t.column("df").to_pylist(),
+        )
+    )
+    live = sorted(term for term, (_tid, df) in folded.items() if df > 0)
+    return live[:max_expansions] if max_expansions is not None else live

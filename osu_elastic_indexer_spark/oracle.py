@@ -133,6 +133,20 @@ def search_bool(index: OracleIndex, spec: dict, k: int = 10) -> list[tuple[int, 
     return ranked[:k]
 
 
+def search_prefix(
+    index: OracleIndex, prefix: str, k: int = 10, max_expansions: int = 50
+) -> list[tuple[int, float]]:
+    """ES prefix-query truth (scoring_boolean rewrite): BM25 over the
+    live terms starting with ``prefix``, term-asc, capped at
+    ``max_expansions`` — identical scores to ``search`` on those terms."""
+    terms = sorted(
+        t for t, pl in index.postings.items() if t.startswith(prefix) and pl
+    )[:max_expansions]
+    if not terms:
+        return []
+    return search(index, " ".join(terms), k)
+
+
 def search_phrase(
     index: OracleIndex, texts: dict[int, str], query_text: str, k: int = 10
 ) -> list[tuple[int, float]]:

@@ -4,6 +4,7 @@ match_phrase queries (SURVEY.md §3.4)."""
 
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from osu_elastic_indexer_spark import oracle
 from osu_elastic_indexer_spark.functions.textprep import extract_text, tokenize
@@ -130,6 +131,56 @@ def test_phrase_excludes_nonadjacent_cooccurrence(bq_oracle):
         assert not any(
             dt[i] == t1 and dt[i + 1] == t2 for i in range(len(dt) - 1)
         )
+
+
+def test_prefix_matches_oracle(spark, bq_index, bq_oracle):
+    """ES prefix-query parity: footer-stats range expansion + BM25 must be
+    rank-identical to the oracle, including the term-asc max_expansions
+    cap and absent prefixes."""
+    from osu_elastic_indexer_spark.operators.boolquery import prefix_topk
+
+    idx, _texts = bq_oracle
+    cases = [
+        ("w001", 50),  # multi-term expansion, uncapped
+        ("w0", 7),  # cap binds: first 7 terms term-asc
+        ("the", 50),  # exact-term-as-prefix
+        ("zzznope", 50),  # no expansion -> empty
+    ]
+    queries = [(i, p) for i, (p, _c) in enumerate(cases)]
+    by_q: dict[int, list] = {}
+    for qid, (p, cap) in enumerate(cases):
+        res = prefix_topk(
+            spark, bq_index.index_dir("v1"), [(qid, p)], 10, max_expansions=cap
+        ).collect()
+        by_q[qid] = [(r.rank, r.doc_id, r.score) for r in res]
+    for qid, (p, cap) in enumerate(cases):
+        got = [(d, s) for _rk, d, s in sorted(by_q.get(qid, []))]
+        expect = oracle.search_prefix(idx, p, k=10, max_expansions=cap)
+        assert_rank_identical(got, expect, msg=f"prefix q{qid} {p!r} cap={cap}")
+    assert by_q[0], "w001 should match docs"
+    assert not by_q[3]
+
+
+def test_prefix_seek_matches_merged_dictionary(spark, bq_index):
+    """lookup_terms_by_prefix (pyarrow range seek) returns exactly the live
+    merged-dictionary terms with the prefix, sorted, capped."""
+    from osu_elastic_indexer_spark.operators.dictionary import (
+        lookup_terms_by_prefix,
+        read_dictionary_merged,
+    )
+
+    idx_dir = bq_index.index_dir("v1")
+    merged = sorted(
+        r.term
+        for r in read_dictionary_merged(spark, idx_dir)
+        .filter(F.col("df") > 0)
+        .collect()
+        if r.term.startswith("w00")
+    )
+    assert merged, "fixture vocabulary should include w00xxx terms"
+    assert lookup_terms_by_prefix(idx_dir, "w00") == merged
+    assert lookup_terms_by_prefix(idx_dir, "w00", 3) == merged[:3]
+    assert lookup_terms_by_prefix(idx_dir, "qqqabsent") == []
 
 
 def test_serve_bool_matches_oracle(bq_index, bq_oracle):
