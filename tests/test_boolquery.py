@@ -198,6 +198,53 @@ def test_serve_bool_matches_oracle(bq_index, bq_oracle):
             assert_rank_identical(got, expect, msg=f"serve bool q{qid} {spec!r}")
 
 
+def test_bool_phrase_prefix_exclude_tombstoned_docs(
+    spark, corpus_path, tmp_path_factory
+):
+    """Reference-semantics fidelity (SURVEY §7.4 #6): a deleted doc must
+    vanish from bool, phrase, AND prefix results at query time (tombstone
+    applied before top-k), not just from plain BM25."""
+    from osu_elastic_indexer_spark.operators.boolquery import prefix_topk
+    from osu_elastic_indexer_spark.streaming.incremental import (
+        incremental_update,
+    )
+
+    root = str(tmp_path_factory.mktemp("bq_tomb"))
+    cat = Catalog(root)
+    docs = spark.read.parquet(corpus_path)
+    build_index(spark, docs, cat, "v1")
+    idx = cat.index_dir("v1")
+    source = docs
+
+    res0 = bool_topk(spark, idx, [(0, {"must": "the"})], k=5).collect()
+    assert res0
+    doc0 = res0[0].doc_id
+    dm = spark.read.parquet(cat.table_path("v1", "docmap"))
+    url0 = dm.filter(F.col("doc_id") == doc0).collect()[0].url
+    # harvest a phrase from doc0's own text so it matches pre-delete
+    row0 = docs.filter(F.col("url") == url0).select("html").collect()[0]
+    toks0 = tokenize(extract_text(row0.html))
+    phrase = " ".join(toks0[:2])
+    pre = phrase_topk(spark, idx, source, [(0, phrase)], k=10**6).collect()
+    assert doc0 in [r.doc_id for r in pre]
+
+    # delete url0 via the queue-consume path (missing from source -> delete)
+    qurls = spark.createDataFrame([(url0,)], "url string")
+    m = incremental_update(
+        spark, docs.filter(F.col("url") != url0), cat, "v1", queue_urls=qurls
+    )
+    assert m["counters"]["deletes_total"] >= 1
+
+    for name, got in (
+        ("bool", bool_topk(spark, idx, [(0, {"must": "the"})], k=10**6)),
+        ("phrase", phrase_topk(spark, idx, source, [(0, phrase)], k=10**6)),
+        ("prefix", prefix_topk(spark, idx, [(0, "th")], k=10**6)),
+    ):
+        ids = [r.doc_id for r in got.collect()]
+        assert doc0 not in ids, name
+        assert ids, name  # other docs still served
+
+
 def test_bool_closed_index_refused(spark, corpus_path, tmp_path_factory):
     from osu_elastic_indexer_spark.sources.catalog import IndexClosedError
 

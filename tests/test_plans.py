@@ -220,3 +220,29 @@ def test_near_dup_pairs_indexed_is_single_exchange_no_join(spark, tmp_path):
     assert "FlatMapGroupsInPandas" in plan, plan
     # the embedding column crosses the wire exactly once: one exchange
     assert plan.count("Exchange") == 1, plan
+
+
+def test_bool_query_plan_prunes_and_broadcasts(spark, tmp_path):
+    """bool_topk must keep the wand scan discipline: term_id IN pushed to
+    the segments scan (row-group pruning), the role-bit query map joined by
+    BROADCAST (never a shuffle of segment blobs against a 10-row map), and
+    per-query scoring in one FlatMapGroupsInPandas."""
+    from osu_elastic_indexer_spark.operators.boolquery import bool_topk
+    from osu_elastic_indexer_spark.operators.build import build_index
+    from osu_elastic_indexer_spark.sources.catalog import Catalog
+    from osu_elastic_indexer_spark.sources.fixtures import write_corpus
+
+    p = write_corpus(str(tmp_path / "c.parquet"), 300)
+    cat = Catalog(str(tmp_path / "idx"))
+    build_index(spark, spark.read.parquet(p), cat, "v1")
+    df = bool_topk(
+        spark, cat.index_dir("v1"),
+        [(0, {"must": "the", "should": "w00100", "must_not": "w00200"})],
+        k=5,
+    )
+    full = df._jdf.queryExecution().toString()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in full and "term_id" in full.split("PushedFilters")[-1]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan
