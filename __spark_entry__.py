@@ -928,6 +928,18 @@ def q_bool_bm25_topk(spark, sf_dir):
     return _wand_result_as_oracle_shape(spark, idx_dir, res)
 
 
+def q_bool_bm25_topk_docpart(spark, sf_dir):
+    """Document-partitioned boolean batch path: segment blobs shuffle once
+    per docID cell regardless of query count (the sharded-search shape);
+    per-cell must/must_not masks are complete because a doc's postings
+    live wholly in its cell. Verified against the identical bool oracle."""
+    from osu_elastic_indexer_spark.operators.boolquery import bool_topk_docpart
+
+    idx_dir = _driver_index_dir(spark, sf_dir)
+    res = bool_topk_docpart(spark, idx_dir, [(0, BOOL_SPEC)], 10)
+    return _wand_result_as_oracle_shape(spark, idx_dir, res)
+
+
 def q_phrase_bm25_topk(spark, sf_dir):
     """match_phrase parity via match-then-verify: conjunctive candidates +
     BM25 scores from the index (bounded by the rarest term's df), then a
@@ -1184,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_bm25_topk": q_wand_bm25_topk,
         "wand_bm25_topk_docpart": q_wand_bm25_topk_docpart,
         "bool_bm25_topk": q_bool_bm25_topk,
+        "bool_bm25_topk_docpart": q_bool_bm25_topk_docpart,
         "phrase_bm25_topk": q_phrase_bm25_topk,
         "prefix_bm25_topk": q_prefix_bm25_topk,
         "dedup_exact": q_dedup_exact,
@@ -1314,6 +1327,7 @@ FROM events GROUP BY event_type ORDER BY event_type
         "wand_bm25_topk": _bm25_sql_raw_order(tokenize(FLAGSHIP_QUERY), 10),
         "wand_bm25_topk_docpart": _bm25_sql_raw_order(tokenize(FLAGSHIP_QUERY), 10),
         "bool_bm25_topk": _bool_sql(BOOL_SPEC, 10),
+        "bool_bm25_topk_docpart": _bool_sql(BOOL_SPEC, 10),
         "phrase_bm25_topk": _phrase_sql(PHRASE_QUERY, 10),
         "prefix_bm25_topk": _prefix_sql(
             PREFIX_QUERY, 10, PREFIX_MAX_EXPANSIONS

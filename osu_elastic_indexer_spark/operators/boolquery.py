@@ -269,6 +269,150 @@ def bool_topk(
     )
 
 
+def bool_topk_docpart(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, dict]],
+    k: int = 10,
+) -> DataFrame:
+    """DOCUMENT-partitioned boolean batch top-k: the ``wand_topk_docpart``
+    shape for bool queries — segment rows for the union of the batch's
+    terms shuffle ONCE per (generation, salt) docID cell, independent of
+    the query count; the role-bit subscription map rides the closure.
+
+    Correct per cell by construction: a doc's postings live wholly inside
+    one cell (the salted grid partitions the docID space), so the cell-
+    local must-count and exclusion masks are COMPLETE for every doc the
+    cell owns — a doc eligible in its cell is eligible globally, and the
+    union of per-cell top-ks contains the exact global top-k (cells cover
+    disjoint docs; one tiny window finishes). Scores fold sorted-term like
+    ``bool_topk``, so both paths are bit-identical.
+    """
+    specs = [(qid, _normalize_spec(s)) for qid, s in queries]
+    all_terms = sorted(
+        {t for _qid, s in specs for r in s.values() for t in r}
+    )
+    if not all_terms:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    plumb = _query_plumbing(spark, index_dir, all_terms)
+    if plumb is None:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    segs, term_info, idf, state = plumb
+
+    # tid -> [(qid, idf, role)] subscriptions + per-qid must-clause counts,
+    # closure-shipped (bounded by the batch vocabulary, like the wand path)
+    subs: dict[int, list[tuple[int, float, int]]] = {}
+    n_must_by_q: dict[int, int] = {}
+    for qid, s in specs:
+        if any(t not in term_info for t in s["must"]):
+            continue  # ES semantics: unmatched must clause -> empty result
+        scored = set(s["must"]) | set(s["should"])
+        roles: dict[str, int] = {}
+        for t in scored:
+            if t in term_info:
+                roles[t] = roles.get(t, 0) | _SCORED
+        for t in s["must"]:
+            roles[t] = roles.get(t, 0) | _MUST
+        for t in s["must_not"]:
+            if t in term_info:
+                roles[t] = roles.get(t, 0) | _MUST_NOT
+        if not roles:
+            continue
+        n_must_by_q[qid] = len(s["must"])
+        for t, role in roles.items():
+            subs.setdefault(term_info[t][0], []).append((qid, idf[t], role))
+    if not subs:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    tids = sorted(subs)
+    segs = segs.filter(F.col("term_id").isin(tids))
+    _tid_term = {ti[0]: t for t, ti in term_info.items()}
+    fwd_path, tomb_path = state["fwd_path"], state["tomb_path"]
+    seq, avgdl = state["seq"], state["avgdl"]
+    kk = int(k)
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        from osu_elastic_indexer_spark.operators.state import (
+            load_norms,
+            load_tombstones,
+        )
+
+        norms = load_norms(fwd_path, seq)
+        tomb = load_tombstones(tomb_path, seq)
+        lo = int(pdf["doc_min"].min())
+        hi = int(pdf["doc_max"].max())
+        span = hi - lo + 1
+        cols = {c: pdf[c].to_numpy() for c in pdf.columns}
+        by_tid: dict[int, list[tuple[int, dict]]] = {}
+        for i in range(len(pdf)):
+            by_tid.setdefault(int(cols["term_id"][i]), []).append(
+                (int(cols["doc_min"][i]),
+                 _row_to_enc({c: cols[c][i] for c in pdf.columns}))
+            )
+        decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for tid, rows in by_tid.items():
+            rows.sort(key=lambda e: e[0])
+            parts = [codec.decode_postings(enc) for _dm, enc in rows]
+            d = np.concatenate([p[0] for p in parts])
+            tf = np.concatenate([p[1] for p in parts]).astype(np.float64)
+            dl = norms[d].astype(np.float64)
+            tfn = tf / (tf + K1 * ((1.0 - B) + (B * dl) / avgdl))
+            decoded[tid] = (d - lo, tfn)
+        # per-query term lists present in this cell
+        q_terms: dict[int, list[tuple[float, int, int]]] = {}
+        for tid, qlist in subs.items():
+            if tid not in decoded:
+                continue
+            for qid, qidf, role in qlist:
+                q_terms.setdefault(qid, []).append((qidf, tid, role))
+        out_q, out_d, out_s = [], [], []
+        for qid, tl in q_terms.items():
+            n_must = n_must_by_q[qid]
+            sums = np.zeros(span, dtype=np.float64)
+            must_cnt = np.zeros(span, dtype=np.int16) if n_must else None
+            excluded = None
+            # sorted-TERM fold (same order as bool_topk/the oracle)
+            for qidf, tid, role in sorted(
+                tl, key=lambda e: _tid_term.get(e[1], "")
+            ):
+                d, tfn = decoded[tid]
+                if role & _SCORED:
+                    sums[d] += qidf * tfn
+                if role & _MUST:
+                    must_cnt[d] += 1
+                if role & _MUST_NOT:
+                    if excluded is None:
+                        excluded = np.zeros(span, dtype=bool)
+                    excluded[d] = True
+            if n_must:
+                sums[must_cnt < n_must] = 0.0
+            if excluded is not None:
+                sums[excluded] = 0.0
+            if tomb is not None and tomb.size:
+                tt = tomb[(tomb >= lo) & (tomb <= hi)]
+                if tt.size:
+                    sums[tt - lo] = 0.0
+            for s, d in topk_from_dense(sums, kk):
+                out_q.append(qid)
+                out_d.append(d + lo)
+                out_s.append(s)
+        return pd.DataFrame(
+            {"query_id": out_q, "rank": [0] * len(out_q),
+             "doc_id": out_d, "score": out_s}
+        )
+
+    cells = segs.groupBy("generation", "salt").applyInPandas(
+        score_cell, RESULT_SCHEMA
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        cells.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 def prefix_topk(
     spark: SparkSession,
     index_dir: str,

@@ -198,6 +198,70 @@ def test_serve_bool_matches_oracle(bq_index, bq_oracle):
             assert_rank_identical(got, expect, msg=f"serve bool q{qid} {spec!r}")
 
 
+def test_bool_docpart_identical_to_per_query_path(spark, bq_index, bq_oracle):
+    """The document-partitioned boolean batch path (blobs shuffle once per
+    docID cell, independent of the query count) must be EXACTLY the
+    per-query path: same docs, same scores to the last bit, same tie
+    order — and both rank-identical to the oracle."""
+    from osu_elastic_indexer_spark.operators.boolquery import bool_topk_docpart
+
+    idx, _texts = bq_oracle
+    queries = list(enumerate(BOOL_SPECS))
+    idx_dir = bq_index.index_dir("v1")
+    a = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in bool_topk(spark, idx_dir, queries, k=10).collect()
+    }
+    b = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in bool_topk_docpart(spark, idx_dir, queries, k=10).collect()
+    }
+    assert a == b
+    by_q = {}
+    for (qid, rk), (d, s) in b.items():
+        by_q.setdefault(qid, []).append((rk, d, s))
+    for qid, spec in queries:
+        got = [(d, s) for _rk, d, s in sorted(by_q.get(qid, []))]
+        expect = oracle.search_bool(idx, spec, k=10)
+        assert_rank_identical(got, expect, msg=f"docpart bool q{qid} {spec!r}")
+
+
+def test_bool_docpart_multigeneration(spark, corpus_path, tmp_path_factory):
+    """Docpart bool over a 2-generation index (base + incremental adds and
+    deletes): per-cell masks stay complete because a doc's postings live
+    wholly in its generation's cell — parity with the per-query path."""
+    from osu_elastic_indexer_spark.operators.boolquery import bool_topk_docpart
+    from osu_elastic_indexer_spark.sources.fixtures import evolve_corpus
+    from osu_elastic_indexer_spark.streaming.incremental import (
+        incremental_update,
+    )
+
+    root = str(tmp_path_factory.mktemp("bq_dp_gen"))
+    cat = Catalog(root)
+    tbl = pq.read_table(corpus_path)
+    import os
+
+    p0 = os.path.join(root, "c0.parquet")
+    pq.write_table(tbl, p0)
+    build_index(spark, spark.read.parquet(p0), cat, "v1")
+    tbl2 = evolve_corpus(tbl, n_new=60, n_update=15, n_flip=8)
+    p1 = os.path.join(root, "c1.parquet")
+    pq.write_table(tbl2, p1)
+    m = incremental_update(spark, spark.read.parquet(p1), cat, "v1")
+    assert m["generations"] == 2
+    idx_dir = cat.index_dir("v1")
+    queries = list(enumerate(BOOL_SPECS))
+    a = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in bool_topk(spark, idx_dir, queries, k=10).collect()
+    }
+    b = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in bool_topk_docpart(spark, idx_dir, queries, k=10).collect()
+    }
+    assert a == b and a
+
+
 def test_bool_phrase_prefix_exclude_tombstoned_docs(
     spark, corpus_path, tmp_path_factory
 ):
