@@ -17,6 +17,7 @@ Commands/QueueCommands.cs) and their analogs here:
   search (delegated to ES)            -> search "query text" [-k 10]
   (ES bool query)                     -> search --must ... [--should ...]
                                            [--must-not ...] [--local]
+  (ES prefix query)                   -> search --prefix p [--max-expansions N]
 
 Run with spark-submit (cluster) or plain python (local):
   python -m osu_elastic_indexer_spark.cli build --input docs.parquet \
@@ -122,34 +123,46 @@ def cmd_search(args) -> int:
     cat = Catalog(args.root, alias=args.alias)
     idx = cat.index_dir(args.schema) if args.schema else cat.current_index_dir()
     spec = None
+    modes = sum(
+        1 for v in (args.query, args.prefix,
+                    args.must or args.should or args.must_not) if v
+    )
+    if modes != 1:
+        raise SystemExit(
+            "search: give exactly one of free text, --prefix, or bool clauses"
+        )
     if args.must or args.should or args.must_not:
         spec = {"must": args.must, "should": args.should,
                 "must_not": args.must_not}
-        if args.query:
-            raise SystemExit(
-                "search: give either a free-text query or bool clauses"
-            )
-    elif not args.query:
-        raise SystemExit("search: query text or bool clauses required")
     if args.local:
         # serving path: no Spark session, millisecond latency
         from .operators.serve import LocalSearcher
 
         searcher = LocalSearcher(idx)
-        res = (
-            searcher.search_bool(spec, args.k)
-            if spec is not None
-            else searcher.search(args.query, args.k)
-        )
+        if spec is not None:
+            res = searcher.search_bool(spec, args.k)
+        elif args.prefix:
+            res = searcher.search_prefix(
+                args.prefix, args.k, args.max_expansions
+            )
+        else:
+            res = searcher.search(args.query, args.k)
         for rank, (doc_id, score) in enumerate(res, 1):
             print(json.dumps({"rank": rank, "doc_id": doc_id, "score": score}))
         return 0
     spark = _spark(args)
-    if spec is not None:
-        from .operators.boolquery import bool_topk
+    if spec is not None or args.prefix:
+        from .operators.boolquery import bool_topk, prefix_topk
 
-        rows = bool_topk(spark, idx, [(0, spec)], args.k).orderBy("rank").collect()
-        for r in rows:
+        res = (
+            bool_topk(spark, idx, [(0, spec)], args.k)
+            if spec is not None
+            else prefix_topk(
+                spark, idx, [(0, args.prefix)], args.k,
+                max_expansions=args.max_expansions,
+            )
+        )
+        for r in res.orderBy("rank").collect():
             print(json.dumps({"rank": r.rank, "doc_id": r.doc_id,
                               "score": r.score}))
         return 0
@@ -296,6 +309,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="bool query: optional scored terms")
     s.add_argument("--must-not", dest="must_not", default=None,
                    help="bool query: excluded terms")
+    s.add_argument("--prefix", default=None,
+                   help="prefix query: expand against the dictionary "
+                        "(term-asc, capped) and score the expansion")
+    s.add_argument("--max-expansions", type=int, default=50,
+                   help="prefix rewrite cap (ES max_expansions analog)")
     s.set_defaults(fn=cmd_search)
 
     il = sub.add_parser("index-list", help="list indices + consistency audit")

@@ -342,6 +342,24 @@ class LocalSearcher:
             sums[tt] = 0.0
         return [(doc, score) for score, doc in topk_from_dense(sums, k)]
 
+    def search_prefix(
+        self, prefix: str, k: int = 10, max_expansions: int = 50
+    ) -> list[tuple[int, float]]:
+        """ES prefix-query serving: expand via the dictionary range seek
+        (term-asc, capped — dictionary.lookup_terms_by_prefix) and score
+        the expansion through the normal search path, so results equal a
+        plain query on the expanded terms."""
+        from ..functions.textprep import tokenize as _tok
+        from .dictionary import lookup_terms_by_prefix
+
+        toks = _tok(prefix)
+        if not toks:
+            return []
+        terms = lookup_terms_by_prefix(self.index_dir, toks[0], max_expansions)
+        if not terms:
+            return []
+        return self.search(" ".join(terms), k)
+
     def _decode_terms_parallel(self, need: list, rows: dict) -> None:
         """Decode uncached terms into the cache, MULTI-TERM queries in a
         small thread pool: the varbyte decode kernels are numpy (GIL

@@ -183,6 +183,17 @@ def test_prefix_seek_matches_merged_dictionary(spark, bq_index):
     assert lookup_terms_by_prefix(idx_dir, "qqqabsent") == []
 
 
+def test_serve_prefix_matches_oracle(bq_index, bq_oracle):
+    from osu_elastic_indexer_spark.operators.serve import LocalSearcher
+
+    idx, _texts = bq_oracle
+    s = LocalSearcher(bq_index.index_dir("v1"))
+    for p, cap in (("w001", 50), ("w0", 7), ("zzznope", 50)):
+        got = s.search_prefix(p, k=10, max_expansions=cap)
+        expect = oracle.search_prefix(idx, p, k=10, max_expansions=cap)
+        assert_rank_identical(got, expect, msg=f"serve prefix {p!r}")
+
+
 def test_serve_bool_matches_oracle(bq_index, bq_oracle):
     """LocalSearcher.search_bool (no Spark, decode-cache path) must agree
     with the oracle on every spec — including repeats, which exercise

@@ -57,6 +57,15 @@ def test_cli_queue_roundtrip(spark, env, capsys):
     # u0 has alpha w/o delta; u1 has alpha+delta (excluded); u2 no alpha
     assert len(bool_hits) == 1
     assert [h["doc_id"] for h in bool_local] == [h["doc_id"] for h in bool_hits]
+    # ES prefix-query surface: 'cl' expands to cliword (only u2 matches)
+    px = _run(capsys, base + [
+        "search", "--schema", "v1", "--prefix", "cl", "-k", "5",
+    ])
+    px_local = _run(capsys, base + [
+        "search", "--schema", "v1", "--local", "--prefix", "cl", "-k", "5",
+    ])
+    assert len(px) == 1
+    assert [h["doc_id"] for h in px_local] == [h["doc_id"] for h in px]
 
     # update one doc + delete another, drain, verify both took effect
     _run(capsys, base + [
