@@ -50,7 +50,16 @@ over our own index format:
     against the source scan — verification IO is ∝ candidate count, not
     corpus size, and the adjacency check never touches the index tables.
 
-Both paths honor tombstones and closed-index refusal exactly like
+``bool_topk_docpart``
+    The queries-to-data batch shape for bool queries (see the function
+    docstring): blobs shuffle once per docID cell regardless of query
+    count, per-cell masks complete by the salted-grid construction.
+
+``prefix_topk``
+    ES ``prefix`` query (scoring_boolean rewrite): dictionary RANGE seek
+    expansion (term-asc, capped) -> the standard batched wand path.
+
+All paths honor tombstones and closed-index refusal exactly like
 ``wand_topk``.
 """
 
