@@ -18,6 +18,7 @@ Commands/QueueCommands.cs) and their analogs here:
   (ES bool query)                     -> search --must ... [--should ...]
                                            [--must-not ...] [--local]
   (ES prefix query)                   -> search --prefix p [--max-expansions N]
+  (ES match_phrase)                   -> search --phrase "..." --source src.parquet
 
 Run with spark-submit (cluster) or plain python (local):
   python -m osu_elastic_indexer_spark.cli build --input docs.parquet \
@@ -124,13 +125,16 @@ def cmd_search(args) -> int:
     idx = cat.index_dir(args.schema) if args.schema else cat.current_index_dir()
     spec = None
     modes = sum(
-        1 for v in (args.query, args.prefix,
+        1 for v in (args.query, args.prefix, args.phrase,
                     args.must or args.should or args.must_not) if v
     )
     if modes != 1:
         raise SystemExit(
-            "search: give exactly one of free text, --prefix, or bool clauses"
+            "search: give exactly one of free text, --prefix, --phrase, "
+            "or bool clauses"
         )
+    if args.phrase and not args.source:
+        raise SystemExit("search: --phrase needs --source (url, html parquet)")
     if args.must or args.should or args.must_not:
         spec = {"must": args.must, "should": args.should,
                 "must_not": args.must_not}
@@ -145,23 +149,29 @@ def cmd_search(args) -> int:
             res = searcher.search_prefix(
                 args.prefix, args.k, args.max_expansions
             )
+        elif args.phrase:
+            res = searcher.search_phrase(args.phrase, args.source, args.k)
         else:
             res = searcher.search(args.query, args.k)
         for rank, (doc_id, score) in enumerate(res, 1):
             print(json.dumps({"rank": rank, "doc_id": doc_id, "score": score}))
         return 0
     spark = _spark(args)
-    if spec is not None or args.prefix:
-        from .operators.boolquery import bool_topk, prefix_topk
+    if spec is not None or args.prefix or args.phrase:
+        from .operators.boolquery import bool_topk, phrase_topk, prefix_topk
 
-        res = (
-            bool_topk(spark, idx, [(0, spec)], args.k)
-            if spec is not None
-            else prefix_topk(
+        if spec is not None:
+            res = bool_topk(spark, idx, [(0, spec)], args.k)
+        elif args.prefix:
+            res = prefix_topk(
                 spark, idx, [(0, args.prefix)], args.k,
                 max_expansions=args.max_expansions,
             )
-        )
+        else:
+            res = phrase_topk(
+                spark, idx, spark.read.parquet(args.source),
+                [(0, args.phrase)], args.k,
+            )
         for r in res.orderBy("rank").collect():
             print(json.dumps({"rank": r.rank, "doc_id": r.doc_id,
                               "score": r.score}))
@@ -314,6 +324,10 @@ def main(argv: list[str] | None = None) -> int:
                         "(term-asc, capped) and score the expansion")
     s.add_argument("--max-expansions", type=int, default=50,
                    help="prefix rewrite cap (ES max_expansions analog)")
+    s.add_argument("--phrase", default=None,
+                   help="phrase query (match-then-verify); needs --source")
+    s.add_argument("--source", default=None,
+                   help="source parquet (url, html) for phrase verification")
     s.set_defaults(fn=cmd_search)
 
     il = sub.add_parser("index-list", help="list indices + consistency audit")

@@ -475,6 +475,7 @@ def phrase_topk(
     source: DataFrame,
     queries: list[tuple[int, str]],
     k: int = 10,
+    docpart: bool = False,
 ) -> DataFrame:
     """Batched exact phrase top-k (match-then-verify; module doc).
 
@@ -499,7 +500,12 @@ def phrase_topk(
     ]
     if not bool_queries:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    cands = bool_topk(spark, index_dir, bool_queries, k=2**31 - 1)
+    # docpart=True routes candidate generation through the queries-to-data
+    # shape (blobs shuffle once per docID cell, independent of the batch
+    # size) — same candidates and scores bit-identically, the right form
+    # for 10^4-phrase batches sharing head terms
+    gen = bool_topk_docpart if docpart else bool_topk
+    cands = gen(spark, index_dir, bool_queries, k=2**31 - 1)
 
     # phase 2: verify adjacency against the source text. candidates ->
     # docmap(url) -> source(text); candidates are the small side.

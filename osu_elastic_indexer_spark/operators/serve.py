@@ -360,6 +360,63 @@ class LocalSearcher:
             return []
         return self.search(" ".join(terms), k)
 
+    def search_phrase(
+        self, phrase: str, source_path: str, k: int = 10
+    ) -> list[tuple[int, float]]:
+        """match_phrase serving (match-then-verify, the same design as
+        operators/boolquery.phrase_topk): conjunctive candidates + scores
+        from the index via search_bool, then adjacency verified against
+        the SOURCE parquet at ``source_path`` (url, html) — candidate urls
+        resolve through the docmap, source rows load via one pyarrow
+        is_in-filtered read, and each candidate re-tokenizes with the
+        build's own extract+tokenize. Verification IO is ∝ candidates
+        (bounded by the rarest term's df), never corpus size."""
+        import pyarrow.dataset as pads
+
+        from ..functions.textprep import extract_text
+        from ..functions.textprep import tokenize as _tok
+        from ..sources.catalog import committed_gen_paths
+        from .state import _parquet_files
+
+        ph = _tok(phrase)
+        if not ph:
+            return []
+        cands = self.search_bool(
+            {"must": " ".join(dict.fromkeys(ph))}, k=2**31 - 1
+        )
+        if not cands:
+            return []
+        score_by_doc = dict((d, s) for d, s in cands)
+        dm_files = _parquet_files(
+            tuple(committed_gen_paths(self.index_dir, "docmap"))
+        )
+        import pyarrow as pa
+
+        dm = pads.dataset(dm_files).to_table(
+            columns=["doc_id", "url"],
+            filter=pads.field("doc_id").isin(
+                pa.array(sorted(score_by_doc), pa.int64())
+            ),
+        )
+        doc_by_url = dict(
+            zip(dm.column("url").to_pylist(), dm.column("doc_id").to_pylist())
+        )
+        src = pads.dataset(source_path).to_table(
+            columns=["url", "html"],
+            filter=pads.field("url").isin(
+                pa.array(sorted(doc_by_url), pa.string())
+            ),
+        )
+        m = len(ph)
+        out = []
+        for u, h in zip(src.column("url").to_pylist(), src.column("html").to_pylist()):
+            toks = _tok(extract_text(h))
+            if any(toks[i : i + m] == ph for i in range(len(toks) - m + 1)):
+                d = doc_by_url[u]
+                out.append((d, score_by_doc[d]))
+        out.sort(key=lambda e: (-e[1], e[0]))
+        return out[:k]
+
     def _decode_terms_parallel(self, need: list, rows: dict) -> None:
         """Decode uncached terms into the cache, MULTI-TERM queries in a
         small thread pool: the varbyte decode kernels are numpy (GIL

@@ -194,6 +194,44 @@ def test_serve_prefix_matches_oracle(bq_index, bq_oracle):
         assert_rank_identical(got, expect, msg=f"serve prefix {p!r}")
 
 
+def test_phrase_docpart_candidates_identical(
+    spark, bq_index, bq_oracle, corpus_path
+):
+    """phrase_topk(docpart=True) routes candidate generation through the
+    queries-to-data shape — results must be bit-identical to the default
+    per-query-join path."""
+    idx, texts = bq_oracle
+    toks = tokenize(texts[min(texts)])
+    queries = [(0, " ".join(toks[2:4])), (1, "the the")]
+    source = spark.read.parquet(corpus_path)
+    a = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in phrase_topk(
+            spark, bq_index.index_dir("v1"), source, queries, k=10
+        ).collect()
+    }
+    b = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in phrase_topk(
+            spark, bq_index.index_dir("v1"), source, queries, k=10,
+            docpart=True,
+        ).collect()
+    }
+    assert a == b and a
+
+
+def test_serve_phrase_matches_oracle(bq_index, bq_oracle, corpus_path):
+    from osu_elastic_indexer_spark.operators.serve import LocalSearcher
+
+    idx, texts = bq_oracle
+    s = LocalSearcher(bq_index.index_dir("v1"))
+    toks = tokenize(texts[min(texts)])
+    for q in (" ".join(toks[2:4]), " ".join(toks[5:8]), "w00100 zzznope"):
+        got = s.search_phrase(q, corpus_path, k=10)
+        expect = oracle.search_phrase(idx, texts, q, k=10)
+        assert_rank_identical(got, expect, msg=f"serve phrase {q!r}")
+
+
 def test_serve_bool_matches_oracle(bq_index, bq_oracle):
     """LocalSearcher.search_bool (no Spark, decode-cache path) must agree
     with the oracle on every spec — including repeats, which exercise
