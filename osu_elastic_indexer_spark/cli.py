@@ -321,7 +321,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="bool query: excluded terms")
     s.add_argument("--prefix", default=None,
                    help="prefix query: expand against the dictionary "
-                        "(term-asc, capped) and score the expansion")
+                        "(term-asc, capped) and score the expansion; "
+                        "must be a SINGLE token (multi-token input is "
+                        "rejected, matching ES prefix semantics)")
     s.add_argument("--max-expansions", type=int, default=50,
                    help="prefix rewrite cap (ES max_expansions analog)")
     s.add_argument("--phrase", default=None,

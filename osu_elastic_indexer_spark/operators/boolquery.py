@@ -436,7 +436,11 @@ def prefix_topk(
     batched BM25 path over the expanded terms: per-term idf over the
     union, sorted-term fold, so scores are exactly what a plain query on
     the expanded terms would produce. A prefix with no live expansion
-    yields no rows for that query."""
+    yields no rows for that query.
+
+    A prefix that tokenizes to MORE than one token is rejected: ES's
+    ``prefix`` query matches a single term, and silently using only the
+    first token would drop the rest of the input without warning."""
     from ..sources.catalog import assert_index_readable
     from .dictionary import lookup_terms_by_prefix
     from .wand import wand_topk
@@ -447,6 +451,12 @@ def prefix_topk(
         toks = tokenize(prefix)
         if not toks:
             continue
+        if len(toks) > 1:
+            raise ValueError(
+                f"prefix query {prefix!r} tokenizes to {len(toks)} tokens "
+                f"({toks}); ES prefix queries match a single term — pass "
+                "one token (use a bool/phrase query for multi-term input)"
+            )
         terms = lookup_terms_by_prefix(index_dir, toks[0], max_expansions)
         if terms:
             expanded.append((qid, " ".join(terms)))

@@ -16,6 +16,15 @@ terms — too big to broadcast whole. Strategy:
 term_id ordering: df desc, term asc — head terms get the smallest ids, which
 clusters hot posting rows together in the segments table (locality, and a
 cheap "is head" test: term_id < n_head).
+
+Filesystem note: ``lookup_term_info`` / ``lookup_terms_by_prefix`` read the
+index parquet with DRIVER-LOCAL pyarrow (footer-stats seeks — the 15 s
+Catalyst-planning fix), so every query path that resolves terms requires the
+index directory to be visible to the driver as a local or shared-filesystem
+path (NFS/FUSE mount of the object store — the deployment shape the serving
+tier already assumes). An index reachable only through a Hadoop-only URI
+(hdfs://) needs the legacy Spark-scan lookup; none of our supported layouts
+do.
 """
 
 from __future__ import annotations

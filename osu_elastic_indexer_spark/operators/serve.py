@@ -348,13 +348,19 @@ class LocalSearcher:
         """ES prefix-query serving: expand via the dictionary range seek
         (term-asc, capped — dictionary.lookup_terms_by_prefix) and score
         the expansion through the normal search path, so results equal a
-        plain query on the expanded terms."""
+        plain query on the expanded terms. Multi-token input is rejected
+        (ES prefix matches one term; see boolquery.prefix_topk)."""
         from ..functions.textprep import tokenize as _tok
         from .dictionary import lookup_terms_by_prefix
 
         toks = _tok(prefix)
         if not toks:
             return []
+        if len(toks) > 1:
+            raise ValueError(
+                f"prefix query {prefix!r} tokenizes to {len(toks)} tokens "
+                f"({toks}); ES prefix queries match a single term"
+            )
         terms = lookup_terms_by_prefix(self.index_dir, toks[0], max_expansions)
         if not terms:
             return []
