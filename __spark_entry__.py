@@ -94,19 +94,31 @@ def _bm25_sql_raw_order(query_terms: list[str], k: int = 10) -> str:
 
 def _bool_sql(spec: dict, k: int = 10) -> str:
     """DuckDB twin of operators/boolquery.bool_topk: BM25 over must∪should
-    with must-conjunction / must_not-exclusion eligibility filters."""
+    with required-conjunction (must ∪ filter — ES filter context terms
+    score nothing) / must_not-exclusion / structured doc-key-range
+    eligibility filters. Exact for specs whose must clause is non-empty
+    (every eligible doc then scores positive, so the engine's
+    filter-context zero-score tail cannot appear)."""
     must = sorted(set(tokenize(spec.get("must") or "")))
     should = sorted(set(tokenize(spec.get("should") or "")))
     mnot = sorted(set(tokenize(spec.get("must_not") or "")))
+    filt = sorted(set(tokenize(spec.get("filter") or "")))
     scored = ", ".join(f"'{t}'" for t in sorted(set(must) | set(should)))
     conds = [
-        f"doc_id IN (SELECT doc_id FROM tf WHERE term = '{t}')" for t in must
+        f"doc_id IN (SELECT doc_id FROM tf WHERE term = '{t}')"
+        for t in sorted(set(must) | set(filt))
     ]
     if mnot:
         nlist = ", ".join(f"'{t}'" for t in mnot)
         conds.append(
             f"doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN ({nlist}))"
         )
+    fr = spec.get("filter_range") or {}
+    if "url" in fr:
+        # engine urls are the zero-padded doc_id (driver adapter below), so
+        # the url range maps exactly to a doc_id range in oracle space
+        lo, hi = fr["url"]
+        conds.append(f"doc_id BETWEEN {int(lo)} AND {int(hi)}")
     where = ("WHERE " + "\n  AND ".join(conds)) if conds else ""
     return f"""
 WITH {_TOKS_SQL},
@@ -895,6 +907,14 @@ def q_wand_bm25_topk_docpart(spark, sf_dir):
 
 
 BOOL_SPEC = {"must": "hash join", "should": "merge", "must_not": "stream"}
+# ES filter context: 'vector' is required but unscored; the url range is the
+# scores.json range-indexed-`id` analog over the document key (urls in the
+# driver index are the zero-padded doc_id, so [50, 350] in oracle space)
+BOOL_FILTER_SPEC = {
+    "must": "hash join",
+    "filter": "vector",
+    "filter_range": {"url": ("%012d" % 50, "%012d" % 350)},
+}
 PHRASE_QUERY = "hash join"
 PREFIX_QUERY = "s"  # expands to scan/slow/small/sort/spark/stream
 PREFIX_MAX_EXPANSIONS = 50
@@ -925,6 +945,21 @@ def q_bool_bm25_topk(spark, sf_dir):
 
     idx_dir = _driver_index_dir(spark, sf_dir)
     res = bool_topk(spark, idx_dir, [(0, BOOL_SPEC)], 10)
+    return _wand_result_as_oracle_shape(spark, idx_dir, res)
+
+
+def q_bool_bm25_topk_filtered(spark, sf_dir):
+    """ES bool FILTER-context parity: a required-but-unscored term clause
+    plus a structured document-key range (the keyword/numeric restriction
+    the reference's consumers put in ES filter context —
+    osu.ElasticIndexer/schemas/scores.json:7-47 keyword/numeric fields).
+    Scores of surviving docs are bit-identical to the unfiltered query
+    (filter clauses never contribute score); the range is evaluated
+    executor-side via a pushed pyarrow docmap scan."""
+    from osu_elastic_indexer_spark.operators.boolquery import bool_topk
+
+    idx_dir = _driver_index_dir(spark, sf_dir)
+    res = bool_topk(spark, idx_dir, [(0, BOOL_FILTER_SPEC)], 10)
     return _wand_result_as_oracle_shape(spark, idx_dir, res)
 
 
@@ -1197,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_bm25_topk_docpart": q_wand_bm25_topk_docpart,
         "bool_bm25_topk": q_bool_bm25_topk,
         "bool_bm25_topk_docpart": q_bool_bm25_topk_docpart,
+        "bool_bm25_topk_filtered": q_bool_bm25_topk_filtered,
         "phrase_bm25_topk": q_phrase_bm25_topk,
         "prefix_bm25_topk": q_prefix_bm25_topk,
         "dedup_exact": q_dedup_exact,
@@ -1328,6 +1364,7 @@ FROM events GROUP BY event_type ORDER BY event_type
         "wand_bm25_topk_docpart": _bm25_sql_raw_order(tokenize(FLAGSHIP_QUERY), 10),
         "bool_bm25_topk": _bool_sql(BOOL_SPEC, 10),
         "bool_bm25_topk_docpart": _bool_sql(BOOL_SPEC, 10),
+        "bool_bm25_topk_filtered": _bool_sql(BOOL_FILTER_SPEC, 10),
         "phrase_bm25_topk": _phrase_sql(PHRASE_QUERY, 10),
         "prefix_bm25_topk": _prefix_sql(
             PREFIX_QUERY, 10, PREFIX_MAX_EXPANSIONS

@@ -16,7 +16,8 @@ Commands/QueueCommands.cs) and their analogs here:
   schema get/set, active-schemas ...  -> schema-get / schema-set / schemas
   search (delegated to ES)            -> search "query text" [-k 10]
   (ES bool query)                     -> search --must ... [--should ...]
-                                           [--must-not ...] [--local]
+                                           [--must-not ...] [--filter ...]
+                                           [--filter-url-range LO HI] [--local]
   (ES prefix query)                   -> search --prefix p [--max-expansions N]
   (ES match_phrase)                   -> search --phrase "..." --source src.parquet
 
@@ -124,9 +125,12 @@ def cmd_search(args) -> int:
     cat = Catalog(args.root, alias=args.alias)
     idx = cat.index_dir(args.schema) if args.schema else cat.current_index_dir()
     spec = None
+    bool_clauses = (
+        args.must or args.should or args.must_not or args.filter
+        or args.filter_url_range
+    )
     modes = sum(
-        1 for v in (args.query, args.prefix, args.phrase,
-                    args.must or args.should or args.must_not) if v
+        1 for v in (args.query, args.prefix, args.phrase, bool_clauses) if v
     )
     if modes != 1:
         raise SystemExit(
@@ -135,9 +139,13 @@ def cmd_search(args) -> int:
         )
     if args.phrase and not args.source:
         raise SystemExit("search: --phrase needs --source (url, html parquet)")
-    if args.must or args.should or args.must_not:
+    if bool_clauses:
         spec = {"must": args.must, "should": args.should,
                 "must_not": args.must_not}
+        if args.filter:
+            spec["filter"] = args.filter
+        if args.filter_url_range:
+            spec["filter_range"] = {"url": tuple(args.filter_url_range)}
     if args.local:
         # serving path: no Spark session, millisecond latency
         from .operators.serve import LocalSearcher
@@ -318,7 +326,16 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--should", default=None,
                    help="bool query: optional scored terms")
     s.add_argument("--must-not", dest="must_not", default=None,
-                   help="bool query: excluded terms")
+                   help="bool query: excluded terms; a must_not-ONLY query "
+                        "is rejected (ES would return match_all minus the "
+                        "exclusions — a corpus scan, not an index query)")
+    s.add_argument("--filter", default=None,
+                   help="bool query: required but UNSCORED terms "
+                        "(ES filter context)")
+    s.add_argument("--filter-url-range", dest="filter_url_range", nargs=2,
+                   metavar=("LO", "HI"), default=None,
+                   help="structured filter: restrict to docs whose url "
+                        "(document key) lies in [LO, HI] inclusive")
     s.add_argument("--prefix", default=None,
                    help="prefix query: expand against the dictionary "
                         "(term-asc, capped) and score the expansion; "

@@ -17,15 +17,42 @@ over our own index format:
                   ``wand.taat_topk`` / the oracle, so scores of the
                   surviving docs are bit-identical to a plain BM25 query
                   over the same terms;
-      * must:     int16 dense count of distinct must terms present; a doc is
-                  eligible iff the count equals the number of must clauses
-                  (ES semantics: every must clause matches);
+      * required: int16 dense count of distinct REQUIRED terms present
+                  (must ∪ filter); a doc is eligible iff the count equals
+                  the number of required clauses (ES semantics: every
+                  must AND every filter clause matches);
       * must_not: boolean exclusion mask (any posting excludes the doc).
 
-    ES edge semantics preserved: a must term absent from the dictionary
-    empties that query's result (no doc can match all must clauses); absent
-    should / must_not terms are ignored; with no must clauses a doc is
-    eligible when it matches >=1 scored term.
+    ES filter context (all four bool clause types): ``filter`` terms are
+    required like must but contribute ZERO score — a doc that matches
+    every required clause yet no scored term matches with score 0.0
+    (exactly ES's filter-context scoring), ranked after every positive
+    doc, doc_id ascending. ``filter_range`` restricts by the STRUCTURED
+    fields the docmap carries (url — the document key, scores.json's
+    range-indexed ``id`` analog — and warc_ts): per field an inclusive
+    [lo, hi], evaluated executor-side via a pushed pyarrow range scan of
+    the docmap (operators/state.load_docids_in_range, cached per worker
+    per range) — the keyword/numeric filter the reference's consumers put
+    in ES filter context (scores.json:7-47).
+
+    ES edge semantics preserved: a required term absent from the dictionary
+    empties that query's result (no doc can match all required clauses);
+    absent should / must_not terms are ignored; with no required clauses a
+    doc is eligible when it matches >=1 scored term. A spec with no term
+    clause at all (must_not-only, filter_range-only, empty) raises
+    ValueError: must_not-only would be ES match_all-minus-excluded (a
+    corpus scan, not an index query — returning empty would silently lie),
+    and filter_range-only never touches the inverted index (express it as
+    a plain docmap/source DataFrame filter instead).
+
+    Memory envelope (per-query path): the runner allocates dense per-query
+    accumulators sized to the CORPUS docID span (float64 sums + int16
+    required-count + bool exclusion ≈ 11 bytes/doc) per concurrently
+    running query group — same shape as the TAAT note at wand.py
+    ``taat_topk``. Executor memory is therefore n_docs × concurrent
+    groups; LARGE batches belong on ``bool_topk_docpart``, whose
+    accumulators are sized to the (generation, salt) CELL span only and
+    whose shuffle volume is independent of the batch size.
 
 ``phrase_topk``
     Match-then-verify phrase search (the position-free-index form of
@@ -83,10 +110,17 @@ from .wand import (
     topk_from_dense,
 )
 
-# role bit flags carried on the broadcast query map
+# role bit flags carried on the broadcast query map: _MUST marks a REQUIRED
+# term (must ∪ filter — eligibility), _SCORED a scoring one (must ∪ should);
+# a filter term is _MUST without _SCORED
 _SCORED = 1
 _MUST = 2
 _MUST_NOT = 4
+
+_SPEC_KEYS = {"must", "should", "must_not", "filter", "filter_range"}
+# structured fields the docmap carries (url = document key — the analog of
+# scores.json's range-indexed `id`; warc_ts = the capture timestamp)
+_RANGE_FIELDS = {"url", "warc_ts"}
 
 
 def _normalize_spec(spec) -> dict[str, list[str]]:
@@ -106,7 +140,50 @@ def _normalize_spec(spec) -> dict[str, list[str]]:
         "must": toks(spec.get("must")),
         "should": toks(spec.get("should")),
         "must_not": toks(spec.get("must_not")),
+        "filter": toks(spec.get("filter")),
     }
+
+
+def _check_spec(spec: dict, s: dict[str, list[str]]) -> dict[str, tuple]:
+    """Validate a bool spec; -> normalized {field: (lo, hi)} filter_range.
+
+    Raises ValueError for unusable specs instead of returning empty (the
+    silent-empty failure modes users actually hit): unknown keys, bad
+    range fields/shapes, and specs with NO term clause (must_not-only /
+    filter_range-only / empty — see the module doc)."""
+    unknown = set(spec) - _SPEC_KEYS
+    if unknown:
+        raise ValueError(
+            f"unknown bool spec key(s) {sorted(unknown)}; "
+            f"supported: {sorted(_SPEC_KEYS)}"
+        )
+    fr_in = spec.get("filter_range") or {}
+    if not isinstance(fr_in, dict):
+        raise ValueError("filter_range must be {field: (lo, hi)}")
+    fr: dict[str, tuple] = {}
+    for field, bounds in fr_in.items():
+        if field not in _RANGE_FIELDS:
+            raise ValueError(
+                f"filter_range field {field!r} not a docmap structured "
+                f"field; supported: {sorted(_RANGE_FIELDS)}"
+            )
+        try:
+            lo, hi = bounds
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"filter_range[{field!r}] must be a (lo, hi) pair "
+                "(either bound may be None)"
+            ) from None
+        fr[field] = (lo, hi)
+    if not (s["must"] or s["should"] or s["filter"]):
+        raise ValueError(
+            "bool spec has no must/should/filter TERM clause: a "
+            "must_not-only query is ES match_all-minus-excluded and a "
+            "filter_range-only query never touches the inverted index — "
+            "both are corpus scans; express them as plain DataFrame "
+            "filters over the docmap/source instead"
+        )
+    return fr
 
 
 def _query_plumbing(spark, index_dir: str, all_terms: list[str]):
@@ -133,17 +210,47 @@ def _query_plumbing(spark, index_dir: str, all_terms: list[str]):
     state = {
         "fwd_path": tuple(committed_gen_paths(index_dir, "fwd")),
         "tomb_path": tuple(committed_gen_paths(index_dir, "tombstones")),
+        "docmap_path": tuple(committed_gen_paths(index_dir, "docmap")),
         "seq": int(commit_seq),
         "avgdl": float(avgdl),
     }
     return segs, term_info, idf, state
 
 
-def _bool_runner(state: dict, k: int):
+def _struct_mask(size: int, fr: dict, docmap_path, seq: int) -> np.ndarray:
+    """Dense boolean eligibility mask for a filter_range spec (AND over
+    fields), built from the per-worker-cached docmap range scans."""
+    from osu_elastic_indexer_spark.operators.state import load_docids_in_range
+
+    mask = None
+    for field in sorted(fr):
+        lo, hi = fr[field]
+        ids = load_docids_in_range(docmap_path, seq, field, lo, hi)
+        m = np.zeros(size, dtype=bool)
+        m[ids[ids < size]] = True
+        mask = m if mask is None else (mask & m)
+    return mask
+
+
+def _pad_zero_score(top: list, kk: int, eligible0: np.ndarray) -> list:
+    """ES filter-context scoring tail: docs matching every required clause
+    but no scored term rank with score 0.0 after all positive docs, doc_id
+    ascending (``eligible0`` must already exclude positively-scored,
+    excluded, out-of-range, and tombstoned docs)."""
+    if len(top) >= kk:
+        return top
+    zeros = np.flatnonzero(eligible0)[: kk - len(top)]
+    top.extend((0.0, int(d)) for d in zeros)
+    return top
+
+
+def _bool_runner(state: dict, k: int, franges: dict[int, dict]):
     """applyInPandas body for one query's segment rows (term, idf, role,
-    n_must columns riding the broadcast qmap join)."""
+    n_must columns riding the broadcast qmap join; n_must counts REQUIRED
+    clauses = must ∪ filter)."""
     fwd_path = state["fwd_path"]
     tomb_path = state["tomb_path"]
+    docmap_path = state["docmap_path"]
     seq = state["seq"]
     avgdl = state["avgdl"]
     kk = int(k)
@@ -198,16 +305,32 @@ def _bool_runner(state: dict, k: int):
             if role & _MUST_NOT:
                 excluded[d] = True
         if seen_must < n_must:
-            # a must term had no segment rows (deleted-only generations):
-            # nothing can match all clauses
+            # a required term had no segment rows (deleted-only
+            # generations): nothing can match all clauses
             return empty
+        fr = franges.get(qid)
+        struct = (
+            _struct_mask(norms.size, fr, docmap_path, seq) if fr else None
+        )
         if n_must:
             sums[must_cnt < n_must] = 0.0
         sums[excluded] = 0.0
+        if struct is not None:
+            sums[~struct] = 0.0
         if tomb is not None and tomb.size:
             tt = tomb[tomb < sums.size]
             sums[tt] = 0.0
         top = topk_from_dense(sums, kk)
+        if n_must and len(top) < kk:
+            # filter-context zero-score tail (docs matching all required
+            # clauses but no scored term) — a no-op unless the scored set
+            # excludes some required docs (filter-only / filter+should)
+            eligible0 = (must_cnt >= n_must) & ~excluded & (sums <= 0.0)
+            if struct is not None:
+                eligible0 &= struct
+            if tomb is not None and tomb.size:
+                eligible0[tomb[tomb < eligible0.size]] = False
+            top = _pad_zero_score(top, kk, eligible0)
         return pd.DataFrame(
             {
                 "query_id": [qid] * len(top),
@@ -228,12 +351,21 @@ def bool_topk(
 ) -> DataFrame:
     """Batched ES-style boolean top-k over a built index.
 
-    ``queries``: [(query_id, {"must": ..., "should": ..., "must_not": ...})]
-    — clause values are raw text or lists of texts (tokenized with the
-    engine tokenizer). Returns (query_id, rank, doc_id, score); a query
-    whose must clause cannot match produces no rows.
+    ``queries``: [(query_id, {"must": ..., "should": ..., "must_not": ...,
+    "filter": ..., "filter_range": {field: (lo, hi)}})] — term clause
+    values are raw text or lists of texts (tokenized with the engine
+    tokenizer); ``filter`` terms are required but unscored (ES filter
+    context); ``filter_range`` restricts by the docmap's structured fields
+    (module doc). Returns (query_id, rank, doc_id, score); a query whose
+    required clause cannot match produces no rows; an unusable spec raises
+    ValueError (``_check_spec``).
     """
     specs = [(qid, _normalize_spec(s)) for qid, s in queries]
+    franges = {
+        qid: fr
+        for (qid, s), (_qid2, raw) in zip(specs, queries)
+        if (fr := _check_spec(raw, s))
+    }
     all_terms = sorted(
         {t for _qid, s in specs for r in s.values() for t in r}
     )
@@ -246,24 +378,25 @@ def bool_topk(
 
     qmap_rows = []
     for qid, s in specs:
-        if any(t not in term_info for t in s["must"]):
-            continue  # ES semantics: unmatched must clause -> empty result
+        required = sorted(set(s["must"]) | set(s["filter"]))
+        if any(t not in term_info for t in required):
+            continue  # ES semantics: unmatched required clause -> empty
         scored = sorted(set(s["must"]) | set(s["should"]))
         roles: dict[str, int] = {}
         for t in scored:
             if t in term_info:
                 roles[t] = roles.get(t, 0) | _SCORED
-        for t in s["must"]:
+        for t in required:
             roles[t] = roles.get(t, 0) | _MUST
         for t in s["must_not"]:
             if t in term_info:
                 roles[t] = roles.get(t, 0) | _MUST_NOT
         if not roles:
             continue
-        n_must = len(s["must"])
+        n_required = len(required)
         for t, role in roles.items():
             qmap_rows.append(
-                (qid, t, term_info[t][0], idf[t], role, n_must)
+                (qid, t, term_info[t][0], idf[t], role, n_required)
             )
     if not qmap_rows:
         return spark.createDataFrame([], RESULT_SCHEMA)
@@ -274,7 +407,7 @@ def bool_topk(
     )
     grouped = segs.join(F.broadcast(qmap), "term_id")
     return grouped.groupBy("query_id").applyInPandas(
-        _bool_runner(state, k), RESULT_SCHEMA
+        _bool_runner(state, k, franges), RESULT_SCHEMA
     )
 
 
@@ -291,13 +424,21 @@ def bool_topk_docpart(
 
     Correct per cell by construction: a doc's postings live wholly inside
     one cell (the salted grid partitions the docID space), so the cell-
-    local must-count and exclusion masks are COMPLETE for every doc the
+    local required-count and exclusion masks are COMPLETE for every doc the
     cell owns — a doc eligible in its cell is eligible globally, and the
     union of per-cell top-ks contains the exact global top-k (cells cover
     disjoint docs; one tiny window finishes). Scores fold sorted-term like
-    ``bool_topk``, so both paths are bit-identical.
+    ``bool_topk``, so both paths are bit-identical — including the ES
+    filter context (``filter`` terms, ``filter_range``, zero-score tail):
+    zero-score docs rank below every positive doc globally, so per-cell
+    padding to k keeps the union argument exact.
     """
     specs = [(qid, _normalize_spec(s)) for qid, s in queries]
+    franges = {
+        qid: fr
+        for (qid, s), (_qid2, raw) in zip(specs, queries)
+        if (fr := _check_spec(raw, s))
+    }
     all_terms = sorted(
         {t for _qid, s in specs for r in s.values() for t in r}
     )
@@ -308,26 +449,27 @@ def bool_topk_docpart(
         return spark.createDataFrame([], RESULT_SCHEMA)
     segs, term_info, idf, state = plumb
 
-    # tid -> [(qid, idf, role)] subscriptions + per-qid must-clause counts,
-    # closure-shipped (bounded by the batch vocabulary, like the wand path)
+    # tid -> [(qid, idf, role)] subscriptions + per-qid required-clause
+    # counts, closure-shipped (bounded by the batch vocabulary)
     subs: dict[int, list[tuple[int, float, int]]] = {}
     n_must_by_q: dict[int, int] = {}
     for qid, s in specs:
-        if any(t not in term_info for t in s["must"]):
-            continue  # ES semantics: unmatched must clause -> empty result
+        required = sorted(set(s["must"]) | set(s["filter"]))
+        if any(t not in term_info for t in required):
+            continue  # ES semantics: unmatched required clause -> empty
         scored = set(s["must"]) | set(s["should"])
         roles: dict[str, int] = {}
         for t in scored:
             if t in term_info:
                 roles[t] = roles.get(t, 0) | _SCORED
-        for t in s["must"]:
+        for t in required:
             roles[t] = roles.get(t, 0) | _MUST
         for t in s["must_not"]:
             if t in term_info:
                 roles[t] = roles.get(t, 0) | _MUST_NOT
         if not roles:
             continue
-        n_must_by_q[qid] = len(s["must"])
+        n_must_by_q[qid] = len(required)
         for t, role in roles.items():
             subs.setdefault(term_info[t][0], []).append((qid, idf[t], role))
     if not subs:
@@ -336,8 +478,27 @@ def bool_topk_docpart(
     segs = segs.filter(F.col("term_id").isin(tids))
     _tid_term = {ti[0]: t for t, ti in term_info.items()}
     fwd_path, tomb_path = state["fwd_path"], state["tomb_path"]
+    docmap_path = state["docmap_path"]
     seq, avgdl = state["seq"], state["avgdl"]
     kk = int(k)
+
+    def _cell_struct(lo: int, span: int, fr: dict) -> np.ndarray:
+        """filter_range mask sized to THIS cell's span: the worker-cached
+        docID arrays are sliced to [lo, lo+span) — accumulator memory stays
+        bounded by the cell, matching the docpart contract."""
+        from osu_elastic_indexer_spark.operators.state import (
+            load_docids_in_range,
+        )
+
+        mask = None
+        for field in sorted(fr):
+            flo, fhi = fr[field]
+            ids = load_docids_in_range(docmap_path, seq, field, flo, fhi)
+            sel = ids[(ids >= lo) & (ids < lo + span)] - lo
+            m = np.zeros(span, dtype=bool)
+            m[sel] = True
+            mask = m if mask is None else (mask & m)
+        return mask
 
     def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         from osu_elastic_indexer_spark.operators.state import (
@@ -392,15 +553,34 @@ def bool_topk_docpart(
                     if excluded is None:
                         excluded = np.zeros(span, dtype=bool)
                     excluded[d] = True
+            fr = franges.get(qid)
+            struct = _cell_struct(lo, span, fr) if fr else None
             if n_must:
                 sums[must_cnt < n_must] = 0.0
             if excluded is not None:
                 sums[excluded] = 0.0
+            if struct is not None:
+                sums[~struct] = 0.0
             if tomb is not None and tomb.size:
                 tt = tomb[(tomb >= lo) & (tomb <= hi)]
                 if tt.size:
                     sums[tt - lo] = 0.0
-            for s, d in topk_from_dense(sums, kk):
+            top = topk_from_dense(sums, kk)
+            if n_must and len(top) < kk:
+                # per-cell filter-context zero-score tail (see module doc:
+                # zero docs rank below every positive doc globally, so
+                # padding each cell to k keeps the union argument exact)
+                eligible0 = (must_cnt >= n_must) & (sums <= 0.0)
+                if excluded is not None:
+                    eligible0 &= ~excluded
+                if struct is not None:
+                    eligible0 &= struct
+                if tomb is not None and tomb.size:
+                    tt = tomb[(tomb >= lo) & (tomb <= hi)]
+                    if tt.size:
+                        eligible0[tt - lo] = False
+                top = _pad_zero_score(top, kk, eligible0)
+            for s, d in top:
                 out_q.append(qid)
                 out_d.append(d + lo)
                 out_s.append(s)

@@ -286,23 +286,33 @@ class LocalSearcher:
 
     def search_bool(self, spec: dict, k: int = 10) -> list[tuple[int, float]]:
         """ES bool-query serving: must (scored AND), should (scored OR),
-        must_not (excluded) — same dense masks as
+        must_not (excluded), filter (required, UNSCORED — ES filter
+        context) and filter_range (structured docmap-field restriction) —
+        same dense masks, spec validation, and zero-score tail as
         operators/boolquery.bool_topk, same sorted-term score fold as
         search(), so a surviving doc's score is bit-identical to a plain
         query over the same terms. Always the dense/cache path: the
         eligibility masks need full postings regardless of df."""
-        from .boolquery import _normalize_spec
-        from .wand import topk_from_dense
+        from ..sources.catalog import committed_gen_paths
+        from .boolquery import (
+            _check_spec,
+            _normalize_spec,
+            _pad_zero_score,
+            _struct_mask,
+        )
+        from .wand import manifest_commit_seq, topk_from_dense
 
         s = _normalize_spec(spec)
+        fr = _check_spec(spec, s)
         must, mnot = s["must"], s["must_not"]
         scored = set(must) | set(s["should"])
-        all_terms = sorted(scored | set(mnot))
+        required = sorted(set(must) | set(s["filter"]))
+        all_terms = sorted(scored | set(mnot) | set(required))
         if not all_terms:
             return []
         self._resolve_terms(all_terms)
-        if any(self._dict.get(t) is None for t in must):
-            return []  # ES semantics: unmatched must clause -> empty
+        if any(self._dict.get(t) is None for t in required):
+            return []  # ES semantics: unmatched required clause -> empty
         infos = [
             (t, self._dict[t])
             for t in all_terms
@@ -312,7 +322,9 @@ class LocalSearcher:
             return []
         self._decoded_for(infos)
         sums = np.zeros(self.norms.size, dtype=np.float64)
-        must_cnt = np.zeros(self.norms.size, dtype=np.int16) if must else None
+        must_cnt = (
+            np.zeros(self.norms.size, dtype=np.int16) if required else None
+        )
         excluded = None
         seen_must = 0
         for t, (tid, df) in infos:  # sorted-term order (all_terms sorted)
@@ -323,7 +335,7 @@ class LocalSearcher:
             if t in scored:
                 idf = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
                 sums[d] += idf * tfn
-            if t in must:
+            if t in required:
                 must_cnt[d] += 1
                 seen_must += 1
             if t in mnot:
@@ -331,16 +343,37 @@ class LocalSearcher:
                     excluded = np.zeros(self.norms.size, dtype=bool)
                 excluded[d] = True
         self._bound_decode_cache()
-        if must:
-            if seen_must < len(must):
+        struct = None
+        if fr:
+            # same worker-cached pushed-range docmap scan as the Spark path
+            struct = _struct_mask(
+                sums.size,
+                fr,
+                tuple(committed_gen_paths(self.index_dir, "docmap")),
+                manifest_commit_seq(self.index_dir),
+            )
+        if required:
+            if seen_must < len(required):
                 return []
-            sums[must_cnt < len(must)] = 0.0
+            sums[must_cnt < len(required)] = 0.0
         if excluded is not None:
             sums[excluded] = 0.0
+        if struct is not None:
+            sums[~struct] = 0.0
         if self.tombstones is not None and self.tombstones.size:
             tt = self.tombstones[self.tombstones < sums.size]
             sums[tt] = 0.0
-        return [(doc, score) for score, doc in topk_from_dense(sums, k)]
+        top = topk_from_dense(sums, k)
+        if required and len(top) < k:
+            eligible0 = (must_cnt >= len(required)) & (sums <= 0.0)
+            if excluded is not None:
+                eligible0 &= ~excluded
+            if struct is not None:
+                eligible0 &= struct
+            if self.tombstones is not None and self.tombstones.size:
+                eligible0[self.tombstones[self.tombstones < eligible0.size]] = False
+            top = _pad_zero_score(top, k, eligible0)
+        return [(doc, score) for score, doc in top]
 
     def search_prefix(
         self, prefix: str, k: int = 10, max_expansions: int = 50

@@ -122,6 +122,35 @@ def load_tombstones(paths, version: int) -> np.ndarray | None:
     return _cached("tombstones", paths, version, load)
 
 
+def load_docids_in_range(paths, version: int, field: str, lo, hi) -> np.ndarray:
+    """Sorted docIDs whose docmap ``field`` lies in [lo, hi] (either bound
+    None = unbounded) — the structured-filter analog of the norms/tombstone
+    loaders (ES filter context over the keyword/numeric fields the docmap
+    carries; the reference's scores.json keyword fields ride the ES doc the
+    same way). Column-pruned pyarrow read with the range predicate PUSHED
+    into the scan, cached per worker per (field, range, commit) — a batch
+    of queries sharing one filter pays one load, and the array is
+    O(matching docs), never the docmap's payload columns."""
+    paths = _as_tuple(paths)
+
+    def load() -> np.ndarray:
+        import pyarrow.dataset as ds
+
+        files = _parquet_files(paths)
+        if not files:
+            return np.zeros(0, dtype=np.int64)
+        pred = None
+        if lo is not None:
+            pred = ds.field(field) >= lo
+        if hi is not None:
+            p2 = ds.field(field) <= hi
+            pred = p2 if pred is None else pred & p2
+        t = ds.dataset(files).to_table(columns=["doc_id"], filter=pred)
+        return np.sort(t.column("doc_id").to_numpy().astype(np.int64))
+
+    return _cached(f"docfilter:{field}:{lo!r}:{hi!r}", paths, version, load)
+
+
 def tomb_contains(tomb: np.ndarray | None, doc: int) -> bool:
     """Single-doc membership in a sorted tombstone array (binary search)."""
     if tomb is None or tomb.size == 0:

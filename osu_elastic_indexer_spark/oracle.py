@@ -99,16 +99,27 @@ def _clause_terms(v) -> list[str]:
     return sorted(out)
 
 
-def search_bool(index: OracleIndex, spec: dict, k: int = 10) -> list[tuple[int, float]]:
+def search_bool(
+    index: OracleIndex,
+    spec: dict,
+    k: int = 10,
+    allowed_docs: set[int] | None = None,
+) -> list[tuple[int, float]]:
     """ES-style bool query truth: must (AND, scored), should (OR, scored),
-    must_not (excluded). Same sorted-term fold as ``search``; a must term
-    absent from the index empties the result (every must clause must
-    match); with no must clauses a doc qualifies by matching >=1 scored
-    term."""
+    must_not (excluded), filter (required, UNSCORED — ES filter context).
+    Same sorted-term fold as ``search``; a required term absent from the
+    index empties the result; with no required clauses a doc qualifies by
+    matching >=1 scored term. ``allowed_docs`` is the structured
+    filter_range truth (the engine evaluates it against docmap fields; the
+    oracle takes the resolved doc set). Docs matching every required
+    clause but no scored term rank with score 0.0 after all positive docs,
+    doc_id ascending — ES filter-context scoring."""
     must = _clause_terms(spec.get("must"))
     should = _clause_terms(spec.get("should"))
     mnot = _clause_terms(spec.get("must_not"))
-    if any(t not in index.postings for t in must):
+    filt = _clause_terms(spec.get("filter"))
+    required = sorted(set(must) | set(filt))
+    if any(t not in index.postings for t in required):
         return []
     scores: dict[int, float] = {}
     for t in sorted(set(must) | set(should)):
@@ -122,15 +133,27 @@ def search_bool(index: OracleIndex, spec: dict, k: int = 10) -> list[tuple[int, 
             )
 
     def eligible(d: int) -> bool:
-        if any(d not in index.postings[t] for t in must):
+        if any(d not in index.postings[t] for t in required):
             return False
-        return not any(d in index.postings.get(t, {}) for t in mnot)
+        if any(d in index.postings.get(t, {}) for t in mnot):
+            return False
+        return allowed_docs is None or d in allowed_docs
 
     ranked = sorted(
         ((d, s) for d, s in scores.items() if eligible(d)),
         key=lambda kv: (-kv[1], kv[0]),
     )
-    return ranked[:k]
+    out = ranked[:k]
+    if required and len(out) < k:
+        # filter-context zero-score tail
+        req_docs = set(index.postings[required[0]])
+        for t in required[1:]:
+            req_docs &= set(index.postings[t])
+        zeros = sorted(
+            d for d in req_docs if d not in scores and eligible(d)
+        )
+        out += [(d, 0.0) for d in zeros[: k - len(out)]]
+    return out
 
 
 def search_prefix(

@@ -56,6 +56,12 @@ BOOL_SPECS = [
     {"must": "xyzzyabsent w00100"},  # absent must term -> empty
     {"must": "w00200", "must_not": "w00200"},  # contradiction -> empty
     {"should": "the and of", "must_not": "w00100 w00200"},
+    # ES filter context: required-but-unscored clauses
+    {"must": "the", "filter": "w00100"},  # filter narrows a head must
+    {"filter": "w00100"},  # filter-only -> all results score 0.0
+    {"filter": "w00100", "should": "w00200"},  # zero-score tail mixes in
+    {"must": "the", "filter": "xyzzyabsent"},  # absent filter -> empty
+    {"filter": "the", "must_not": "w00100"},  # filter + exclusion
 ]
 
 
@@ -82,6 +88,135 @@ def test_bool_must_restricts_and_scores_match_plain_bm25(bq_oracle):
     for d, s in boolr:
         assert plain[d] == s
         assert d in idx.postings["w00100"] and d in idx.postings["w00200"]
+
+
+def test_bool_filter_only_scores_zero(spark, bq_index, bq_oracle):
+    """ES filter-context scoring: a filter-only query matches docs with
+    score 0.0 exactly (never BM25), ranked doc_id ascending."""
+    idx, _texts = bq_oracle
+    res = bool_topk(
+        spark, bq_index.index_dir("v1"), [(0, {"filter": "w00100"})], k=10
+    ).collect()
+    assert res
+    assert all(r.score == 0.0 for r in res)
+    ids = [r.doc_id for r in sorted(res, key=lambda r: r.rank)]
+    assert ids == sorted(ids)
+    expect = oracle.search_bool(idx, {"filter": "w00100"}, k=10)
+    assert [(r.doc_id, r.score) for r in sorted(res, key=lambda r: r.rank)] == expect
+
+
+def test_bool_filter_scores_identical_to_unfiltered(spark, bq_index):
+    """The 'done' criterion: a filter clause restricts WHICH docs survive
+    but never changes a surviving doc's score — bit-identical to the
+    unfiltered must query on the same scored terms."""
+    idx_dir = bq_index.index_dir("v1")
+    plain = {
+        r.doc_id: r.score
+        for r in bool_topk(
+            spark, idx_dir, [(0, {"must": "the"})], k=10**6
+        ).collect()
+    }
+    filtered = bool_topk(
+        spark, idx_dir, [(0, {"must": "the", "filter": "w00100"})], k=10**6
+    ).collect()
+    assert filtered
+    for r in filtered:
+        assert plain[r.doc_id] == r.score
+
+
+def test_bool_filter_range_matches_oracle(spark, bq_index, bq_oracle):
+    """Structured filter_range on the docmap url (document key): all three
+    tiers agree with the oracle restricted to the allowed doc set, and the
+    restriction composes with term clauses."""
+    from osu_elastic_indexer_spark.operators.serve import LocalSearcher
+
+    idx, _texts = bq_oracle
+    idx_dir = bq_index.index_dir("v1")
+    dm = {
+        r.url: r.doc_id
+        for r in spark.read.parquet(
+            bq_index.table_path("v1", "docmap")
+        ).collect()
+    }
+    urls = sorted(dm)
+    lo, hi = urls[len(urls) // 10], urls[len(urls) // 2]
+    allowed = {d for u, d in dm.items() if lo <= u <= hi}
+    spec = {"must": "the", "filter_range": {"url": (lo, hi)}}
+    expect = oracle.search_bool(idx, {"must": "the"}, k=10, allowed_docs=allowed)
+    assert expect, "range should keep some matching docs"
+    got = [
+        (r.doc_id, r.score)
+        for r in sorted(
+            bool_topk(spark, idx_dir, [(0, spec)], k=10).collect(),
+            key=lambda r: r.rank,
+        )
+    ]
+    assert_rank_identical(got, expect, msg="filter_range spark")
+    from osu_elastic_indexer_spark.operators.boolquery import bool_topk_docpart
+
+    got_dp = [
+        (r.doc_id, r.score)
+        for r in sorted(
+            bool_topk_docpart(spark, idx_dir, [(0, spec)], k=10).collect(),
+            key=lambda r: r.rank,
+        )
+    ]
+    assert got == got_dp
+    s = LocalSearcher(idx_dir)
+    assert_rank_identical(s.search_bool(spec, k=10), expect, msg="serve range")
+    # half-open range (hi=None) and a range matching nothing
+    open_spec = {"must": "the", "filter_range": {"url": (lo, None)}}
+    allowed_open = {d for u, d in dm.items() if u >= lo}
+    assert_rank_identical(
+        s.search_bool(open_spec, k=10),
+        oracle.search_bool(idx, {"must": "the"}, k=10, allowed_docs=allowed_open),
+        msg="half-open range",
+    )
+    assert (
+        bool_topk(
+            spark, idx_dir,
+            [(0, {"must": "the", "filter_range": {"url": ("zzz", "zzzz")}})],
+            k=10,
+        ).count()
+        == 0
+    )
+
+
+def test_bool_spec_validation_errors(spark, bq_index):
+    """Unusable specs raise ValueError on every tier instead of silently
+    returning empty (must_not-only, filter_range-only, unknown keys, bad
+    range fields)."""
+    from osu_elastic_indexer_spark.operators.boolquery import bool_topk_docpart
+    from osu_elastic_indexer_spark.operators.serve import LocalSearcher
+
+    idx_dir = bq_index.index_dir("v1")
+    bad_specs = [
+        {"must_not": "the"},
+        {"filter_range": {"url": ("a", "b")}},
+        {},
+        {"must": "the", "bogus": 1},
+        {"must": "the", "filter_range": {"lang": ("a", "b")}},
+        {"must": "the", "filter_range": {"url": "notapair"}},
+    ]
+    s = LocalSearcher(idx_dir)
+    for spec in bad_specs:
+        with pytest.raises(ValueError):
+            bool_topk(spark, idx_dir, [(0, spec)], k=5)
+        with pytest.raises(ValueError):
+            bool_topk_docpart(spark, idx_dir, [(0, spec)], k=5)
+        with pytest.raises(ValueError):
+            s.search_bool(spec, k=5)
+
+
+def test_prefix_multi_token_rejected(spark, bq_index):
+    from osu_elastic_indexer_spark.operators.boolquery import prefix_topk
+    from osu_elastic_indexer_spark.operators.serve import LocalSearcher
+
+    idx_dir = bq_index.index_dir("v1")
+    with pytest.raises(ValueError):
+        prefix_topk(spark, idx_dir, [(0, "w001 w002")], 5)
+    with pytest.raises(ValueError):
+        LocalSearcher(idx_dir).search_prefix("w001 w002", 5)
 
 
 def test_phrase_matches_oracle(spark, bq_index, bq_oracle, corpus_path):
@@ -350,6 +485,7 @@ def test_bool_phrase_prefix_exclude_tombstoned_docs(
 
     for name, got in (
         ("bool", bool_topk(spark, idx, [(0, {"must": "the"})], k=10**6)),
+        ("filter", bool_topk(spark, idx, [(0, {"filter": "the"})], k=10**6)),
         ("phrase", phrase_topk(spark, idx, source, [(0, phrase)], k=10**6)),
         ("prefix", prefix_topk(spark, idx, [(0, "th")], k=10**6)),
     ):
