@@ -73,9 +73,13 @@ over our own index format:
         the phrase tokens appear consecutively. One tiny window finishes
         the exact per-query top-k.
 
-    At 100-TB scale the verify join is candidates (small, broadcastable)
-    against the source scan — verification IO is ∝ candidate count, not
-    corpus size, and the adjacency check never touches the index tables.
+    At 100-TB scale the verify join is candidates (BOUNDED by
+    ``max_candidates``, then broadcast-PINNED) against the source scan —
+    verification IO is ∝ candidate count, not corpus size, the source
+    never shuffles, and the adjacency check never touches the index
+    tables. Stopword phrases whose candidates exceed the bound are
+    refused (ES rewrite-guard analog) unless the caller explicitly opts
+    into a corpus-scan join.
 
 ``bool_topk_docpart``
     The queries-to-data batch shape for bool queries (see the function
@@ -659,6 +663,9 @@ def _contains_phrase(tokens: list[str], phrase: list[str]) -> bool:
     )
 
 
+PHRASE_MAX_CANDIDATES = 1_000_000
+
+
 def phrase_topk(
     spark: SparkSession,
     index_dir: str,
@@ -666,6 +673,8 @@ def phrase_topk(
     queries: list[tuple[int, str]],
     k: int = 10,
     docpart: bool = False,
+    max_candidates: int = PHRASE_MAX_CANDIDATES,
+    on_overflow: str = "error",
 ) -> DataFrame:
     """Batched exact phrase top-k (match-then-verify; module doc).
 
@@ -677,7 +686,21 @@ def phrase_topk(
     stream. Returns (query_id, rank, doc_id, score) where doc_id is the
     INDEX docID (join docmap for urls) and score is BM25 over the phrase's
     unique terms, bit-identical to a plain query on them.
+
+    Plan discipline: candidates are materialized (persist + count) and
+    BROADCAST-pinned into both verify joins, so the docmap and — critically
+    — the SOURCE scan never shuffle: at 100 TB a sort-merge fallback would
+    exchange the full (url, html) corpus to verify a handful of docs. The
+    pin is safe because the candidate count is BOUNDED first: a phrase of
+    head terms ("the of") has candidates ≈ N, which no positions-free
+    verify should attempt — above ``max_candidates`` the call raises
+    ValueError (``on_overflow='error'``, ES's rewrite-guard analog; a
+    positional index is the real fix for such phrases) or, with
+    ``on_overflow='scan'``, falls back to an explicitly-chosen unpinned
+    corpus-scan join (documented cost: one full source shuffle).
     """
+    if on_overflow not in ("error", "scan"):
+        raise ValueError("on_overflow must be 'error' or 'scan'")
     phrases = {qid: tokenize(text) for qid, text in queries}
     # phase 1: conjunctive candidates + scores = bool must-query over the
     # phrase's unique terms, with k large enough to keep EVERY candidate
@@ -696,14 +719,34 @@ def phrase_topk(
     # for 10^4-phrase batches sharing head terms
     gen = bool_topk_docpart if docpart else bool_topk
     cands = gen(spark, index_dir, bool_queries, k=2**31 - 1)
+    # bound before pinning: the count also materializes the cache both
+    # verify joins reuse (one candidate job, not two)
+    cands = cands.persist()
+    n_cands = cands.count()
+    if n_cands > max_candidates:
+        if on_overflow == "error":
+            cands.unpersist()
+            raise ValueError(
+                f"phrase verify would check {n_cands} candidate docs "
+                f"(> max_candidates={max_candidates}): the phrase's terms "
+                "are too frequent for a positions-free match-then-verify "
+                "(ES rewrite-guard analog). Raise max_candidates, pass "
+                "on_overflow='scan' to accept a full corpus-scan join, or "
+                "index positions"
+            )
+        pin = lambda df: df  # documented corpus-scan mode: no broadcast pin
+    else:
+        pin = F.broadcast
 
     # phase 2: verify adjacency against the source text. candidates ->
-    # docmap(url) -> source(text); candidates are the small side.
+    # docmap(url) -> source(text); candidates are the pinned small side of
+    # BOTH joins (docmap and source stream, never exchange).
     from ..sources.catalog import committed_gen_paths
 
     docmap = spark.read.parquet(*committed_gen_paths(index_dir, "docmap"))
+    cd = pin(cands).join(docmap.select("doc_id", "url"), "doc_id")
     joined = (
-        cands.join(docmap.select("doc_id", "url"), "doc_id")
+        pin(cd)
         .join(source.select("url", "html"), "url")
         .select("query_id", "doc_id", "score", "html")
     )

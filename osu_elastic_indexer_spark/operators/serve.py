@@ -400,7 +400,8 @@ class LocalSearcher:
         return self.search(" ".join(terms), k)
 
     def search_phrase(
-        self, phrase: str, source_path: str, k: int = 10
+        self, phrase: str, source_path: str, k: int = 10,
+        max_candidates: int | None = None,
     ) -> list[tuple[int, float]]:
         """match_phrase serving (match-then-verify, the same design as
         operators/boolquery.phrase_topk): conjunctive candidates + scores
@@ -409,14 +410,21 @@ class LocalSearcher:
         resolve through the docmap, source rows load via one pyarrow
         is_in-filtered read, and each candidate re-tokenizes with the
         build's own extract+tokenize. Verification IO is ∝ candidates
-        (bounded by the rarest term's df), never corpus size."""
+        (bounded by the rarest term's df), never corpus size — and the
+        candidate count is GUARDED (``max_candidates``, default the
+        Spark path's PHRASE_MAX_CANDIDATES): a stopword phrase would
+        otherwise pull a corpus-sized url dict + source read through one
+        searcher process."""
         import pyarrow.dataset as pads
 
         from ..functions.textprep import extract_text
         from ..functions.textprep import tokenize as _tok
         from ..sources.catalog import committed_gen_paths
+        from .boolquery import PHRASE_MAX_CANDIDATES
         from .state import _parquet_files
 
+        if max_candidates is None:
+            max_candidates = PHRASE_MAX_CANDIDATES
         ph = _tok(phrase)
         if not ph:
             return []
@@ -425,6 +433,14 @@ class LocalSearcher:
         )
         if not cands:
             return []
+        if len(cands) > max_candidates:
+            raise ValueError(
+                f"phrase verify would check {len(cands)} candidate docs "
+                f"(> max_candidates={max_candidates}): the phrase's terms "
+                "are too frequent for positions-free serving (ES "
+                "rewrite-guard analog) — use the Spark path with "
+                "on_overflow='scan', or index positions"
+            )
         score_by_doc = dict((d, s) for d, s in cands)
         dm_files = _parquet_files(
             tuple(committed_gen_paths(self.index_dir, "docmap"))

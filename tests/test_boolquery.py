@@ -355,6 +355,45 @@ def test_phrase_docpart_candidates_identical(
     assert a == b and a
 
 
+def test_phrase_candidate_guard(spark, bq_index, bq_oracle, corpus_path):
+    """Stopword-phrase protection (ES rewrite-guard analog): when the
+    conjunctive candidate set exceeds max_candidates the default mode
+    refuses with ValueError; on_overflow='scan' explicitly accepts the
+    corpus-scan join and returns the SAME results as the pinned path."""
+    from osu_elastic_indexer_spark.operators.serve import LocalSearcher
+
+    idx, texts = bq_oracle
+    source = spark.read.parquet(corpus_path)
+    idx_dir = bq_index.index_dir("v1")
+    toks = tokenize(texts[min(texts)])
+    phrase = " ".join(toks[2:4])
+    baseline = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in phrase_topk(spark, idx_dir, source, [(0, phrase)], k=10).collect()
+    }
+    assert baseline
+    with pytest.raises(ValueError, match="max_candidates"):
+        phrase_topk(
+            spark, idx_dir, source, [(0, phrase)], k=10, max_candidates=1
+        )
+    scan = {
+        (r.query_id, r.rank): (r.doc_id, r.score)
+        for r in phrase_topk(
+            spark, idx_dir, source, [(0, phrase)], k=10,
+            max_candidates=1, on_overflow="scan",
+        ).collect()
+    }
+    assert scan == baseline
+    with pytest.raises(ValueError, match="max_candidates"):
+        LocalSearcher(idx_dir).search_phrase(
+            phrase, corpus_path, k=10, max_candidates=1
+        )
+    with pytest.raises(ValueError):
+        phrase_topk(
+            spark, idx_dir, source, [(0, phrase)], k=10, on_overflow="bogus"
+        )
+
+
 def test_serve_phrase_matches_oracle(bq_index, bq_oracle, corpus_path):
     from osu_elastic_indexer_spark.operators.serve import LocalSearcher
 

@@ -222,6 +222,35 @@ def test_near_dup_pairs_indexed_is_single_exchange_no_join(spark, tmp_path):
     assert plan.count("Exchange") == 1, plan
 
 
+def test_phrase_verify_joins_are_broadcast_pinned(spark, tmp_path):
+    """VERDICT r4 #1: the phrase verify joins (candidates -> docmap ->
+    SOURCE) must broadcast the candidate side of BOTH joins — a sort-merge
+    fallback would shuffle the full (url, html) corpus at scale. For a
+    normal phrase the executed plan must show two BroadcastHashJoins and
+    no SortMergeJoin / Exchange on the source scan side."""
+    from osu_elastic_indexer_spark.operators.boolquery import phrase_topk
+    from osu_elastic_indexer_spark.operators.build import build_index
+    from osu_elastic_indexer_spark.sources.catalog import Catalog
+    from osu_elastic_indexer_spark.sources.fixtures import write_corpus
+
+    p = write_corpus(str(tmp_path / "c.parquet"), 300)
+    cat = Catalog(str(tmp_path / "idx"))
+    source = spark.read.parquet(p)
+    build_index(spark, source, cat, "v1")
+    df = phrase_topk(
+        spark, cat.index_dir("v1"), source, [(0, "needleunique the")], k=5
+    )
+    plan = _plan(df)
+    # both verify joins broadcast with the CANDIDATE side as build
+    # (BuildLeft: pin(cands)⋈docmap, pin(cands⋈docmap)⋈source); a
+    # sort-merge or shuffled-hash fallback anywhere would mean the
+    # docmap/source side got exchanged
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert plan.count("BuildLeft") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+
+
 def test_bool_query_plan_prunes_and_broadcasts(spark, tmp_path):
     """bool_topk must keep the wand scan discipline: term_id IN pushed to
     the segments scan (row-group pruning), the role-bit query map joined by
