@@ -191,6 +191,54 @@ ORDER BY raw DESC, doc_id ASC LIMIT {k}
 """
 
 
+def _phrase_slop_sql(phrase_text: str, slop: int, k: int = 10) -> str:
+    """DuckDB twin of phrase_topk(slop=N), POSITION-ARRAY based: a doc
+    matches iff one occurrence per phrase slot can be chosen (distinct
+    positions for repeated terms) whose slot-adjusted positions
+    (pos - slot) span <= slop — the Lucene SloppyPhraseScorer criterion
+    phrase verification implements (boolquery._matches_phrase). Scoring is
+    identical to the exact-phrase twin (BM25 over unique terms)."""
+    ph = tokenize(phrase_text)
+    scored = ", ".join(f"'{t}'" for t in sorted(set(ph)))
+    slots = "\n".join(
+        f"  a{s} AS (SELECT doc_id, pos, pos - {s} AS adj "
+        f"FROM ppos WHERE term = '{t}'),"
+        for s, t in enumerate(ph)
+    )
+    joins = " ".join(
+        f"JOIN a{s} ON a0.doc_id = a{s}.doc_id" for s in range(1, len(ph))
+    )
+    adjs = ", ".join(f"a{s}.adj" for s in range(len(ph)))
+    conds = [f"greatest({adjs}) - least({adjs}) <= {slop}"]
+    for i in range(len(ph)):
+        for j in range(i + 1, len(ph)):
+            if ph[i] == ph[j]:  # injectivity for repeated phrase terms
+                conds.append(f"a{i}.pos <> a{j}.pos")
+    return f"""
+WITH {_TOKS_SQL},
+  q(term) AS (SELECT unnest([{scored}])),
+  dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf JOIN q USING (term) GROUP BY 1),
+  contrib AS (
+    SELECT tf.doc_id, tf.term,
+           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS contrib
+    FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+        JOIN dl USING (doc_id) CROSS JOIN stats
+  ),
+  agg AS (SELECT doc_id, SUM(contrib ORDER BY term) AS raw FROM contrib GROUP BY doc_id),
+  tk AS (SELECT doc_id, {_toks_sql('text')} AS toks FROM docs),
+  ppos AS (SELECT doc_id, unnest(toks) AS term, unnest(range(len(toks))) AS pos FROM tk),
+{slots}
+  phr AS (
+    SELECT DISTINCT a0.doc_id FROM a0 {joins}
+    WHERE {' AND '.join(conds)}
+  )
+SELECT doc_id, ROUND(raw, 4) AS score FROM agg
+WHERE doc_id IN (SELECT doc_id FROM phr)
+ORDER BY raw DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _bm25_spark(spark, sf_dir, query_text: str, k: int = 10) -> DataFrame:
     tf = S.tf_table(_en_docs(spark, sf_dir))
     scored = S.fold_scores(S.bm25_contributions(tf, tokenize(query_text)))
@@ -916,6 +964,7 @@ BOOL_FILTER_SPEC = {
     "filter_range": {"url": ("%012d" % 50, "%012d" % 350)},
 }
 PHRASE_QUERY = "hash join"
+PHRASE_SLOP = 2  # admits one-gap ("hash X join") and transposed ("join hash")
 PREFIX_QUERY = "s"  # expands to scan/slow/small/sort/spark/stream
 PREFIX_MAX_EXPANSIONS = 50
 
@@ -993,6 +1042,29 @@ def q_phrase_bm25_topk(spark, sf_dir):
         ).alias("html"),
     )
     res = phrase_topk(spark, idx_dir, source, [(0, PHRASE_QUERY)], 10)
+    return _wand_result_as_oracle_shape(spark, idx_dir, res)
+
+
+def q_phrase_bm25_topk_slop(spark, sf_dir):
+    """match_phrase with slop (ES slop semantics — Lucene span-of-
+    adjusted-positions, transposition costs 2): same match-then-verify
+    plan as the exact phrase, only the verify predicate widens
+    (boolquery._matches_phrase), so candidate generation, the broadcast
+    pin, and the rewrite guard are all unchanged. Twin recomputes from
+    position arrays in SQL."""
+    from osu_elastic_indexer_spark.operators.boolquery import phrase_topk
+
+    idx_dir = _driver_index_dir(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    source = d.select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        F.encode(
+            F.concat(F.lit("<body>"), F.col("text"), F.lit("</body>")), "utf-8"
+        ).alias("html"),
+    )
+    res = phrase_topk(
+        spark, idx_dir, source, [(0, PHRASE_QUERY)], 10, slop=PHRASE_SLOP
+    )
     return _wand_result_as_oracle_shape(spark, idx_dir, res)
 
 
@@ -1234,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_bm25_topk_docpart": q_bool_bm25_topk_docpart,
         "bool_bm25_topk_filtered": q_bool_bm25_topk_filtered,
         "phrase_bm25_topk": q_phrase_bm25_topk,
+        "phrase_bm25_topk_slop": q_phrase_bm25_topk_slop,
         "prefix_bm25_topk": q_prefix_bm25_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_bands": q_dedup_minhash_bands,
@@ -1366,6 +1439,7 @@ FROM events GROUP BY event_type ORDER BY event_type
         "bool_bm25_topk_docpart": _bool_sql(BOOL_SPEC, 10),
         "bool_bm25_topk_filtered": _bool_sql(BOOL_FILTER_SPEC, 10),
         "phrase_bm25_topk": _phrase_sql(PHRASE_QUERY, 10),
+        "phrase_bm25_topk_slop": _phrase_slop_sql(PHRASE_QUERY, PHRASE_SLOP, 10),
         "prefix_bm25_topk": _prefix_sql(
             PREFIX_QUERY, 10, PREFIX_MAX_EXPANSIONS
         ),

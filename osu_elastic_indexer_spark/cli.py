@@ -158,7 +158,9 @@ def cmd_search(args) -> int:
                 args.prefix, args.k, args.max_expansions
             )
         elif args.phrase:
-            res = searcher.search_phrase(args.phrase, args.source, args.k)
+            res = searcher.search_phrase(
+                args.phrase, args.source, args.k, slop=args.slop
+            )
         else:
             res = searcher.search(args.query, args.k)
         for rank, (doc_id, score) in enumerate(res, 1):
@@ -178,7 +180,7 @@ def cmd_search(args) -> int:
         else:
             res = phrase_topk(
                 spark, idx, spark.read.parquet(args.source),
-                [(0, args.phrase)], args.k,
+                [(0, args.phrase)], args.k, slop=args.slop,
             )
         for r in res.orderBy("rank").collect():
             print(json.dumps({"rank": r.rank, "doc_id": r.doc_id,
@@ -347,6 +349,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="phrase query (match-then-verify); needs --source")
     s.add_argument("--source", default=None,
                    help="source parquet (url, html) for phrase verification")
+    s.add_argument("--slop", type=int, default=0,
+                   help="match_phrase slop (ES semantics: span of "
+                        "slot-adjusted positions; transposition costs 2)")
     s.set_defaults(fn=cmd_search)
 
     il = sub.add_parser("index-list", help="list indices + consistency audit")

@@ -663,6 +663,59 @@ def _contains_phrase(tokens: list[str], phrase: list[str]) -> bool:
     )
 
 
+def _matches_phrase(tokens: list[str], phrase: list[str], slop: int = 0) -> bool:
+    """Lucene/ES sloppy-phrase match criterion (SloppyPhraseScorer): the
+    document matches iff one occurrence of each phrase slot can be chosen,
+    at pairwise-DISTINCT token positions, such that the slop-adjusted
+    positions (doc_pos - slot_index) span at most ``slop``. slop=0
+    degenerates to exact adjacency; a transposition of two adjacent terms
+    costs 2, exactly the ES ``match_phrase`` slop contract.
+
+    Cost: O(distinct adjusted values × phrase_len × window occupancy) per
+    doc — phrase_len is tiny and this only ever runs on verify candidates
+    (bounded by ``max_candidates``), never the corpus."""
+    if slop <= 0:
+        return _contains_phrase(tokens, phrase)
+    m = len(phrase)
+    if m == 0:
+        return False
+    occ: dict[str, list[int]] = {}
+    for t in phrase:
+        if t not in occ:
+            occ[t] = [i for i, tok in enumerate(tokens) if tok == t]
+            if not occ[t]:
+                return False
+    # every feasible window [lo, lo+slop] has its min at some slot's
+    # adjusted value, so enumerating those lows is exhaustive
+    lows = sorted(
+        {p - s for s, t in enumerate(phrase) for p in occ[t]}
+    )
+    for lo in lows:
+        allowed = [
+            [p for p in occ[t] if lo <= p - s <= lo + slop]
+            for s, t in enumerate(phrase)
+        ]
+        if any(not a for a in allowed):
+            continue
+        # injective slot -> doc-position assignment (Kuhn augmenting
+        # paths; only slots sharing a term can ever contend)
+        taken: dict[int, int] = {}
+
+        def assign(slot: int, seen: set[int]) -> bool:
+            for p in allowed[slot]:
+                if p in seen:
+                    continue
+                seen.add(p)
+                if p not in taken or assign(taken[p], seen):
+                    taken[p] = slot
+                    return True
+            return False
+
+        if all(assign(s, set()) for s in range(m)):
+            return True
+    return False
+
+
 PHRASE_MAX_CANDIDATES = 1_000_000
 
 
@@ -675,8 +728,15 @@ def phrase_topk(
     docpart: bool = False,
     max_candidates: int = PHRASE_MAX_CANDIDATES,
     on_overflow: str = "error",
+    slop: int = 0,
 ) -> DataFrame:
     """Batched exact phrase top-k (match-then-verify; module doc).
+
+    ``slop`` (default 0 = exact adjacency) relaxes the verify exactly like
+    ES ``match_phrase``'s slop parameter: see ``_matches_phrase`` for the
+    Lucene span-of-adjusted-positions criterion (transposition costs 2).
+    Candidate generation is slop-independent — candidates are always the
+    conjunctive term match — so only the verify predicate changes.
 
     ``source``: the corpus table with (url, html) — the same rows the index
     was built from (the reference keeps _source outside ES and re-reads by
@@ -701,6 +761,8 @@ def phrase_topk(
     """
     if on_overflow not in ("error", "scan"):
         raise ValueError("on_overflow must be 'error' or 'scan'")
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
     phrases = {qid: tokenize(text) for qid, text in queries}
     # phase 1: conjunctive candidates + scores = bool must-query over the
     # phrase's unique terms, with k large enough to keep EVERY candidate
@@ -760,8 +822,8 @@ def phrase_topk(
             if len(pdf) == 0:
                 continue
             keep = [
-                _contains_phrase(
-                    tokenize(extract_text(h)), phrases_b.get(int(q), [])
+                _matches_phrase(
+                    tokenize(extract_text(h)), phrases_b.get(int(q), []), slop
                 )
                 for q, h in zip(pdf["query_id"], pdf["html"])
             ]

@@ -402,6 +402,7 @@ class LocalSearcher:
     def search_phrase(
         self, phrase: str, source_path: str, k: int = 10,
         max_candidates: int | None = None,
+        slop: int = 0,
     ) -> list[tuple[int, float]]:
         """match_phrase serving (match-then-verify, the same design as
         operators/boolquery.phrase_topk): conjunctive candidates + scores
@@ -414,17 +415,22 @@ class LocalSearcher:
         candidate count is GUARDED (``max_candidates``, default the
         Spark path's PHRASE_MAX_CANDIDATES): a stopword phrase would
         otherwise pull a corpus-sized url dict + source read through one
-        searcher process."""
+        searcher process. ``slop`` relaxes the verify with the same ES
+        ``match_phrase`` slop semantics as the Spark path
+        (boolquery._matches_phrase: span of slot-adjusted positions,
+        transposition costs 2)."""
         import pyarrow.dataset as pads
 
         from ..functions.textprep import extract_text
         from ..functions.textprep import tokenize as _tok
         from ..sources.catalog import committed_gen_paths
-        from .boolquery import PHRASE_MAX_CANDIDATES
+        from .boolquery import PHRASE_MAX_CANDIDATES, _matches_phrase
         from .state import _parquet_files
 
         if max_candidates is None:
             max_candidates = PHRASE_MAX_CANDIDATES
+        if slop < 0:
+            raise ValueError("slop must be >= 0")
         ph = _tok(phrase)
         if not ph:
             return []
@@ -462,11 +468,10 @@ class LocalSearcher:
                 pa.array(sorted(doc_by_url), pa.string())
             ),
         )
-        m = len(ph)
         out = []
         for u, h in zip(src.column("url").to_pylist(), src.column("html").to_pylist()):
             toks = _tok(extract_text(h))
-            if any(toks[i : i + m] == ph for i in range(len(toks) - m + 1)):
+            if _matches_phrase(toks, ph, slop):
                 d = doc_by_url[u]
                 out.append((d, score_by_doc[d]))
         out.sort(key=lambda e: (-e[1], e[0]))

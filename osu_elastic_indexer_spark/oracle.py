@@ -170,12 +170,37 @@ def search_prefix(
     return search(index, " ".join(terms), k)
 
 
+def _slop_match_bruteforce(toks: list[str], ph: list[str], slop: int) -> bool:
+    """Exponential ground truth for sloppy matching (test-only): enumerate
+    EVERY per-slot occurrence choice and accept when some choice uses
+    pairwise-distinct positions whose slot-adjusted values span <= slop.
+    Deliberately a different algorithm from the engine's windowed matching
+    (operators/boolquery._matches_phrase) so the two cross-check."""
+    import itertools
+
+    occ = [[i for i, t in enumerate(toks) if t == p] for p in ph]
+    if any(not o for o in occ):
+        return False
+    for pick in itertools.product(*occ):
+        if len(set(pick)) != len(pick):
+            continue
+        adj = [p - s for s, p in enumerate(pick)]
+        if max(adj) - min(adj) <= slop:
+            return True
+    return False
+
+
 def search_phrase(
-    index: OracleIndex, texts: dict[int, str], query_text: str, k: int = 10
+    index: OracleIndex,
+    texts: dict[int, str],
+    query_text: str,
+    k: int = 10,
+    slop: int = 0,
 ) -> list[tuple[int, float]]:
     """match_phrase truth: docs whose token stream contains the query's
-    tokens consecutively, scored by BM25 over the phrase's unique terms
-    (same values ``search`` would give those docs)."""
+    tokens consecutively (or within ``slop`` per the Lucene adjusted-
+    position-span criterion, transposition costs 2), scored by BM25 over
+    the phrase's unique terms (same values ``search`` would give)."""
     ph = tokenize(query_text)
     if not ph:
         return []
@@ -184,7 +209,13 @@ def search_phrase(
     out = []
     for d, s in base:
         toks = tokenize(texts.get(d, ""))
-        if any(toks[i : i + m] == ph for i in range(len(toks) - m + 1)):
+        if slop > 0:
+            hit = _slop_match_bruteforce(toks, ph, slop)
+        else:
+            hit = any(
+                toks[i : i + m] == ph for i in range(len(toks) - m + 1)
+            )
+        if hit:
             out.append((d, s))
             if len(out) == k:
                 break

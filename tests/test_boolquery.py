@@ -394,6 +394,104 @@ def test_phrase_candidate_guard(spark, bq_index, bq_oracle, corpus_path):
         )
 
 
+def test_matches_phrase_slop_semantics():
+    """ES match_phrase slop contract, pinned case by case: slop=0 is exact
+    adjacency, a one-token gap needs slop>=1, a transposition of adjacent
+    terms costs 2, and repeated phrase terms need DISTINCT positions."""
+    from osu_elastic_indexer_spark.operators.boolquery import _matches_phrase
+
+    t = str.split
+    assert _matches_phrase(t("hash join"), t("hash join"), 0)
+    assert not _matches_phrase(t("hash x join"), t("hash join"), 0)
+    assert _matches_phrase(t("hash x join"), t("hash join"), 1)
+    assert not _matches_phrase(t("hash x x join"), t("hash join"), 1)
+    assert _matches_phrase(t("hash x x join"), t("hash join"), 2)
+    # transposition costs 2
+    assert not _matches_phrase(t("join hash"), t("hash join"), 1)
+    assert _matches_phrase(t("join hash"), t("hash join"), 2)
+    # injectivity: one 'a' can't satisfy two slots at any slop
+    assert not _matches_phrase(t("a b c"), t("a a"), 99)
+    assert _matches_phrase(t("a b a"), t("a a"), 1)
+    assert not _matches_phrase(t("a b a"), t("a a"), 0)
+
+
+def test_matches_phrase_agrees_with_bruteforce():
+    """Property cross-check: the engine's windowed-matching implementation
+    must agree with the oracle's exponential enumerate-all-choices truth
+    (a deliberately different algorithm) on random small token streams."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from osu_elastic_indexer_spark.operators.boolquery import _matches_phrase
+    from osu_elastic_indexer_spark.oracle import _slop_match_bruteforce
+
+    alphabet = st.sampled_from(["a", "b", "c", "d"])
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        toks=st.lists(alphabet, max_size=12),
+        ph=st.lists(alphabet, min_size=1, max_size=4),
+        slop=st.integers(min_value=0, max_value=5),
+    )
+    def check(toks, ph, slop):
+        got = _matches_phrase(toks, ph, slop)
+        expect = (
+            _slop_match_bruteforce(toks, ph, slop)
+            if slop > 0
+            else any(
+                toks[i : i + len(ph)] == ph
+                for i in range(len(toks) - len(ph) + 1)
+            )
+        )
+        assert got == expect, (toks, ph, slop)
+
+    check()
+
+
+def test_phrase_slop_matches_oracle(spark, bq_index, bq_oracle, corpus_path):
+    """phrase_topk(slop=N) vs the oracle's brute-force slop truth; the
+    slop result must also be a superset of the exact-phrase result."""
+    idx, texts = bq_oracle
+    source = spark.read.parquet(corpus_path)
+    idx_dir = bq_index.index_dir("v1")
+    toks = tokenize(texts[min(texts)])
+    phrase = " ".join(toks[2:4])
+    transposed = " ".join(reversed(toks[2:4]))
+    for q, slop in ((phrase, 1), (phrase, 3), (transposed, 2)):
+        res = phrase_topk(
+            spark, idx_dir, source, [(0, q)], k=10, slop=slop
+        ).collect()
+        got = [(r.doc_id, r.score) for r in sorted(res, key=lambda r: r.rank)]
+        expect = oracle.search_phrase(idx, texts, q, k=10, slop=slop)
+        assert_rank_identical(got, expect, msg=f"phrase {q!r} slop={slop}")
+    big = 10**6  # un-truncated: slop only ever widens the match set
+    exact = {
+        r.doc_id
+        for r in phrase_topk(spark, idx_dir, source, [(0, phrase)], k=big).collect()
+    }
+    sloppy = {
+        r.doc_id
+        for r in phrase_topk(
+            spark, idx_dir, source, [(0, phrase)], k=big, slop=3
+        ).collect()
+    }
+    assert exact and exact <= sloppy
+    with pytest.raises(ValueError, match="slop"):
+        phrase_topk(spark, idx_dir, source, [(0, phrase)], k=10, slop=-1)
+
+
+def test_serve_phrase_slop_matches_oracle(bq_index, bq_oracle, corpus_path):
+    from osu_elastic_indexer_spark.operators.serve import LocalSearcher
+
+    idx, texts = bq_oracle
+    s = LocalSearcher(bq_index.index_dir("v1"))
+    toks = tokenize(texts[min(texts)])
+    for q, slop in ((" ".join(toks[2:4]), 2), (" ".join(toks[5:8]), 1)):
+        got = s.search_phrase(q, corpus_path, k=10, slop=slop)
+        expect = oracle.search_phrase(idx, texts, q, k=10, slop=slop)
+        assert_rank_identical(got, expect, msg=f"serve phrase {q!r} slop={slop}")
+
+
 def test_serve_phrase_matches_oracle(bq_index, bq_oracle, corpus_path):
     from osu_elastic_indexer_spark.operators.serve import LocalSearcher
 
