@@ -512,9 +512,8 @@ def bool_topk_docpart(
 
         norms = load_norms(fwd_path, seq)
         tomb = load_tombstones(tomb_path, seq)
-        lo = int(pdf["doc_min"].min())
-        hi = int(pdf["doc_max"].max())
-        span = hi - lo + 1
+        lo, span = _cell_bounds(pdf["doc_min"], pdf["doc_max"])
+        hi = lo + span - 1
         cols = {c: pdf[c].to_numpy() for c in pdf.columns}
         by_tid: dict[int, list[tuple[int, dict]]] = {}
         for i in range(len(pdf)):
@@ -714,6 +713,19 @@ def _matches_phrase(tokens: list[str], phrase: list[str], slop: int = 0) -> bool
         if all(assign(s, set()) for s in range(m)):
             return True
     return False
+
+
+def _cell_bounds(doc_min, doc_max) -> tuple[int, int]:
+    """(lo, span) of one docpart cell, from its segment rows' doc ranges.
+    This is THE size every per-query dense accumulator in ``score_cell``
+    allocates — the docpart memory contract is that it is bounded by the
+    (generation, salt) cell's docID span, never the corpus docID space
+    (the per-query paths allocate O(n_docs); see wand.py TAAT note).
+    Kept as a module-level helper so the layout test can measure peak
+    accumulator size over a real index through the same code path."""
+    lo = int(min(doc_min))
+    hi = int(max(doc_max))
+    return lo, hi - lo + 1
 
 
 PHRASE_MAX_CANDIDATES = 1_000_000

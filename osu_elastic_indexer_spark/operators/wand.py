@@ -273,6 +273,14 @@ def topk_from_dense(sums: np.ndarray, k: int) -> list[tuple[float, int]]:
 # safe inside a 4 GB worker alongside the O(n_docs) norms array it already
 # holds. Beyond the cap, per-term decode volume makes block-max skipping
 # the only sub-linear option.
+#
+# The same per-query O(n_docs) dense-accumulator envelope applies to the
+# bool per-query path (boolquery._bool_runner: float64 sums + int16
+# must-count + bool exclusion ~ 11 bytes/doc x concurrent query groups).
+# Large batches on either path belong on the docpart variants, whose
+# accumulators are sized to the (generation, salt) CELL span only
+# (boolquery._cell_bounds; pinned by
+# tests/test_boolquery.py::test_docpart_accumulators_are_cell_sized).
 TAAT_MAX_POSTINGS = 10_000_000
 
 

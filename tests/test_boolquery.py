@@ -394,6 +394,71 @@ def test_phrase_candidate_guard(spark, bq_index, bq_oracle, corpus_path):
         )
 
 
+def test_docpart_accumulators_are_cell_sized(spark, corpus_path, tmp_path):
+    """Docpart memory honesty (VERDICT r4 #6): score_cell's per-query
+    dense accumulators are allocated at exactly ``_cell_bounds(...)[1]``
+    elements — measure that quantity over every (generation, salt) cell of
+    a REAL built index through the same helper, and pin peak accumulator
+    size to the salted-grid cell span (a fraction of the corpus docID
+    span), never the corpus. The per-query paths, by contrast, are
+    O(n_docs) by design (wand.py TAAT note). salt_group_cap forces a
+    multi-cell grid at test-corpus scale (production sizes it off
+    id_span/partitions)."""
+    from osu_elastic_indexer_spark.operators.boolquery import (
+        _cell_bounds,
+        bool_topk,
+        bool_topk_docpart,
+    )
+    from osu_elastic_indexer_spark.sources.catalog import committed_gen_paths
+
+    cat = Catalog(str(tmp_path / "salted_idx"))
+    build_index(
+        spark, spark.read.parquet(corpus_path), cat, "v1", salt_group_cap=200
+    )
+    idx_dir = cat.index_dir("v1")
+    # the salted index must still answer identically to the per-query path
+    spec = [(0, {"must": "w00100", "should": "the"})]
+    a = [tuple(r) for r in bool_topk(spark, idx_dir, spec, 10).collect()]
+    b = [tuple(r) for r in bool_topk_docpart(spark, idx_dir, spec, 10).collect()]
+    assert a == b and a
+    segs = (
+        spark.read.parquet(*committed_gen_paths(idx_dir, "segments"))
+        .select("generation", "salt", "doc_min", "doc_max")
+        .collect()
+    )
+    cells: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for r in segs:
+        cells.setdefault((r.generation, r.salt), []).append(
+            (r.doc_min, r.doc_max)
+        )
+    assert len(cells) > 1, "need a multi-cell grid for the bound to bite"
+    corpus_lo = min(dm for rows in cells.values() for dm, _ in rows)
+    corpus_hi = max(dx for rows in cells.values() for _, dx in rows)
+    corpus_span = corpus_hi - corpus_lo + 1
+    spans = {
+        cell: _cell_bounds([dm for dm, _ in rows], [dx for _, dx in rows])[1]
+        for cell, rows in cells.items()
+    }
+    peak = max(spans.values())
+    n_salts = len({salt for _gen, salt in cells})
+    # fixed docID grid: each salt owns ~corpus_span/n_salts ids; allow 2x
+    # slack for gap rounding at cell edges
+    assert peak <= 2 * corpus_span / n_salts, (peak, corpus_span, n_salts)
+    assert peak < corpus_span, "accumulator must never span the corpus"
+    # salt cells cover DISJOINT docID intervals (the union-of-topk
+    # correctness argument AND why per-cell allocation sums to ~one
+    # corpus-width total across the whole job, not n_cells x corpus)
+    per_salt = {}
+    for (gen, salt), rows in cells.items():
+        lo, span = _cell_bounds([dm for dm, _ in rows], [dx for _, dx in rows])
+        per_salt.setdefault(salt, []).append((lo, lo + span - 1))
+    salts = sorted(per_salt)
+    for a, b in zip(salts, salts[1:]):
+        assert max(hi for _lo, hi in per_salt[a]) < min(
+            lo for lo, _hi in per_salt[b]
+        ), f"salt cells {a} and {b} overlap"
+
+
 def test_matches_phrase_slop_semantics():
     """ES match_phrase slop contract, pinned case by case: slop=0 is exact
     adjacency, a one-token gap needs slop>=1, a transposition of adjacent
