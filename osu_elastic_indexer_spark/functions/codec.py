@@ -257,3 +257,119 @@ def merge_encoded(parts: list[dict], norms: np.ndarray | None = None) -> dict:
     tfs = np.concatenate([d[1] for d in decoded])
     dls = norms[docs] if norms is not None else None
     return encode_postings(docs, tfs, dls)
+
+
+# ---------------------------------------------------------------------------
+# OPTIONAL positions sidecar (v2 layout spike — docs/positional-postings.md)
+# ---------------------------------------------------------------------------
+
+
+def encode_positions(positions: np.ndarray, tfs: np.ndarray) -> dict:
+    """Encode the positions sidecar for ONE term's posting list.
+
+    ``positions``: flat int64 — the concatenation, in posting (doc) order,
+    of each doc's strictly-increasing token positions for this term.
+    ``tfs``: per-posting position counts (the SAME tf array
+    ``encode_postings`` stores — the sidecar adds no length array; decode
+    splits the flat stream by tf).
+
+    Layout mirrors the docs blob: within-POSTING delta (each posting's
+    first position stored +1 so every gap is >= 1 and 0 stays a corruption
+    canary), one varbyte stream, plus byte offsets at every
+    BLOCK-postings boundary (the same 128-posting blocks as the doc/tf
+    blobs) so a block-max WAND skip also skips its positions' decode cost.
+
+    Returns {"pos_blob": bytes, "pos_offs": int64[n_blocks+1]}.
+    """
+    tfs = np.asarray(tfs, dtype=np.int64)
+    positions = np.asarray(positions, dtype=np.int64)
+    n = positions.size
+    n_post = tfs.size
+    assert int(tfs.sum()) == n, "positions stream must match tf counts"
+    if n == 0:
+        return {
+            "pos_blob": b"",
+            "pos_offs": np.zeros(1, dtype=np.int64),
+        }
+    p_starts = np.zeros(n_post, dtype=np.int64)
+    np.cumsum(tfs[:-1], out=p_starts[1:])
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = np.uint64(positions[0] + 1)
+    if n > 1:
+        gaps[1:] = np.diff(positions).astype(np.uint64)
+    gaps[p_starts] = (positions[p_starts] + 1).astype(np.uint64)
+
+    n_blocks = (n_post + BLOCK - 1) // BLOCK
+    block_post_starts = np.arange(0, n_post, BLOCK, dtype=np.int64)
+    block_val_starts = p_starts[block_post_starts]
+    prefix = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(varbyte_lengths(gaps), out=prefix[1:])
+    pos_offs = np.empty(n_blocks + 1, dtype=np.int64)
+    pos_offs[:-1] = prefix[block_val_starts]
+    pos_offs[-1] = prefix[n]
+    return {"pos_blob": varbyte_encode(gaps), "pos_offs": pos_offs}
+
+
+def decode_positions(pos_blob: bytes | memoryview, tfs: np.ndarray) -> np.ndarray:
+    """Decode a full positions sidecar -> flat int64 positions (same
+    concatenated order encode_positions consumed). O(list) vectorized:
+    one varbyte decode, one cumsum, per-posting restart bases subtracted
+    via np.repeat — the decode_postings pattern with posting-granular
+    restarts instead of block-granular. Split per posting with
+    ``np.split(flat, np.cumsum(tfs)[:-1])`` when needed."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    n = int(tfs.sum())
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    gaps = varbyte_decode(pos_blob).astype(np.int64)
+    assert gaps.size == n, "positions blob disagrees with tf counts"
+    p_starts = np.zeros(tfs.size, dtype=np.int64)
+    np.cumsum(tfs[:-1], out=p_starts[1:])
+    cs = np.cumsum(gaps)
+    base = np.zeros(tfs.size, dtype=np.int64)
+    base[1:] = cs[p_starts[1:] - 1]
+    return cs - np.repeat(base, tfs) - 1
+
+
+def decode_positions_block(
+    enc: dict, tfs_block: np.ndarray, b: int
+) -> np.ndarray:
+    """Decode block b's positions only -> flat int64 for that block's
+    postings (``tfs_block`` = the tf values of block b, e.g. from
+    decode_block). O(block positions), not O(list) — the offsets make a
+    skipped block skip its positions decode exactly like doc/tf blobs."""
+    po = enc["pos_offs"]
+    return decode_positions(
+        memoryview(enc["pos_blob"])[int(po[b]) : int(po[b + 1])], tfs_block
+    )
+
+
+def merge_positions(parts: list[dict], parts_tfs: list[np.ndarray]) -> dict:
+    """Merge positions sidecars of ONE term across disjoint ascending
+    docID ranges (the merge_encoded contract). Per-posting delta restarts
+    make each posting's byte run self-contained, so the merged stream is
+    the plain blob concatenation — only the block-boundary offsets need
+    recomputing (block boundaries move when part posting counts aren't
+    BLOCK-aligned), which this does from the parts' varbyte streams
+    without re-encoding a single value."""
+    tfs_all = np.concatenate(
+        [np.asarray(t, dtype=np.int64) for t in parts_tfs]
+    ) if parts_tfs else np.empty(0, dtype=np.int64)
+    blob = b"".join(bytes(p["pos_blob"]) for p in parts)
+    n_post = tfs_all.size
+    n = int(tfs_all.sum())
+    if n == 0:
+        return {"pos_blob": b"", "pos_offs": np.zeros(1, dtype=np.int64)}
+    raw = np.frombuffer(blob, dtype=np.uint8)
+    ends = np.flatnonzero((raw & 0x80) == 0)  # one end per encoded value
+    assert ends.size == n, "merged positions blob disagrees with tf counts"
+    p_starts = np.zeros(n_post, dtype=np.int64)
+    np.cumsum(tfs_all[:-1], out=p_starts[1:])
+    val_starts = np.zeros(n, dtype=np.int64)
+    val_starts[1:] = ends[:-1] + 1
+    n_blocks = (n_post + BLOCK - 1) // BLOCK
+    block_post_starts = np.arange(0, n_post, BLOCK, dtype=np.int64)
+    pos_offs = np.empty(n_blocks + 1, dtype=np.int64)
+    pos_offs[:-1] = val_starts[p_starts[block_post_starts]]
+    pos_offs[-1] = raw.size
+    return {"pos_blob": blob, "pos_offs": pos_offs}

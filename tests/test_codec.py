@@ -219,3 +219,139 @@ def test_vectorized_merge_bit_identical_to_encode_postings(tmp_path):
             "block_max_tf", "block_min_dl",
         ):
             assert g[k] == enc[k].tolist(), (r, k)
+
+
+# ---------------------------------------------------------------------------
+# positions sidecar (v2 spike — docs/positional-postings.md)
+# ---------------------------------------------------------------------------
+
+
+def _random_positions(draw_lists):
+    """[(sorted unique positions per posting)] -> (flat, tfs)."""
+    flat = np.concatenate(
+        [np.asarray(p, dtype=np.int64) for p in draw_lists]
+    ) if draw_lists else np.empty(0, dtype=np.int64)
+    tfs = np.asarray([len(p) for p in draw_lists], dtype=np.int64)
+    return flat, tfs
+
+
+@given(
+    lists=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=100_000),
+            min_size=1,
+            max_size=12,
+            unique=True,
+        ).map(sorted),
+        min_size=1,
+        max_size=300,
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_positions_roundtrip(lists):
+    from osu_elastic_indexer_spark.functions.codec import (
+        decode_positions,
+        encode_positions,
+    )
+
+    flat, tfs = _random_positions(lists)
+    enc = encode_positions(flat, tfs)
+    out = decode_positions(enc["pos_blob"], tfs)
+    assert np.array_equal(out, flat)
+    # per-posting split reconstructs each doc's list exactly
+    splits = np.split(out, np.cumsum(tfs)[:-1])
+    for got, want in zip(splits, lists):
+        assert got.tolist() == list(want)
+
+
+@given(
+    lists=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=5_000),
+            min_size=1,
+            max_size=6,
+            unique=True,
+        ).map(sorted),
+        min_size=1,
+        max_size=600,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_positions_block_decode_matches_full(lists):
+    """decode_positions_block(b) == the corresponding slice of the full
+    decode, for every block — the offsets really are block-addressable."""
+    from osu_elastic_indexer_spark.functions.codec import (
+        BLOCK,
+        decode_positions,
+        decode_positions_block,
+        encode_positions,
+    )
+
+    flat, tfs = _random_positions(lists)
+    enc = encode_positions(flat, tfs)
+    full = decode_positions(enc["pos_blob"], tfs)
+    n_post = tfs.size
+    starts_vals = np.zeros(n_post, dtype=np.int64)
+    np.cumsum(tfs[:-1], out=starts_vals[1:])
+    n_blocks = len(enc["pos_offs"]) - 1
+    assert n_blocks == (n_post + BLOCK - 1) // BLOCK
+    for b in range(n_blocks):
+        p0, p1 = b * BLOCK, min((b + 1) * BLOCK, n_post)
+        v0 = int(starts_vals[p0])
+        v1 = int(starts_vals[p1 - 1] + tfs[p1 - 1])
+        got = decode_positions_block(enc, tfs[p0:p1], b)
+        assert np.array_equal(got, full[v0:v1]), b
+
+
+@given(
+    lists=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=9_999),
+            min_size=1,
+            max_size=5,
+            unique=True,
+        ).map(sorted),
+        min_size=2,
+        max_size=500,
+    ),
+    cuts=st.lists(st.integers(min_value=1, max_value=499), max_size=4),
+)
+@settings(max_examples=40, deadline=None)
+def test_merge_positions_bit_identical_to_whole_encode(lists, cuts):
+    """Splitting a posting list at arbitrary points, encoding each part,
+    and merge_positions-ing the parts must be BIT-IDENTICAL (blob and
+    offsets) to encoding the whole list at once — per-posting delta
+    restarts make the stream concatenation-safe."""
+    from osu_elastic_indexer_spark.functions.codec import (
+        encode_positions,
+        merge_positions,
+    )
+
+    flat, tfs = _random_positions(lists)
+    whole = encode_positions(flat, tfs)
+    bounds = sorted({c for c in cuts if c < tfs.size} | {0, tfs.size})
+    starts_vals = np.zeros(tfs.size + 1, dtype=np.int64)
+    np.cumsum(tfs, out=starts_vals[1:])
+    parts, parts_tfs = [], []
+    for a, b in zip(bounds, bounds[1:]):
+        parts_tfs.append(tfs[a:b])
+        parts.append(
+            encode_positions(flat[starts_vals[a] : starts_vals[b]], tfs[a:b])
+        )
+    merged = merge_positions(parts, parts_tfs)
+    assert bytes(merged["pos_blob"]) == bytes(whole["pos_blob"])
+    assert np.array_equal(merged["pos_offs"], whole["pos_offs"])
+
+
+def test_positions_empty():
+    from osu_elastic_indexer_spark.functions.codec import (
+        decode_positions,
+        encode_positions,
+        merge_positions,
+    )
+
+    enc = encode_positions(np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    assert enc["pos_blob"] == b"" and enc["pos_offs"].tolist() == [0]
+    assert decode_positions(b"", np.empty(0, dtype=np.int64)).size == 0
+    m = merge_positions([], [])
+    assert m["pos_blob"] == b"" and m["pos_offs"].tolist() == [0]
