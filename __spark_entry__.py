@@ -860,6 +860,64 @@ def q_mm_metadata(spark, sf_dir):
     )
 
 
+def q_mm_audio_features(spark, sf_dir):
+    """REAL multimodal decode path: deterministic 16-bit mono PCM WAVs
+    (s_i = ((doc_id*31 + i*17) mod 65536) - 32768, n = 800 + 50*doc_id,
+    8 kHz) are synthesized per doc inside an Arrow batch, then decoded by
+    the stdlib-wave kernel (functions/multimodal.decode_audio) and
+    feature-extracted via mapInPandas. The DuckDB twin re-derives the
+    identical integer samples with generate_series — integer generation
+    makes the decode round-trip exactly reproducible in SQL."""
+    from osu_elastic_indexer_spark.functions.multimodal import (
+        extract_audio_features,
+    )
+
+    def gen_wavs(batches):
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 800 + 50 * did
+                i = np.arange(n, dtype=np.int64)
+                s = ((did * 31 + i * 17) % 65536 - 32768).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(s.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 5)
+        .select("doc_id")
+        .mapInPandas(gen_wavs, "doc_id bigint, payload binary")
+    )
+    return (
+        extract_audio_features(d, "doc_id", "payload")
+        .select(
+            F.col("doc_key").cast("bigint").alias("doc_id"),
+            "sample_rate",
+            "channels",
+            "n_samples",
+            F.round("duration_s", 4).alias("duration_s"),
+            F.round("rms", 4).alias("rms"),
+            F.round("peak", 4).alias("peak"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_mm_frames(spark, sf_dir):
     """Multimodal frame-sampling plumbing (deterministic byte-slice fake)."""
     from osu_elastic_indexer_spark.functions.multimodal import sample_frames
@@ -1328,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ta_token_counts": q_ta_token_counts,
         "ta_fingerprint": q_ta_fingerprint,
         "mm_metadata": q_mm_metadata,
+        "mm_audio_features": q_mm_audio_features,
         "mm_frames": q_mm_frames,
     }
 
@@ -1675,6 +1734,25 @@ SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
        (1 + (CAST(('0x' || substring(sha256(text), 1, 2)) AS INT) % 64) * 16)::INT AS fake_width,
        (1 + (CAST(('0x' || substring(sha256(text), 3, 2)) AS INT) % 64) * 16)::INT AS fake_height
 FROM documents WHERE doc_id < 50 ORDER BY doc_id
+""",
+        "mm_audio_features": """
+WITH d AS (SELECT doc_id, 800 + 50 * doc_id AS n FROM documents WHERE doc_id < 5),
+samp AS (
+  -- constant-bound series + filter: DuckDB's generate_series cannot take
+  -- a lateral column bound; max n here is 800 + 50*4 = 1000
+  SELECT d.doc_id, d.n,
+         (((d.doc_id * 31 + t.i * 17) % 65536) - 32768) / 32768.0 AS s
+  FROM d, generate_series(0, 999) t(i)
+  WHERE t.i < d.n
+)
+SELECT doc_id,
+       8000 AS sample_rate,
+       1 AS channels,
+       CAST(n AS BIGINT) AS n_samples,
+       ROUND(n / 8000.0, 4) AS duration_s,
+       ROUND(sqrt(avg(s * s)), 4) AS rms,
+       ROUND(max(abs(s)), 4) AS peak
+FROM samp GROUP BY doc_id, n ORDER BY doc_id
 """,
         "mm_frames": """
 WITH d AS (

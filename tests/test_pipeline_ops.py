@@ -449,3 +449,90 @@ def test_ivf_trained_quantizer_through_index(spark, tmp_path):
     r_seed, r_trained = recall(seed_idx), recall(trained_idx)
     assert r_trained >= r_seed, (r_trained, r_seed)
     assert r_trained >= 0.9  # planted cluster shares the query's cell
+
+
+def _mk_wav(doc_id: int, n: int = 800, sr: int = 8000) -> bytes:
+    """Deterministic 16-bit mono PCM: s_i = ((doc_id*31 + i*17) % 65536)
+    - 32768 — integer math a SQL twin can reproduce exactly."""
+    import io
+    import wave
+
+    import numpy as np
+
+    i = np.arange(n, dtype=np.int64)
+    s = ((doc_id * 31 + i * 17) % 65536 - 32768).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(s.tobytes())
+    return buf.getvalue()
+
+
+def _mk_ppm(seed: int, w: int = 8, h: int = 6) -> bytes:
+    import numpy as np
+
+    px = ((np.arange(w * h * 3, dtype=np.int64) * 37 + seed) % 256).astype(
+        np.uint8
+    )
+    return b"P6\n# test raster\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def test_multimodal_real_wav_decode(spark):
+    """REAL audio kernel end-to-end through the Spark plumbing: stdlib
+    wave decode inside mapInPandas, features cross-checked against direct
+    numpy on the same bytes."""
+    import numpy as np
+
+    from osu_elastic_indexer_spark.functions import multimodal
+
+    payloads = {str(d): _mk_wav(d, n=800 + 50 * d) for d in range(4)}
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()], "k string, payload binary"
+    )
+    got = {
+        r.doc_key: r
+        for r in multimodal.extract_audio_features(df, "k", "payload").collect()
+    }
+    assert set(got) == set(payloads)
+    for k, b in payloads.items():
+        d = multimodal.decode_audio(b)
+        assert d["sample_rate"] == 8000 and d["channels"] == 1
+        s = d["samples"].astype(np.float64) / 32768.0
+        r = got[k]
+        assert r.n_samples == 800 + 50 * int(k)
+        assert r.duration_s == pytest.approx(r.n_samples / 8000.0)
+        assert r.rms == pytest.approx(float(np.sqrt((s * s).mean())))
+        assert r.peak == pytest.approx(float(np.abs(s).max()))
+
+
+def test_multimodal_real_ppm_decode(spark):
+    """REAL image kernel: netpbm P6 parse (with a header comment) through
+    mapInPandas; P5 grayscale and 16-bit maxval also decode."""
+    import numpy as np
+
+    from osu_elastic_indexer_spark.functions import multimodal
+
+    payloads = {str(s): _mk_ppm(s) for s in range(3)}
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()], "k string, payload binary"
+    )
+    got = {
+        r.doc_key: r
+        for r in multimodal.extract_image_meta(df, "k", "payload").collect()
+    }
+    for k, b in payloads.items():
+        w, h, mv, px = multimodal.decode_image(b)
+        assert (w, h, mv, px.shape) == (8, 6, 255, (6, 8, 3))
+        r = got[k]
+        assert (r.width, r.height, r.maxval, r.channels) == (8, 6, 255, 3)
+        assert r.mean_luma == pytest.approx(px.astype(np.float64).mean() / 255)
+    # P5 grayscale
+    g = b"P5\n4 2\n255\n" + bytes(range(8))
+    w, h, mv, px = multimodal.decode_image(g)
+    assert (w, h, px.shape) == (4, 2, (2, 4)) and px.tolist()[0] == [0, 1, 2, 3]
+    # 16-bit maxval -> big-endian uint16 samples
+    hdr16 = b"P5\n2 1\n65535\n" + (1000).to_bytes(2, "big") + (2).to_bytes(2, "big")
+    _w, _h, mv16, px16 = multimodal.decode_image(hdr16)
+    assert mv16 == 65535 and px16.tolist() == [[1000, 2]]
