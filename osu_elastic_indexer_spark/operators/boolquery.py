@@ -640,7 +640,9 @@ def prefix_topk(
                 f"({toks}); ES prefix queries match a single term — pass "
                 "one token (use a bool/phrase query for multi-term input)"
             )
-        terms = lookup_terms_by_prefix(index_dir, toks[0], max_expansions)
+        terms = lookup_terms_by_prefix(
+            index_dir, toks[0], max_expansions, spark=spark
+        )
         if terms:
             expanded.append((qid, " ".join(terms)))
     if not expanded:

@@ -19,12 +19,15 @@ cheap "is head" test: term_id < n_head).
 
 Filesystem note: ``lookup_term_info`` / ``lookup_terms_by_prefix`` read the
 index parquet with DRIVER-LOCAL pyarrow (footer-stats seeks — the 15 s
-Catalyst-planning fix), so every query path that resolves terms requires the
-index directory to be visible to the driver as a local or shared-filesystem
-path (NFS/FUSE mount of the object store — the deployment shape the serving
-tier already assumes). An index reachable only through a Hadoop-only URI
-(hdfs://) needs the legacy Spark-scan lookup; none of our supported layouts
-do.
+Catalyst-planning fix) when the index directory is visible to the driver as
+a local or shared-filesystem path (NFS/FUSE mount of the object store — the
+deployment shape the serving tier already assumes). For an index reachable
+only through a Hadoop-filesystem URI (hdfs:// / s3a:// ...), both functions
+FALL BACK to a Spark scan automatically — the probe rides a broadcast join
+(never an ``isin`` literal, whose Catalyst planning cost scales with the
+term list), so the fallback stays O(1)-planning at any batch vocabulary.
+The serving tier (no SparkSession by design) raises a clear error on such
+URIs instead.
 """
 
 from __future__ import annotations
@@ -120,6 +123,32 @@ def fold_delta_rows(rows) -> dict[str, tuple[int, int]]:
     return out
 
 
+def _driver_visible(paths) -> bool:
+    """True when every path is a plain local/shared-FS path driver-local
+    pyarrow can open (no scheme, or file://)."""
+    from urllib.parse import urlparse
+
+    return all(urlparse(str(p)).scheme in ("", "file") for p in paths)
+
+
+def _lookup_term_info_spark(
+    spark, paths, want: list[str]
+) -> dict[str, tuple[int, int]]:
+    """Spark-scan lookup for Hadoop-FS-only index locations: the probe
+    list joins as a BROADCAST dataframe (O(1) Catalyst planning at any
+    vocabulary size — the isin-literal form this path originally used
+    planned in O(|terms|), 15 s at a 25k-term batch), delta rows fold
+    through the same fold_delta_rows as the pyarrow seek."""
+    probe = spark.createDataFrame([(t,) for t in want], "term string")
+    rows = (
+        spark.read.parquet(*paths)
+        .join(F.broadcast(probe), "term")
+        .select("term", "term_id", "df")
+        .collect()
+    )
+    return fold_delta_rows((r.term, r.term_id, r.df) for r in rows)
+
+
 def lookup_term_info(
     spark, index_dir: str, terms: list[str]
 ) -> dict[str, tuple[int, int]]:
@@ -134,8 +163,9 @@ def lookup_term_info(
     scales with the LIST (a 25k-term incremental batch vocabulary took
     ~15 s of pure planning at sf0.1 — the scan itself is milliseconds).
     Falls back to the primary dictionary when the sorted projection is
-    absent (legacy layout; no pruning there, the stats never match).
-    ``spark`` is unused, kept for call-site compatibility."""
+    absent (legacy layout; no pruning there, the stats never match), and
+    to a broadcast-probe Spark scan when the index lives on a
+    Hadoop-filesystem URI the driver's pyarrow can't open (module doc)."""
     import bisect
 
     import pyarrow as pa
@@ -153,6 +183,14 @@ def lookup_term_info(
     if not paths:
         return {}
     want = sorted(set(terms))
+    if not _driver_visible(paths):
+        if spark is None:
+            raise RuntimeError(
+                f"index at {index_dir} is not driver-visible (Hadoop-FS "
+                "URI) and no SparkSession was supplied for the scan "
+                "fallback — mount the index or pass spark"
+            )
+        return _lookup_term_info_spark(spark, paths, want)
     want_arr = pa.array(want, pa.string())
 
     def _s(v):  # parquet string stats may surface as bytes
@@ -198,14 +236,20 @@ def lookup_term_info(
 
 
 def lookup_terms_by_prefix(
-    index_dir: str, prefix: str, max_expansions: int | None = None
+    index_dir: str,
+    prefix: str,
+    max_expansions: int | None = None,
+    spark=None,
 ) -> list[str]:
     """ES prefix-query term expansion: LIVE terms starting with ``prefix``,
     term-asc, capped at ``max_expansions`` (the deterministic analog of
     ES's index-order rewrite cap). Same pyarrow footer-stats seek as
     ``lookup_term_info``, but with a RANGE predicate: only row groups whose
     [min, max] intersects [prefix, successor(prefix)) are read. Delta rows
-    fold first, so a fully-deleted term (df summed to 0) never expands."""
+    fold first, so a fully-deleted term (df summed to 0) never expands.
+    On a non-driver-visible (Hadoop-FS URI) index the expansion falls back
+    to a Spark scan with the same startswith predicate (pushed to parquet)
+    when ``spark`` is supplied, else raises (module doc)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -220,6 +264,22 @@ def lookup_terms_by_prefix(
     )
     if not paths:
         return []
+    if not _driver_visible(paths):
+        if spark is None:
+            raise RuntimeError(
+                f"index at {index_dir} is not driver-visible (Hadoop-FS "
+                "URI) and no SparkSession was supplied for the scan "
+                "fallback — mount the index or pass spark"
+            )
+        rows = (
+            spark.read.parquet(*paths)
+            .filter(F.col("term").startswith(prefix))
+            .select("term", "term_id", "df")
+            .collect()
+        )
+        folded = fold_delta_rows((r.term, r.term_id, r.df) for r in rows)
+        live = sorted(t for t, (_tid, df) in folded.items() if df > 0)
+        return live[:max_expansions] if max_expansions is not None else live
     # successor string: smallest string greater than every prefix-match
     hi = prefix[:-1] + chr(ord(prefix[-1]) + 1) if ord(prefix[-1]) < 0x10FFFF else None
 
