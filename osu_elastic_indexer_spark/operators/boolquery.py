@@ -190,12 +190,28 @@ def _check_spec(spec: dict, s: dict[str, list[str]]) -> dict[str, tuple]:
     return fr
 
 
-def _query_plumbing(spark, index_dir: str, all_terms: list[str]):
+def index_has_positions(index_dir: str) -> bool:
+    """True when the committed manifest records the v2 positional layout
+    (build_index(positions=True) — docs/positional-postings.md)."""
+    from ..sources.catalog import read_index_manifest
+
+    m = read_index_manifest(index_dir)
+    return bool(m and m.get("positions"))
+
+
+def _query_plumbing(
+    spark, index_dir: str, all_terms: list[str], with_positions: bool = False
+):
     """Shared driver-side setup: index state + dictionary lookup + segment
     scan pruned to the batch vocabulary. Returns None when nothing can
-    match (no dictionary hits / no committed segments)."""
+    match (no dictionary hits / no committed segments).
+
+    ``with_positions=False`` prunes the v2 positional sidecar columns (if
+    the index has them) so positions-free queries never ship position
+    bytes through the scan/shuffle; True keeps them (positional phrase)."""
     from ..session import ship_package
     from ..sources.catalog import assert_index_readable, committed_gen_paths
+    from .build import V1_SEGMENT_COLS
     from .dictionary import lookup_term_info
 
     ship_package(spark)
@@ -206,7 +222,10 @@ def _query_plumbing(spark, index_dir: str, all_terms: list[str]):
     seg_paths = committed_gen_paths(index_dir, "segments")
     if not tids or not seg_paths:
         return None
-    segs = spark.read.parquet(*seg_paths).filter(F.col("term_id").isin(tids))
+    segs = spark.read.parquet(*seg_paths)
+    if not with_positions:
+        segs = segs.select(*V1_SEGMENT_COLS)
+    segs = segs.filter(F.col("term_id").isin(tids))
     idf = {
         t: math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
         for t, (_tid, df) in term_info.items()
@@ -664,42 +683,42 @@ def _contains_phrase(tokens: list[str], phrase: list[str]) -> bool:
     )
 
 
-def _matches_phrase(tokens: list[str], phrase: list[str], slop: int = 0) -> bool:
-    """Lucene/ES sloppy-phrase match criterion (SloppyPhraseScorer): the
-    document matches iff one occurrence of each phrase slot can be chosen,
-    at pairwise-DISTINCT token positions, such that the slop-adjusted
-    positions (doc_pos - slot_index) span at most ``slop``. slop=0
-    degenerates to exact adjacency; a transposition of two adjacent terms
-    costs 2, exactly the ES ``match_phrase`` slop contract.
+def _matches_occ(occ_by_slot: list, slop: int) -> bool:
+    """Lucene/ES sloppy-phrase match criterion (SloppyPhraseScorer) over
+    per-SLOT occurrence lists: matches iff one occurrence per slot can be
+    chosen, at pairwise-DISTINCT positions, whose slop-adjusted values
+    (pos - slot_index) span at most ``slop``. Both verify tiers — token
+    re-tokenization (``_matches_phrase``) and the positional index path —
+    route through this one function, so their semantics can never diverge.
 
     Cost: O(distinct adjusted values × phrase_len × window occupancy) per
-    doc — phrase_len is tiny and this only ever runs on verify candidates
-    (bounded by ``max_candidates``), never the corpus."""
-    if slop <= 0:
-        return _contains_phrase(tokens, phrase)
-    m = len(phrase)
-    if m == 0:
+    doc — phrase_len is tiny and this only ever runs on candidates."""
+    m = len(occ_by_slot)
+    if m == 0 or any(len(o) == 0 for o in occ_by_slot):
         return False
-    occ: dict[str, list[int]] = {}
-    for t in phrase:
-        if t not in occ:
-            occ[t] = [i for i, tok in enumerate(tokens) if tok == t]
-            if not occ[t]:
+    if slop <= 0:
+        # exact adjacency: all adjusted equal — intersect the adjusted sets
+        # (positions are automatically distinct: p = lo + slot)
+        common = set(int(p) for p in occ_by_slot[0])
+        for s in range(1, m):
+            common &= {int(p) - s for p in occ_by_slot[s]}
+            if not common:
                 return False
+        return True
     # every feasible window [lo, lo+slop] has its min at some slot's
     # adjusted value, so enumerating those lows is exhaustive
     lows = sorted(
-        {p - s for s, t in enumerate(phrase) for p in occ[t]}
+        {int(p) - s for s, occ in enumerate(occ_by_slot) for p in occ}
     )
     for lo in lows:
         allowed = [
-            [p for p in occ[t] if lo <= p - s <= lo + slop]
-            for s, t in enumerate(phrase)
+            [int(p) for p in occ if lo <= int(p) - s <= lo + slop]
+            for s, occ in enumerate(occ_by_slot)
         ]
         if any(not a for a in allowed):
             continue
-        # injective slot -> doc-position assignment (Kuhn augmenting
-        # paths; only slots sharing a term can ever contend)
+        # injective slot -> position assignment (Kuhn augmenting paths;
+        # only slots sharing a term can ever contend)
         taken: dict[int, int] = {}
 
         def assign(slot: int, seen: set[int]) -> bool:
@@ -717,6 +736,23 @@ def _matches_phrase(tokens: list[str], phrase: list[str], slop: int = 0) -> bool
     return False
 
 
+def _matches_phrase(tokens: list[str], phrase: list[str], slop: int = 0) -> bool:
+    """Sloppy-phrase match on a token stream: build per-slot occurrence
+    lists, delegate to ``_matches_occ`` (the shared criterion). slop=0
+    keeps the fast windowed scan."""
+    if slop <= 0:
+        return _contains_phrase(tokens, phrase)
+    if not phrase:
+        return False
+    occ: dict[str, list[int]] = {}
+    for t in phrase:
+        if t not in occ:
+            occ[t] = [i for i, tok in enumerate(tokens) if tok == t]
+            if not occ[t]:
+                return False
+    return _matches_occ([occ[t] for t in phrase], slop)
+
+
 def _cell_bounds(doc_min, doc_max) -> tuple[int, int]:
     """(lo, span) of one docpart cell, from its segment rows' doc ranges.
     This is THE size every per-query dense accumulator in ``score_cell``
@@ -730,19 +766,213 @@ def _cell_bounds(doc_min, doc_max) -> tuple[int, int]:
     return lo, hi - lo + 1
 
 
+def _row_to_enc_pos(row) -> dict:
+    enc = _row_to_enc(row)
+    enc["pos_blob"] = bytes(row["pos_blob"])
+    enc["pos_offs"] = np.asarray(row["pos_offs"], dtype=np.int64)
+    return enc
+
+
+def _phrase_runner(state: dict, k: int, phrases_b: dict[int, list[str]],
+                   slop: int, idf_by_term: dict[str, float]):
+    """applyInPandas body for one phrase query's POSITIONAL segment rows:
+    decode docs+tfs+positions per term, score BM25 over the unique terms
+    (sorted-term fold — bit-identical to bool_topk/the source-verify
+    path), keep docs containing every term, then verify the phrase on the
+    decoded position arrays: a vectorized adjusted-intersection for
+    slop=0, the shared ``_matches_occ`` criterion per candidate for
+    slop>0. No source scan, no tokenizer — the index answers alone.
+
+    Memory: per-query dense accumulators sized to the corpus docID span
+    (the bool per-query envelope, wand.py TAAT note) plus the decoded
+    positions of the phrase's terms (∝ their posting volume)."""
+    fwd_path = state["fwd_path"]
+    tomb_path = state["tomb_path"]
+    seq = state["seq"]
+    avgdl = state["avgdl"]
+    kk = int(k)
+
+    def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        from osu_elastic_indexer_spark.operators.state import (
+            load_norms,
+            load_tombstones,
+        )
+
+        empty = pd.DataFrame(
+            {"query_id": [], "rank": [], "doc_id": [], "score": []}
+        )
+        norms = load_norms(fwd_path, seq)
+        tomb = load_tombstones(tomb_path, seq)
+        qid = int(pdf["query_id"].iloc[0])
+        phrase = phrases_b.get(qid, [])
+        uniq = sorted(set(phrase))
+        if not phrase:
+            return empty
+        cols = {c: pdf[c].to_numpy() for c in pdf.columns}
+        rows_by_term: dict[str, list] = {}
+        for i in range(len(pdf)):
+            rows_by_term.setdefault(cols["term"][i], []).append(
+                (int(cols["doc_min"][i]),
+                 _row_to_enc_pos({c: cols[c][i] for c in pdf.columns}))
+            )
+        if len(rows_by_term) < len(uniq):
+            return empty  # a phrase term has no postings at all
+        sums = np.zeros(norms.size, dtype=np.float64)
+        must_cnt = np.zeros(norms.size, dtype=np.int16)
+        decoded: dict[str, tuple] = {}
+        for t in uniq:  # sorted-term fold (scores == bool/source path)
+            rows = rows_by_term[t]
+            rows.sort(key=lambda r: r[0])
+            d_parts, tf_parts, pos_parts = [], [], []
+            for _dm, enc in rows:
+                d_i, tf_i = codec.decode_postings(enc)
+                d_parts.append(d_i)
+                tf_parts.append(tf_i)
+                pos_parts.append(codec.decode_positions(enc["pos_blob"], tf_i))
+            d = np.concatenate(d_parts)
+            tf = np.concatenate(tf_parts)
+            poss = np.concatenate(pos_parts)
+            dl = norms[d].astype(np.float64)
+            tfn = tf.astype(np.float64) / (
+                tf + K1 * ((1.0 - B) + (B * dl) / avgdl)
+            )
+            sums[d] += idf_by_term[t] * tfn
+            must_cnt[d] += 1
+            pstart = np.zeros(d.size + 1, dtype=np.int64)
+            np.cumsum(tf, out=pstart[1:])
+            decoded[t] = (d, tf, poss, pstart)
+        sums[must_cnt < len(uniq)] = 0.0
+        if tomb is not None and tomb.size:
+            sums[tomb[tomb < sums.size]] = 0.0
+        eligible = np.flatnonzero(sums > 0.0)
+        if eligible.size == 0:
+            return empty
+        m = len(phrase)
+        if slop <= 0:
+            # vectorized exact adjacency: per slot, fuse (doc, pos-slot)
+            # keys for eligible docs and chain-intersect
+            span = (int(norms.max()) if norms.size else 1) + m + 2
+            if int(norms.size) * span < 2**62:
+                common = None
+                for s, t in enumerate(phrase):
+                    d, tf, poss, pstart = decoded[t]
+                    keep = np.isin(d, eligible)
+                    dpp = np.repeat(d[keep], tf[keep])
+                    pp = _gather_runs_np(poss, pstart[:-1][keep], tf[keep])
+                    fused = dpp * np.int64(span) + (pp - s + m)
+                    common = (
+                        fused
+                        if common is None
+                        else np.intersect1d(common, fused, assume_unique=False)
+                    )
+                    if common.size == 0:
+                        return empty
+                verified = np.unique(common // np.int64(span))
+            else:  # fused key would overflow: per-doc criterion
+                verified = _verify_per_doc(eligible, phrase, decoded, 0)
+        else:
+            verified = _verify_per_doc(eligible, phrase, decoded, slop)
+        if len(verified) == 0:
+            return empty
+        mask = np.zeros(norms.size, dtype=bool)
+        mask[np.asarray(verified, dtype=np.int64)] = True
+        sums[~mask] = 0.0
+        top = topk_from_dense(sums, kk)
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(top),
+                "rank": list(range(1, len(top) + 1)),
+                "doc_id": [dd for _s, dd in top],
+                "score": [s for s, _d in top],
+            }
+        )
+
+    return run_query
+
+
+def _gather_runs_np(
+    flat: np.ndarray, run_starts: np.ndarray, run_lens: np.ndarray
+) -> np.ndarray:
+    """Variable-length run gather (same as build._gather_runs; local copy
+    keeps the query path free of the build module on executors)."""
+    total = int(run_lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=flat.dtype)
+    new_prefix = np.zeros(run_lens.size, dtype=np.int64)
+    np.cumsum(run_lens[:-1], out=new_prefix[1:])
+    idx = np.repeat(run_starts, run_lens) + (
+        np.arange(total, dtype=np.int64) - np.repeat(new_prefix, run_lens)
+    )
+    return flat[idx]
+
+
+def _verify_per_doc(
+    eligible: np.ndarray, phrase: list[str], decoded: dict, slop: int
+) -> list[int]:
+    """Per-candidate positional check through the shared ``_matches_occ``
+    criterion — the slop path and the fused-key-overflow fallback."""
+    out = []
+    for doc in eligible:
+        occ = []
+        for s, t in enumerate(phrase):
+            d, _tf, poss, pstart = decoded[t]
+            j = int(np.searchsorted(d, doc))
+            occ.append(poss[pstart[j] : pstart[j + 1]])
+        if _matches_occ(occ, slop):
+            out.append(int(doc))
+    return out
+
+
+def _phrase_topk_positional(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    k: int,
+    slop: int,
+) -> DataFrame:
+    """Index-side phrase top-k over a POSITIONAL (v2) index: one
+    applyInPandas pass per query group decodes postings+positions, scores,
+    and verifies — no source table, no rewrite guard needed (work is
+    ∝ the phrase terms' posting volume, the same bound Lucene pays)."""
+    phrases = {int(qid): tokenize(text) for qid, text in queries}
+    all_terms = sorted({t for ph in phrases.values() for t in ph})
+    if not all_terms:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    plumb = _query_plumbing(spark, index_dir, all_terms, with_positions=True)
+    if plumb is None:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    segs, term_info, idf, state = plumb
+    qmap_rows = []
+    for qid, ph in phrases.items():
+        if not ph or any(t not in term_info for t in set(ph)):
+            continue  # a missing term can never match the conjunction
+        for t in sorted(set(ph)):
+            qmap_rows.append((qid, t, term_info[t][0]))
+    if not qmap_rows:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qmap = spark.createDataFrame(
+        qmap_rows, "query_id bigint, term string, term_id bigint"
+    )
+    grouped = segs.join(F.broadcast(qmap), "term_id")
+    return grouped.groupBy("query_id").applyInPandas(
+        _phrase_runner(state, k, phrases, slop, idf), RESULT_SCHEMA
+    )
+
+
 PHRASE_MAX_CANDIDATES = 1_000_000
 
 
 def phrase_topk(
     spark: SparkSession,
     index_dir: str,
-    source: DataFrame,
+    source: DataFrame | None,
     queries: list[tuple[int, str]],
     k: int = 10,
     docpart: bool = False,
     max_candidates: int = PHRASE_MAX_CANDIDATES,
     on_overflow: str = "error",
     slop: int = 0,
+    use_positions: str = "auto",
 ) -> DataFrame:
     """Batched exact phrase top-k (match-then-verify; module doc).
 
@@ -777,6 +1007,24 @@ def phrase_topk(
         raise ValueError("on_overflow must be 'error' or 'scan'")
     if slop < 0:
         raise ValueError("slop must be >= 0")
+    if use_positions not in ("auto", "never", "require"):
+        raise ValueError("use_positions must be 'auto', 'never', or 'require'")
+    # positional (v2) route: the index answers phrases alone — no source
+    # scan, no candidate guard (work ∝ the phrase terms' posting volume);
+    # per-query shape only (docpart batches keep the source verify)
+    if use_positions != "never" and not docpart and index_has_positions(index_dir):
+        return _phrase_topk_positional(spark, index_dir, queries, k, slop)
+    if use_positions == "require":
+        raise ValueError(
+            "use_positions='require' needs a positional index "
+            "(build_index(positions=True)) and the per-query shape "
+            "(docpart=False)"
+        )
+    if source is None:
+        raise ValueError(
+            "phrase_topk needs the source table for verification on a "
+            "positions-free index (or build with positions=True)"
+        )
     phrases = {qid: tokenize(text) for qid, text in queries}
     # phase 1: conjunctive candidates + scores = bool must-query over the
     # phrase's unique terms, with k large enough to keep EVERY candidate

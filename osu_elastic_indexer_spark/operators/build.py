@@ -56,6 +56,17 @@ SEGMENT_SCHEMA = (
     "block_max_tf array<bigint>, block_min_dl array<bigint>"
 )
 
+# positional (v2) variant — build_index(positions=True): pos_blob/pos_offs
+# follow the codec.encode_positions layout (within-posting deltas, byte
+# offsets on the same 128-posting block grid), docs/positional-postings.md
+SEGMENT_SCHEMA_POS = SEGMENT_SCHEMA + ", pos_blob binary, pos_offs array<bigint>"
+
+# column-pruning list for positions-FREE query paths: selecting exactly the
+# v1 columns keeps the (large) positions sidecar out of every scan, shuffle,
+# and applyInPandas transfer that doesn't need it — on a v1 index it's the
+# identity projection
+V1_SEGMENT_COLS = [p.strip().split()[0] for p in SEGMENT_SCHEMA.split(",")]
+
 _SEGMENT_PA_SCHEMA = pa.schema(
     [
         ("term_id", pa.int64()),
@@ -75,6 +86,10 @@ _SEGMENT_PA_SCHEMA = pa.schema(
         ("block_min_dl", pa.list_(pa.int64())),
     ]
 )
+
+_SEGMENT_PA_SCHEMA_POS = _SEGMENT_PA_SCHEMA.append(
+    pa.field("pos_blob", pa.binary())
+).append(pa.field("pos_offs", pa.list_(pa.int64())))
 
 STATS_SCHEMA = (
     "n_docs bigint, sum_dl bigint, avgdl double, dl_min bigint, "
@@ -171,12 +186,23 @@ FWD_STAGE_SCHEMA = (
     "terms array<string>, tfs array<bigint>, pid int, pos bigint"
 )
 
-def _fused_stage_pass():
+# positional variant (build_index(positions=True)): ``poss`` is the doc's
+# token positions FLAT in term-major order — for each entry of ``terms`` in
+# order, that term's ascending positions; run lengths are exactly ``tfs``
+# (sum == dl), so no extra offsets column is needed downstream
+FWD_STAGE_SCHEMA_POS = FWD_STAGE_SCHEMA + ", poss array<bigint>"
+
+def _fused_stage_pass(positions: bool = False):
     """mapInArrow body over input partitions of (url, warc_ts, html, __pid):
     byte-exact extraction + tokenization + per-doc combine in ONE python
     pass, emitting doc-GROUPED rows keyed by (pid, pos). EVERY row is
     emitted (zero-token docs with dl=0 and empty lists) so positions are
-    dense — the id projection later is offset[pid] + pos."""
+    dense — the id projection later is offset[pid] + pos.
+
+    ``positions=True`` additionally emits each term's token positions
+    (term-major flat, ascending within term — FWD_STAGE_SCHEMA_POS); the
+    per-doc dict pass already visits every token, so this costs one list
+    append per token, only when enabled."""
     from ..functions.textprep import extract_text, tokenize
 
     def run(batches):
@@ -191,46 +217,65 @@ def _fused_stage_pass():
             htmls = batch.column("html")
             dls: list[int] = []
             term_offsets = [0]
+            pos_offsets = [0]
             flat_terms: list[str] = []
             flat_tfs: list[int] = []
+            flat_poss: list[int] = []
             for i in range(n):
                 h = htmls[i].as_py()
                 toks = tokenize(extract_text(h))
                 dls.append(len(toks))
                 if toks:
-                    counts: dict[str, int] = {}
-                    for tk in toks:
-                        counts[tk] = counts.get(tk, 0) + 1
-                    flat_terms.extend(counts.keys())
-                    flat_tfs.extend(counts.values())
+                    if positions:
+                        plist: dict[str, list[int]] = {}
+                        for j, tk in enumerate(toks):
+                            plist.setdefault(tk, []).append(j)
+                        flat_terms.extend(plist.keys())
+                        for ps in plist.values():
+                            flat_tfs.append(len(ps))
+                            flat_poss.extend(ps)
+                    else:
+                        counts: dict[str, int] = {}
+                        for tk in toks:
+                            counts[tk] = counts.get(tk, 0) + 1
+                        flat_terms.extend(counts.keys())
+                        flat_tfs.extend(counts.values())
                 term_offsets.append(len(flat_terms))
-            yield pa.RecordBatch.from_arrays(
-                [
-                    batch.column("url"),
-                    batch.column("warc_ts"),
-                    pa.array(dls, pa.int64()),
-                    pa.ListArray.from_arrays(
-                        pa.array(term_offsets, pa.int32()),
-                        pa.array(flat_terms, pa.string()),
-                    ),
-                    pa.ListArray.from_arrays(
-                        pa.array(term_offsets, pa.int32()),
-                        pa.array(flat_tfs, pa.int64()),
-                    ),
-                    pa.array(np.full(n, pid, dtype=np.int32), pa.int32()),
-                    pa.array(pos, pa.int64()),
-                ],
-                schema=pa.schema(
-                    [
-                        ("url", batch.schema.field("url").type),
-                        ("warc_ts", batch.schema.field("warc_ts").type),
-                        ("dl", pa.int64()),
-                        ("terms", pa.list_(pa.string())),
-                        ("tfs", pa.list_(pa.int64())),
-                        ("pid", pa.int32()),
-                        ("pos", pa.int64()),
-                    ]
+                pos_offsets.append(len(flat_poss))
+            arrays = [
+                batch.column("url"),
+                batch.column("warc_ts"),
+                pa.array(dls, pa.int64()),
+                pa.ListArray.from_arrays(
+                    pa.array(term_offsets, pa.int32()),
+                    pa.array(flat_terms, pa.string()),
                 ),
+                pa.ListArray.from_arrays(
+                    pa.array(term_offsets, pa.int32()),
+                    pa.array(flat_tfs, pa.int64()),
+                ),
+                pa.array(np.full(n, pid, dtype=np.int32), pa.int32()),
+                pa.array(pos, pa.int64()),
+            ]
+            fields = [
+                ("url", batch.schema.field("url").type),
+                ("warc_ts", batch.schema.field("warc_ts").type),
+                ("dl", pa.int64()),
+                ("terms", pa.list_(pa.string())),
+                ("tfs", pa.list_(pa.int64())),
+                ("pid", pa.int32()),
+                ("pos", pa.int64()),
+            ]
+            if positions:
+                arrays.append(
+                    pa.ListArray.from_arrays(
+                        pa.array(pos_offsets, pa.int32()),
+                        pa.array(flat_poss, pa.int64()),
+                    )
+                )
+                fields.append(("poss", pa.list_(pa.int64())))
+            yield pa.RecordBatch.from_arrays(
+                arrays, schema=pa.schema(fields)
             )
 
     return run
@@ -243,6 +288,7 @@ def materialize_forward(
     docmap_dir: str,
     staging_dir: str,
     start_id: int = 0,
+    positions: bool = False,
 ) -> dict:
     """ONE scan of the heavy input -> staged forward rows keyed by
     (pid, pos) -> dense docIDs assigned by a file-based projection.
@@ -268,8 +314,9 @@ def materialize_forward(
     part = adds.select("url", "warc_ts", "html").withColumn(
         "__pid", F.spark_partition_id()
     )
+    stage_schema = FWD_STAGE_SCHEMA_POS if positions else FWD_STAGE_SCHEMA
     part.select("url", "warc_ts", "html", "__pid").mapInArrow(
-        _fused_stage_pass(), FWD_STAGE_SCHEMA
+        _fused_stage_pass(positions), stage_schema
     ).write.mode("overwrite").parquet(staging_dir)
     stage = spark.read.parquet(staging_dir)
     counts = dict(
@@ -291,9 +338,10 @@ def materialize_forward(
     from pyspark.sql import Observation
 
     obs = Observation(f"fwd_stats_{start_id}")
-    with_ids.filter(F.col("dl") > 0).select(
-        "doc_id", "dl", "terms", "tfs"
-    ).observe(
+    fwd_cols = ["doc_id", "dl", "terms", "tfs"] + (
+        ["poss"] if positions else []
+    )
+    with_ids.filter(F.col("dl") > 0).select(*fwd_cols).observe(
         obs,
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
@@ -327,6 +375,11 @@ SUBSEG_SCHEMA = (
     "docs_blob binary, tfs_blob binary"
 )
 
+# positional variant: pos_blob carries the group's token positions as one
+# varbyte stream with per-POSTING delta restarts (codec.encode_positions
+# layout), splittable downstream by the decoded tf counts
+SUBSEG_SCHEMA_POS = SUBSEG_SCHEMA + ", pos_blob binary"
+
 _SUBSEG_PA_SCHEMA = pa.schema(
     [
         ("term", pa.string()),
@@ -339,8 +392,46 @@ _SUBSEG_PA_SCHEMA = pa.schema(
     ]
 )
 
+_SUBSEG_PA_SCHEMA_POS = _SUBSEG_PA_SCHEMA.append(
+    pa.field("pos_blob", pa.binary())
+)
 
-def _local_invert_pass(id_span: int, grid_salts: int):
+
+def _gather_runs(
+    flat: np.ndarray, run_starts: np.ndarray, run_lens: np.ndarray
+) -> np.ndarray:
+    """Gather variable-length runs out of ``flat`` in a NEW run order:
+    run i of the output is flat[run_starts[i] : run_starts[i]+run_lens[i]].
+    One np.repeat + one arange — the vectorized per-posting permutation
+    both positional passes (invert sort, merge sort) need."""
+    total = int(run_lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=flat.dtype)
+    new_prefix = np.zeros(run_lens.size, dtype=np.int64)
+    np.cumsum(run_lens[:-1], out=new_prefix[1:])
+    idx = np.repeat(run_starts, run_lens) + (
+        np.arange(total, dtype=np.int64) - np.repeat(new_prefix, run_lens)
+    )
+    return flat[idx]
+
+
+def _posting_delta_gaps(
+    values: np.ndarray, run_starts: np.ndarray
+) -> np.ndarray:
+    """Within-run delta gaps with a +1 restart at every run start — the
+    encode_positions layout, computed in one diff + one scatter."""
+    n = values.size
+    gaps = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return gaps
+    gaps[0] = np.uint64(values[0] + 1)
+    if n > 1:
+        gaps[1:] = np.diff(values).astype(np.uint64)
+    gaps[run_starts] = (values[run_starts] + 1).astype(np.uint64)
+    return gaps
+
+
+def _local_invert_pass(id_span: int, grid_salts: int, positions: bool = False):
     """mapInArrow body over fwd partitions: the SPIMI local inversion.
 
     Each partition is inverted IN PYTHON into per-(term, salt-cell) posting
@@ -368,7 +459,7 @@ def _local_invert_pass(id_span: int, grid_salts: int):
     def run(batches):
         import pyarrow.compute as pc
 
-        doc_parts, term_parts, tf_parts = [], [], []
+        doc_parts, term_parts, tf_parts, pos_parts = [], [], [], []
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -381,12 +472,17 @@ def _local_invert_pass(id_span: int, grid_salts: int):
             doc_parts.append(doc_ids[parent])
             term_parts.append(terms_col.flatten())
             tf_parts.append(tfs_col.flatten().to_numpy())
+            if positions:
+                # per-doc flat positions are term-major, i.e. already in
+                # posting order — flatten concatenates postings' runs
+                pos_parts.append(batch.column("poss").flatten().to_numpy())
         if not doc_parts:
             return
         docs = np.concatenate(doc_parts)
         if docs.size == 0:
             return
         tfs = np.concatenate(tf_parts)
+        poss_flat = np.concatenate(pos_parts) if positions else None
         # ChunkedArray.dictionary_encode shares ONE dictionary across chunks
         # (one hash-table pass, no concatenated partition-wide string array —
         # measured 13x cheaper than concat_arrays + dictionary_encode)
@@ -427,28 +523,41 @@ def _local_invert_pass(id_span: int, grid_salts: int):
         # contiguous runs, so group boundaries are buffer offsets)
         group_bounds = np.concatenate((starts, [n]))
 
-        def blob_column(vals: np.ndarray) -> pa.Array:
+        def blob_column(vals: np.ndarray, vbounds: np.ndarray) -> pa.Array:
             data = codec.varbyte_encode(vals)
-            prefix = np.zeros(n + 1, dtype=np.int64)
+            prefix = np.zeros(vals.size + 1, dtype=np.int64)
             np.cumsum(codec.varbyte_lengths(vals), out=prefix[1:])
-            offs = prefix[group_bounds].astype(np.int32)
+            offs = prefix[vbounds].astype(np.int32)
             return pa.Array.from_buffers(
                 pa.binary(),
-                len(group_bounds) - 1,
+                len(vbounds) - 1,
                 [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data)],
             )
 
+        arrays = [
+            uniq.take(pa.array(g_codes[starts], pa.int64())),
+            pa.array(g_cells[starts].astype(np.int32), pa.int32()),
+            pa.array(g_docs[starts], pa.int64()),
+            pa.array(g_docs[ends - 1], pa.int64()),
+            pa.array(ends - starts, pa.int64()),
+            blob_column(gaps, group_bounds),
+            blob_column(tfs_u, group_bounds),
+        ]
+        if positions:
+            # permute the per-posting position runs into the sorted
+            # posting order, then re-delta with per-POSTING restarts —
+            # blob slices land on group boundaries via the posting->value
+            # index prefix
+            old_pstarts = np.zeros(n, dtype=np.int64)
+            np.cumsum(tfs[:-1], out=old_pstarts[1:])
+            g_poss = _gather_runs(poss_flat, old_pstarts[order], g_tfs)
+            vprefix = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(g_tfs, out=vprefix[1:])
+            pgaps = _posting_delta_gaps(g_poss, vprefix[:-1])
+            arrays.append(blob_column(pgaps, vprefix[group_bounds]))
         yield pa.RecordBatch.from_arrays(
-            [
-                uniq.take(pa.array(g_codes[starts], pa.int64())),
-                pa.array(g_cells[starts].astype(np.int32), pa.int32()),
-                pa.array(g_docs[starts], pa.int64()),
-                pa.array(g_docs[ends - 1], pa.int64()),
-                pa.array(ends - starts, pa.int64()),
-                blob_column(gaps),
-                blob_column(tfs_u),
-            ],
-            schema=_SUBSEG_PA_SCHEMA,
+            arrays,
+            schema=_SUBSEG_PA_SCHEMA_POS if positions else _SUBSEG_PA_SCHEMA,
         )
 
     return run
@@ -465,7 +574,12 @@ def _binary_flat(arr) -> tuple[np.ndarray, np.ndarray]:
     return data, offs - offs[0]
 
 
-def _merge_subsegments_arrow(generation: int, norms_path: str, norms_version: int):
+def _merge_subsegments_arrow(
+    generation: int,
+    norms_path: str,
+    norms_version: int,
+    positions: bool = False,
+):
     """mapInArrow body over grouped sub-segments (term_id, salt,
     subs: list<struct<docs_blob, tfs_blob>>): decode every sub-list,
     merge-sort each group by docID, re-encode as the final block-addressed
@@ -507,6 +621,22 @@ def _merge_subsegments_arrow(generation: int, norms_path: str, norms_version: in
             # ---- decode all subs in two vectorized passes ----------------
             gaps_all = codec.varbyte_decode(memoryview(db_data))
             tfs = codec.varbyte_decode(memoryview(tb_data)).astype(np.int64)
+            if positions:
+                # decode the concatenated position streams: per-POSTING
+                # delta restarts (sub boundaries are posting boundaries, so
+                # they need no special casing)
+                pb_data, _pb_offs = _binary_flat(vals.field("pos_blob"))
+                pgaps_all = codec.varbyte_decode(memoryview(pb_data)).astype(
+                    np.int64
+                )
+                pv_starts = np.zeros(tfs.size, dtype=np.int64)
+                np.cumsum(tfs[:-1], out=pv_starts[1:])
+                cs_p = np.cumsum(pgaps_all)
+                base_p = np.zeros(tfs.size, dtype=np.int64)
+                pnz = pv_starts > 0
+                base_p[pnz] = cs_p[pv_starts[pnz] - 1]
+                poss_abs = cs_p - np.repeat(base_p, tfs) - 1
+                tfs_pre = tfs  # pre-permutation counts for the run gather
             # per-sub posting counts = terminal bytes (high bit clear) per
             # sub byte range
             tp = np.zeros(db_data.size + 1, dtype=np.int64)
@@ -542,6 +672,13 @@ def _merge_subsegments_arrow(generation: int, norms_path: str, norms_version: in
                 order = np.lexsort((docs, prow))
             docs = docs[order]
             tfs = tfs[order]
+            if positions:
+                # permute per-posting position runs into the merged order,
+                # re-delta with per-posting restarts
+                g_poss = _gather_runs(poss_abs, pv_starts[order], tfs)
+                vprefix = np.zeros(total + 1, dtype=np.int64)
+                np.cumsum(tfs, out=vprefix[1:])
+                pgaps_out = _posting_delta_gaps(g_poss, vprefix[:-1])
 
             # ---- block grid (identical to codec.encode_postings) ---------
             n_blocks = (row_sizes + B - 1) // B
@@ -601,27 +738,56 @@ def _merge_subsegments_arrow(generation: int, norms_path: str, norms_version: in
                     pa.array(v.astype(np.int64), pa.int64()),
                 )
 
+            arrays = [
+                pa.array(tids, pa.int64()),
+                pa.array(salts.astype(np.int32), pa.int32()),
+                pa.array(
+                    np.full(nrows, generation, dtype=np.int32), pa.int32()
+                ),
+                pa.array(row_sizes, pa.int64()),
+                pa.array(docs[row_starts], pa.int64()),
+                pa.array(docs[row_ends - 1], pa.int64()),
+                pa.array(np.maximum.reduceat(tfs, row_starts), pa.int64()),
+                bin_col(docs_bytes, dprefix),
+                bin_col(tfs_bytes, tprefix),
+                offs_list(dprefix),
+                offs_list(tprefix),
+                blk_list(docs[bstart]),
+                blk_list(docs[bend - 1]),
+                blk_list(np.maximum.reduceat(tfs, bstart)),
+                blk_list(np.minimum.reduceat(norms[docs], bstart)),
+            ]
+            if positions:
+                # pos blob + block byte-offsets: posting indices map to
+                # position-value indices through vprefix, then to byte
+                # offsets through the position varbyte prefix — the same
+                # shapes as offs_list, one indirection deeper
+                pos_bytes = codec.varbyte_encode(pgaps_out)
+                pprefix = np.zeros(g_poss.size + 1, dtype=np.int64)
+                np.cumsum(codec.varbyte_lengths(pgaps_out), out=pprefix[1:])
+                pbyte = pprefix[vprefix]  # posting idx -> byte offset
+                offs32 = pbyte[row_bounds].astype(np.int32)
+                arrays.append(
+                    pa.Array.from_buffers(
+                        pa.binary(), nrows,
+                        [None, pa.py_buffer(offs32.tobytes()),
+                         pa.py_buffer(pos_bytes)],
+                    )
+                )
+                v = np.empty(tot_blocks + nrows, dtype=np.int64)
+                v[main_idx] = pbyte[bstart] - pbyte[row_starts[block_row]]
+                v[term_idx] = pbyte[row_ends] - pbyte[row_starts]
+                arrays.append(
+                    pa.ListArray.from_arrays(
+                        pa.array(loffs.astype(np.int32), pa.int32()),
+                        pa.array(v, pa.int64()),
+                    )
+                )
             yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(tids, pa.int64()),
-                    pa.array(salts.astype(np.int32), pa.int32()),
-                    pa.array(
-                        np.full(nrows, generation, dtype=np.int32), pa.int32()
-                    ),
-                    pa.array(row_sizes, pa.int64()),
-                    pa.array(docs[row_starts], pa.int64()),
-                    pa.array(docs[row_ends - 1], pa.int64()),
-                    pa.array(np.maximum.reduceat(tfs, row_starts), pa.int64()),
-                    bin_col(docs_bytes, dprefix),
-                    bin_col(tfs_bytes, tprefix),
-                    offs_list(dprefix),
-                    offs_list(tprefix),
-                    blk_list(docs[bstart]),
-                    blk_list(docs[bend - 1]),
-                    blk_list(np.maximum.reduceat(tfs, bstart)),
-                    blk_list(np.minimum.reduceat(norms[docs], bstart)),
-                ],
-                schema=_SEGMENT_PA_SCHEMA,
+                arrays,
+                schema=_SEGMENT_PA_SCHEMA_POS
+                if positions
+                else _SEGMENT_PA_SCHEMA,
             )
 
     return run
@@ -673,6 +839,7 @@ def build_segments_spimi(
     dictionary: DataFrame | None = None,
     n_terms: int | None = None,
     dict_broadcast_max: int = DICT_BROADCAST_MAX,
+    positions: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """fwd -> (segments, dictionary, sub): local SPIMI inversion,
     blob-grained salted term merge. If ``dictionary`` is given (incremental
@@ -698,7 +865,8 @@ def build_segments_spimi(
     # sub-segments are ~index-sized (compressed blobs) — persist so the
     # dictionary derivation and the merge share one inversion pass
     sub = fwd.mapInArrow(
-        _local_invert_pass(id_span, grid_salts), SUBSEG_SCHEMA
+        _local_invert_pass(id_span, grid_salts, positions),
+        SUBSEG_SCHEMA_POS if positions else SUBSEG_SCHEMA,
     ).persist()
     if dictionary is None:
         df_stats = sub.groupBy("term").agg(F.sum("n_docs").alias("df"))
@@ -715,14 +883,15 @@ def build_segments_spimi(
     if n_terms <= dict_broadcast_max:
         dict_ids = F.broadcast(dict_ids)
     with_ids = sub.join(dict_ids, "term")
+    blob_cols = ["docs_blob", "tfs_blob"] + (["pos_blob"] if positions else [])
     grouped = with_ids.groupBy("term_id", "salt").agg(
-        F.collect_list(
-            F.struct("docs_blob", "tfs_blob")
-        ).alias("subs")
+        F.collect_list(F.struct(*blob_cols)).alias("subs")
     )
     segments = grouped.mapInArrow(
-        _merge_subsegments_arrow(generation, norms_path, norms_version),
-        SEGMENT_SCHEMA,
+        _merge_subsegments_arrow(
+            generation, norms_path, norms_version, positions
+        ),
+        SEGMENT_SCHEMA_POS if positions else SEGMENT_SCHEMA,
     )
     return segments, dictionary, sub
 
@@ -738,8 +907,17 @@ def build_index(
     segment_partitions: int | None = None,
     where: str | None = None,
     include_all_langs: bool = False,
+    positions: bool = False,
 ) -> dict:
     """Full (backfill) index build — the `queue pump-all` + consume analog.
+
+    ``positions=True`` builds the v2 POSITIONAL layout
+    (docs/positional-postings.md): fwd rows carry per-term token
+    positions, sub-segments and final segments gain pos_blob/pos_offs
+    (codec.encode_positions layout, same 128-posting block grid), and the
+    manifest records ``positions: true`` so queries can route phrase
+    matching index-side. Positions-free queries are unaffected (column
+    pruning never reads the sidecar).
 
     ``docs`` must have (url, warc_ts, html, text, lang); text is ALWAYS
     re-extracted from html (input_hint byte-identity invariant). Returns the
@@ -804,6 +982,7 @@ def build_index(
                 spark, adds,
                 f"{fwd_path}/gen=0", f"{docmap_path}/gen=0",
                 f"{cat.index_dir(schema_version)}/_fwd_stage",
+                positions=positions,
             )
         fwd = spark.read.parquet(fwd_path)
         dm = spark.read.parquet(docmap_path)
@@ -851,7 +1030,8 @@ def build_index(
                 (cat.read_manifest(schema_version) or {}).get("commit_seq", 0)
             )
             segments, dictionary, sub = build_segments_spimi(
-                spark, fwd, id_span, cap, fwd_path, norms_ver, generation=0
+                spark, fwd, id_span, cap, fwd_path, norms_ver, generation=0,
+                positions=positions,
             )
             # gen=0 like every other append table: incremental generations
             # append per-BATCH delta rows as sibling gen=N dirs, merged at
@@ -892,12 +1072,13 @@ def build_index(
         dictionary.unpersist()
         sub.unpersist()
         seg = spark.read.parquet(seg_path)
+        blob_bytes = F.length("docs_blob") + F.length("tfs_blob")
+        if positions:
+            blob_bytes = blob_bytes + F.length("pos_blob")
         counters = seg.agg(
             F.count("*").alias("rows"),
             F.coalesce(F.sum("n_docs"), F.lit(0)).alias("postings"),
-            F.coalesce(
-                F.sum(F.length("docs_blob") + F.length("tfs_blob")), F.lit(0)
-            ).alias("bytes"),
+            F.coalesce(F.sum(blob_bytes), F.lit(0)).alias("bytes"),
         ).collect()[0]
         cat.mark_phase(
             schema_version, "segments", "done",
@@ -922,6 +1103,7 @@ def build_index(
     }
     m["cursor"] = m["phases"]["postings"].get("cursor")
     m["generations"] = 1
+    m["positions"] = bool(positions)
     cat.write_manifest(schema_version, m)
     cat.mark_phase(schema_version, "commit", "done")
     from ..sources.catalog import emit_metric_event

@@ -63,6 +63,9 @@ class LocalSearcher:
                 f"index at {index_dir} has on-disk format {m.get('format')}, "
                 f"searcher expects {FORMAT_VERSION} — rebuild the index"
             )
+        # v2 positional layout flag (build_index(positions=True)) — lets
+        # search_phrase answer from the index alone, no source parquet
+        self.positions = bool(m and m.get("positions"))
         st = pq.read_table(resolve_table_dir(index_dir, "stats")).to_pylist()[0]
         self.n_docs = int(st["n_docs"])
         self.avgdl = float(st["avgdl"])
@@ -139,7 +142,9 @@ class LocalSearcher:
         # bounded decoded-postings cache for the TAAT path (see search())
         self._decoded: dict[str, tuple] = {}
 
-    def _load_term_rows(self, term_ids: list[int]) -> dict[int, list[dict]]:
+    def _load_term_rows(
+        self, term_ids: list[int], with_positions: bool = False
+    ) -> dict[int, list[dict]]:
         if not self._seg_pfs:
             return {}
         # row-group seek: only groups whose [min,max] covers a query term
@@ -153,9 +158,14 @@ class LocalSearcher:
         parts = []
         for fi in np.unique(self._rg_file[hit]):
             groups = self._rg_idx[hit[self._rg_file[hit] == fi]]
+            cols = (
+                _SEG_COLS + ["pos_blob", "pos_offs"]
+                if with_positions
+                else _SEG_COLS
+            )
             parts.append(
                 self._seg_pfs[int(fi)].read_row_groups(
-                    [int(g) for g in groups], columns=_SEG_COLS
+                    [int(g) for g in groups], columns=cols
                 )
             )
         import pyarrow as pa
@@ -171,15 +181,18 @@ class LocalSearcher:
         tids = tbl.column("term_id").to_numpy()
         doc_mins = tbl.column("doc_min").to_numpy()
         n_docs_col = tbl.column("n_docs").to_numpy()
+        blob_cols = ("docs_blob", "tfs_blob") + (
+            ("pos_blob",) if with_positions else ()
+        )
         blobs = {
             c: tbl.column(c).to_pylist()  # bytes stay python objects
-            for c in ("docs_blob", "tfs_blob")
+            for c in blob_cols
         }
         flat = {}
         for c in (
             "doc_offs", "tf_offs", "block_first", "block_last",
             "block_max_tf", "block_min_dl",
-        ):
+        ) + (("pos_offs",) if with_positions else ()):
             arr = tbl.column(c).combine_chunks()
             flat[c] = (
                 arr.values.to_numpy(zero_copy_only=False).astype(
@@ -195,6 +208,8 @@ class LocalSearcher:
                 "doc_min": int(doc_mins[i]),
                 "n_docs": int(n_docs_col[i]),
             }
+            if with_positions:
+                enc["pos_blob"] = blobs["pos_blob"][i]
             for c, (vals, offs) in flat.items():
                 enc[c] = vals[offs[i] : offs[i + 1]]
             rows.setdefault(int(tids[i]), []).append(enc)
@@ -400,7 +415,7 @@ class LocalSearcher:
         return self.search(" ".join(terms), k)
 
     def search_phrase(
-        self, phrase: str, source_path: str, k: int = 10,
+        self, phrase: str, source_path: str | None = None, k: int = 10,
         max_candidates: int | None = None,
         slop: int = 0,
     ) -> list[tuple[int, float]]:
@@ -439,6 +454,13 @@ class LocalSearcher:
         )
         if not cands:
             return []
+        if source_path is None:
+            if not self.positions:
+                raise ValueError(
+                    "search_phrase needs source_path on a positions-free "
+                    "index (or build with positions=True)"
+                )
+            return self._verify_phrase_positional(cands, ph, slop, k)
         if len(cands) > max_candidates:
             raise ValueError(
                 f"phrase verify would check {len(cands)} candidate docs "
@@ -474,6 +496,58 @@ class LocalSearcher:
             if _matches_phrase(toks, ph, slop):
                 d = doc_by_url[u]
                 out.append((d, score_by_doc[d]))
+        out.sort(key=lambda e: (-e[1], e[0]))
+        return out[:k]
+
+    def _verify_phrase_positional(
+        self, cands: list[tuple[int, float]], ph: list[str],
+        slop: int, k: int,
+    ) -> list[tuple[int, float]]:
+        """Positional serve verify (v2 index): one pruned segment read per
+        phrase term WITH the pos columns, per-candidate occurrence lists
+        through the SAME _matches_occ criterion as the Spark path — no
+        source IO at all. Work is ∝ the phrase terms' posting volume."""
+        from ..functions import codec as _codec
+        from .boolquery import _matches_occ
+
+        self._resolve_terms(list(dict.fromkeys(ph)))
+        infos = {t: self._dict.get(t) for t in set(ph)}
+        if any(v is None for v in infos.values()):
+            return []
+        rows = self._load_term_rows(
+            [int(v[0]) for v in infos.values()], with_positions=True
+        )
+        decoded: dict[str, tuple] = {}
+        for t, (tid, _df) in infos.items():
+            rl = rows.get(int(tid)) or []
+            d_parts, tf_parts, pos_parts = [], [], []
+            for enc in rl:  # already doc_min-sorted by _load_term_rows
+                d_i, tf_i = _codec.decode_postings(enc)
+                d_parts.append(d_i)
+                tf_parts.append(tf_i)
+                pos_parts.append(
+                    _codec.decode_positions(enc["pos_blob"], tf_i)
+                )
+            if not d_parts:
+                return []
+            d = np.concatenate(d_parts)
+            tf = np.concatenate(tf_parts)
+            poss = np.concatenate(pos_parts)
+            pstart = np.zeros(d.size + 1, dtype=np.int64)
+            np.cumsum(tf, out=pstart[1:])
+            decoded[t] = (d, poss, pstart)
+        out = []
+        for doc, score in cands:
+            occ = []
+            for s, t in enumerate(ph):
+                d, poss, pstart = decoded[t]
+                j = int(np.searchsorted(d, doc))
+                if j >= d.size or d[j] != doc:
+                    occ = None
+                    break
+                occ.append(poss[pstart[j] : pstart[j + 1]])
+            if occ is not None and _matches_occ(occ, slop):
+                out.append((doc, score))
         out.sort(key=lambda e: (-e[1], e[0]))
         return out[:k]
 

@@ -500,7 +500,15 @@ def wand_topk(
     seg_paths = committed_gen_paths(index_dir, "segments")
     if not seg_paths:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    segs = spark.read.parquet(*seg_paths).filter(F.col("term_id").isin(tids))
+    from .build import V1_SEGMENT_COLS
+
+    # positions-free path: prune the v2 positional sidecar (if any) before
+    # the blobs ride the group shuffle
+    segs = (
+        spark.read.parquet(*seg_paths)
+        .select(*V1_SEGMENT_COLS)
+        .filter(F.col("term_id").isin(tids))
+    )
     grouped = segs.join(F.broadcast(qmap), "term_id")
 
     kk = int(k)
@@ -607,7 +615,13 @@ def wand_topk_docpart(
     seg_paths = committed_gen_paths(index_dir, "segments")
     if not seg_paths or not subs:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    segs = spark.read.parquet(*seg_paths).filter(F.col("term_id").isin(tids))
+    from .build import V1_SEGMENT_COLS
+
+    segs = (
+        spark.read.parquet(*seg_paths)
+        .select(*V1_SEGMENT_COLS)
+        .filter(F.col("term_id").isin(tids))
+    )
 
     kk = int(k)
     avgdl_b = avgdl

@@ -123,6 +123,13 @@ def incremental_update(
     m = cat.read_manifest(schema_version)
     assert m is not None and m["phases"].get("commit"), "no base index to update"
     _assert_format(m, cat.index_name(schema_version))
+    if m.get("positions"):
+        raise NotImplementedError(
+            "incremental updates on a POSITIONAL (v2) index are not wired "
+            "yet — new generations would lack the pos sidecar and break "
+            "positional phrase queries; rebuild with build_index("
+            "positions=True) for now (docs/positional-postings.md)"
+        )
     idx = cat.index_dir(schema_version)
     # T7 replay safety: remove anything a crashed generation left behind
     clean_orphan_generations(idx)

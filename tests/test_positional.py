@@ -1,0 +1,242 @@
+"""Positional (v2) index layout: build, codec round-trip against the
+tokenizer truth, index-side phrase/slop parity with the source-verify
+path, serve-tier parity, v1-query isolation, and the incremental guard.
+(docs/positional-postings.md)"""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from osu_elastic_indexer_spark import oracle
+from osu_elastic_indexer_spark.functions import codec
+from osu_elastic_indexer_spark.functions.textprep import extract_text, tokenize
+from osu_elastic_indexer_spark.operators.boolquery import (
+    index_has_positions,
+    phrase_topk,
+)
+from osu_elastic_indexer_spark.operators.build import build_index
+from osu_elastic_indexer_spark.sources.catalog import (
+    Catalog,
+    committed_gen_paths,
+)
+
+from util import assert_rank_identical
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, corpus_path, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("pos_indexes"))
+    cat = Catalog(root)
+    build_index(
+        spark, spark.read.parquet(corpus_path), cat, "v1", positions=True
+    )
+    return cat
+
+
+@pytest.fixture(scope="module")
+def v1_index(spark, corpus_path, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("plain_indexes"))
+    cat = Catalog(root)
+    build_index(spark, spark.read.parquet(corpus_path), cat, "v1")
+    return cat
+
+
+@pytest.fixture(scope="module")
+def pos_truth(spark, corpus_path, pos_index):
+    """(term, doc_id) -> ascending token positions, plus texts by doc."""
+    dm = {
+        r.url: r.doc_id
+        for r in spark.read.parquet(
+            *committed_gen_paths(pos_index.index_dir("v1"), "docmap")
+        ).collect()
+    }
+    tbl = pq.read_table(corpus_path)
+    truth: dict[tuple[str, int], list[int]] = {}
+    texts: dict[int, str] = {}
+    for u, h, lang, txt in zip(
+        tbl["url"].to_pylist(),
+        tbl["html"].to_pylist(),
+        tbl["lang"].to_pylist(),
+        tbl["text"].to_pylist(),
+    ):
+        if lang != "en" or not txt or u not in dm:
+            continue
+        text = extract_text(h) or ""
+        toks = tokenize(text)
+        d = dm[u]
+        texts[d] = text
+        for j, t in enumerate(toks):
+            truth.setdefault((t, d), []).append(j)
+    return truth, texts
+
+
+def test_manifest_flag_and_v1_columns_absent(spark, pos_index, v1_index):
+    assert index_has_positions(pos_index.index_dir("v1"))
+    assert not index_has_positions(v1_index.index_dir("v1"))
+    cols = set(
+        spark.read.parquet(
+            *committed_gen_paths(pos_index.index_dir("v1"), "segments")
+        ).columns
+    )
+    assert {"pos_blob", "pos_offs"} <= cols
+    v1cols = set(
+        spark.read.parquet(
+            *committed_gen_paths(v1_index.index_dir("v1"), "segments")
+        ).columns
+    )
+    assert "pos_blob" not in v1cols
+
+
+def test_positions_match_tokenizer_truth(spark, pos_index, pos_truth):
+    """Every stored position list decodes identical to tokenizing the
+    source — the build/extract byte-identity invariant extended to the
+    positional sidecar; block-addressable decode agrees too."""
+    truth, _texts = pos_truth
+    idx = pos_index.index_dir("v1")
+    terms_by_id = {
+        r.term_id: r.term
+        for r in spark.read.parquet(
+            *committed_gen_paths(idx, "dictionary")
+        ).collect()
+    }
+    seg = pq.read_table(committed_gen_paths(idx, "segments")[0])
+    checked = 0
+    for i in range(seg.num_rows):
+        term = terms_by_id[seg.column("term_id")[i].as_py()]
+        enc = {
+            "docs_blob": seg.column("docs_blob")[i].as_py(),
+            "tfs_blob": seg.column("tfs_blob")[i].as_py(),
+            "doc_offs": np.array(seg.column("doc_offs")[i].as_py()),
+            "tf_offs": np.array(seg.column("tf_offs")[i].as_py()),
+            "block_first": np.array(seg.column("block_first")[i].as_py()),
+            "pos_blob": seg.column("pos_blob")[i].as_py(),
+            "pos_offs": np.array(seg.column("pos_offs")[i].as_py()),
+        }
+        docs, tfs = codec.decode_postings(enc)
+        poss = codec.decode_positions(enc["pos_blob"], tfs)
+        splits = np.split(poss, np.cumsum(tfs)[:-1])
+        for d, tf, ps in zip(docs, tfs, splits):
+            assert ps.tolist() == truth[(term, int(d))], (term, int(d))
+            checked += 1
+        tb0 = codec.decode_block(enc, 0)[1]
+        assert np.array_equal(
+            codec.decode_positions_block(enc, tb0, 0),
+            poss[: int(tb0.sum())],
+        )
+    assert checked > 1000
+
+
+def test_positional_phrase_bit_identical_to_source_verify(
+    spark, pos_index, corpus_path, pos_truth
+):
+    """The index-side phrase path must return EXACTLY the source-verify
+    path's rows for exact, gapped-slop, and transposed-slop queries —
+    including a repeated-term phrase (injectivity)."""
+    truth, texts = pos_truth
+    idx = pos_index.index_dir("v1")
+    src = spark.read.parquet(corpus_path)
+    toks = tokenize(texts[min(texts)])
+    queries = [
+        (0, " ".join(toks[2:4])),
+        (1, " ".join(reversed(toks[2:4]))),
+        (2, "the and"),
+        (3, "needletriple needletriple"),
+        (4, "w00100 xyzzyabsent"),
+    ]
+    for slop in (0, 1, 2):
+        a = sorted(
+            tuple(r)
+            for r in phrase_topk(
+                spark, idx, src, queries, 10, slop=slop, use_positions="never"
+            ).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in phrase_topk(
+                spark, idx, None, queries, 10, slop=slop
+            ).collect()
+        )
+        assert a == b, f"slop={slop}"
+        assert b or slop == 0  # sanity: the head-term phrase matches
+
+
+def test_positional_phrase_matches_oracle(spark, pos_index, pos_truth):
+    """Independent truth: positional results == the pure-python oracle's
+    brute-force slop search over the extracted texts."""
+    truth, texts = pos_truth
+    idx = pos_index.index_dir("v1")
+    orc = oracle.build_index(sorted(texts.items()))
+    toks = tokenize(texts[min(texts)])
+    for q, slop in ((" ".join(toks[2:4]), 0), (" ".join(toks[5:8]), 1),
+                    (" ".join(reversed(toks[2:4])), 2)):
+        res = phrase_topk(spark, idx, None, [(0, q)], k=10, slop=slop).collect()
+        got = [(r.doc_id, r.score) for r in sorted(res, key=lambda r: r.rank)]
+        expect = oracle.search_phrase(orc, texts, q, k=10, slop=slop)
+        assert_rank_identical(got, expect, msg=f"pos phrase {q!r} slop={slop}")
+
+
+def test_serve_positional_phrase(pos_index, pos_truth):
+    """Serve tier answers phrases with NO source_path on a v2 index,
+    matching the oracle; a v1-style call without source on a v1 index
+    raises (covered in test_boolquery serve tests)."""
+    from osu_elastic_indexer_spark.operators.serve import LocalSearcher
+
+    truth, texts = pos_truth
+    s = LocalSearcher(pos_index.index_dir("v1"))
+    assert s.positions
+    orc = oracle.build_index(sorted(texts.items()))
+    toks = tokenize(texts[min(texts)])
+    for q, slop in ((" ".join(toks[2:4]), 0), (" ".join(toks[2:4]), 2),
+                    ("the and", 1)):
+        got = s.search_phrase(q, k=10, slop=slop)
+        expect = oracle.search_phrase(orc, texts, q, k=10, slop=slop)
+        assert_rank_identical(got, expect, msg=f"serve pos {q!r} slop={slop}")
+
+
+def test_serve_requires_source_without_positions(v1_index, corpus_path):
+    from osu_elastic_indexer_spark.operators.serve import LocalSearcher
+
+    s = LocalSearcher(v1_index.index_dir("v1"))
+    assert not s.positions
+    with pytest.raises(ValueError, match="positions"):
+        s.search_phrase("w00100 w00200", k=10)
+
+
+def test_v1_queries_unaffected_on_positional_index(
+    spark, pos_index, v1_index, corpus_path
+):
+    """wand/bool/serve on a positional index return exactly what they
+    return on the plain index built from the same corpus, and their plans
+    never read the positions sidecar."""
+    from osu_elastic_indexer_spark.operators.serve import LocalSearcher
+    from osu_elastic_indexer_spark.operators.wand import wand_topk
+
+    qs = [(0, "w00100 w00200"), (1, "the"), (2, "needleunique")]
+    p_idx = pos_index.index_dir("v1")
+    v_idx = v1_index.index_dir("v1")
+    a = sorted(tuple(r) for r in wand_topk(spark, p_idx, qs, 10).collect())
+    b = sorted(tuple(r) for r in wand_topk(spark, v_idx, qs, 10).collect())
+    assert a == b and a
+    from osu_elastic_indexer_spark.operators.boolquery import bool_topk
+
+    spec = [(0, {"must": "w00100", "must_not": "the"})]
+    ab = [tuple(r) for r in bool_topk(spark, p_idx, spec, 10).collect()]
+    bb = [tuple(r) for r in bool_topk(spark, v_idx, spec, 10).collect()]
+    assert ab == bb
+    sa = LocalSearcher(p_idx).search("w00100 w00200", 10)
+    sb = LocalSearcher(v_idx).search("w00100 w00200", 10)
+    assert sa == sb and sa
+    # plan: the positions sidecar must not be in the wand scan's schema
+    plan = wand_topk(spark, p_idx, qs, 10)._jdf.queryExecution().executedPlan().toString()
+    assert "pos_blob" not in plan, plan
+
+
+def test_incremental_refuses_positional_index(spark, pos_index, corpus_path):
+    from osu_elastic_indexer_spark.streaming.incremental import (
+        incremental_update,
+    )
+
+    with pytest.raises(NotImplementedError, match="POSITIONAL"):
+        incremental_update(
+            spark, spark.read.parquet(corpus_path), pos_index, "v1"
+        )
