@@ -938,9 +938,11 @@ def q_mm_frames(spark, sf_dir):
     )
 
 
-def _driver_index_dir(spark, sf_dir) -> str:
+def _driver_index_dir(spark, sf_dir, positions: bool = False) -> str:
     """Build (once, cached by corpus size + on-disk format) the full
-    compressed index over the sf documents table for the wand entries."""
+    compressed index over the sf documents table for the wand entries.
+    ``positions=True`` builds (and caches separately) the v2 POSITIONAL
+    layout for the index-side phrase entries."""
     import os
 
     from osu_elastic_indexer_spark.operators.build import build_index
@@ -948,10 +950,14 @@ def _driver_index_dir(spark, sf_dir) -> str:
 
     d = _t(spark, sf_dir, "documents")
     n = d.count()
-    root = f"/tmp/oei_driver_idx/{os.path.basename(sf_dir.rstrip('/'))}_{n}"
+    suffix = "_pos" if positions else ""
+    root = f"/tmp/oei_driver_idx/{os.path.basename(sf_dir.rstrip('/'))}_{n}{suffix}"
     cat = Catalog(root)
     m = cat.read_manifest("v1")
-    if m is not None and m.get("format") != FORMAT_VERSION:
+    if m is not None and (
+        m.get("format") != FORMAT_VERSION
+        or bool(m.get("positions")) != positions
+    ):
         cat.delete_index("v1")  # stale on-disk format: rebuild from scratch
         m = None
     if not (m and m.get("phases", {}).get("commit")):
@@ -966,7 +972,7 @@ def _driver_index_dir(spark, sf_dir) -> str:
             F.col("text"),
             F.col("lang"),
         )
-        build_index(spark, docs, cat, "v1")
+        build_index(spark, docs, cat, "v1", positions=positions)
     return cat.index_dir("v1")
 
 
@@ -1122,6 +1128,36 @@ def q_phrase_bm25_topk_slop(spark, sf_dir):
     )
     res = phrase_topk(
         spark, idx_dir, source, [(0, PHRASE_QUERY)], 10, slop=PHRASE_SLOP
+    )
+    return _wand_result_as_oracle_shape(spark, idx_dir, res)
+
+
+def q_phrase_bm25_topk_positional(spark, sf_dir):
+    """Index-side phrase matching over the POSITIONAL (v2) layout: the
+    sidecar (build_index(positions=True) — docs/positional-postings.md)
+    answers the phrase with NO source scan; scores keep the same
+    sorted-term fold, so this entry shares the exact-phrase DuckDB twin.
+    Pinned bit-identical to the source-verify path by
+    tests/test_positional.py as well."""
+    from osu_elastic_indexer_spark.operators.boolquery import phrase_topk
+
+    idx_dir = _driver_index_dir(spark, sf_dir, positions=True)
+    res = phrase_topk(
+        spark, idx_dir, None, [(0, PHRASE_QUERY)], 10, use_positions="require"
+    )
+    return _wand_result_as_oracle_shape(spark, idx_dir, res)
+
+
+def q_phrase_bm25_topk_positional_slop(spark, sf_dir):
+    """Positional slop: the windowed span criterion runs on decoded
+    position arrays index-side; shares the position-array DuckDB twin of
+    the source-verify slop entry."""
+    from osu_elastic_indexer_spark.operators.boolquery import phrase_topk
+
+    idx_dir = _driver_index_dir(spark, sf_dir, positions=True)
+    res = phrase_topk(
+        spark, idx_dir, None, [(0, PHRASE_QUERY)], 10,
+        slop=PHRASE_SLOP, use_positions="require",
     )
     return _wand_result_as_oracle_shape(spark, idx_dir, res)
 
@@ -1365,6 +1401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_bm25_topk_filtered": q_bool_bm25_topk_filtered,
         "phrase_bm25_topk": q_phrase_bm25_topk,
         "phrase_bm25_topk_slop": q_phrase_bm25_topk_slop,
+        "phrase_bm25_topk_positional": q_phrase_bm25_topk_positional,
+        "phrase_bm25_topk_positional_slop": q_phrase_bm25_topk_positional_slop,
         "prefix_bm25_topk": q_prefix_bm25_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_bands": q_dedup_minhash_bands,
@@ -1499,6 +1537,10 @@ FROM events GROUP BY event_type ORDER BY event_type
         "bool_bm25_topk_filtered": _bool_sql(BOOL_FILTER_SPEC, 10),
         "phrase_bm25_topk": _phrase_sql(PHRASE_QUERY, 10),
         "phrase_bm25_topk_slop": _phrase_slop_sql(PHRASE_QUERY, PHRASE_SLOP, 10),
+        "phrase_bm25_topk_positional": _phrase_sql(PHRASE_QUERY, 10),
+        "phrase_bm25_topk_positional_slop": _phrase_slop_sql(
+            PHRASE_QUERY, PHRASE_SLOP, 10
+        ),
         "prefix_bm25_topk": _prefix_sql(
             PREFIX_QUERY, 10, PREFIX_MAX_EXPANSIONS
         ),

@@ -159,6 +159,35 @@ def main() -> None:
         ).count(),
     )
 
+    # ---- positional (v2) layout: build overhead + index-side phrase ------
+    # kept in extras (not `queries`) so total_bench_sec stays comparable
+    # round-over-round; the v1 index above is untouched
+    pos_root = f"/tmp/oei_bench/idx_pos_{n_docs}_{cpus}_{os.getpid()}"
+    pos_cat = Catalog(pos_root)
+    t0 = time.time()
+    pos_manifest = build_index(spark, docs, pos_cat, "bench", positions=True)
+    extras["build_pos_sec"] = round(time.time() - t0, 3)
+    extras["index_pos_bytes"] = pos_manifest["counters"]["bytes"]
+    pos_idx = pos_cat.index_dir("bench")
+    ts = []
+    for _ in range(2):
+        t0 = time.time()
+        phrase_topk(
+            spark, pos_idx, None, [(0, "w00100 w00200")], 10
+        ).count()
+        ts.append(round(time.time() - t0, 3))
+    extras["phrase_single_pos_sec"] = min(ts)
+    extras["phrase_single_pos_runs"] = ts
+    ts = []
+    for _ in range(2):
+        t0 = time.time()
+        phrase_topk(
+            spark, pos_idx, None, [(0, "the and")], 10, slop=1
+        ).count()
+        ts.append(round(time.time() - t0, 3))
+    extras["phrase_stopword_slop_pos_sec"] = min(ts)
+    _sh.rmtree(pos_root, ignore_errors=True)
+
     # ---- serving-tier p50 (no Spark job per query; the ES-analog path) -----
     from osu_elastic_indexer_spark.operators.serve import LocalSearcher
 

@@ -19,7 +19,8 @@ Commands/QueueCommands.cs) and their analogs here:
                                            [--must-not ...] [--filter ...]
                                            [--filter-url-range LO HI] [--local]
   (ES prefix query)                   -> search --prefix p [--max-expansions N]
-  (ES match_phrase)                   -> search --phrase "..." --source src.parquet
+  (ES match_phrase [+slop])           -> search --phrase "..." [--source src.parquet]
+                                           (--source optional on --positions builds)
 
 Run with spark-submit (cluster) or plain python (local):
   python -m osu_elastic_indexer_spark.cli build --input docs.parquet \
@@ -55,6 +56,7 @@ def cmd_build(args) -> int:
         m = build_index(
             spark, docs, cat, args.schema, resume=args.resume,
             where=args.where, include_all_langs=args.include_all_langs,
+            positions=args.positions,
         )
     print(json.dumps({"index": m["index_name"], "counters": m["counters"],
                       "cursor": m["cursor"], "generations": m["generations"]}))
@@ -138,7 +140,13 @@ def cmd_search(args) -> int:
             "or bool clauses"
         )
     if args.phrase and not args.source:
-        raise SystemExit("search: --phrase needs --source (url, html parquet)")
+        from .operators.boolquery import index_has_positions
+
+        if not index_has_positions(idx):
+            raise SystemExit(
+                "search: --phrase needs --source (url, html parquet) on a "
+                "positions-free index; build with --positions to drop it"
+            )
     if bool_clauses:
         spec = {"must": args.must, "should": args.should,
                 "must_not": args.must_not}
@@ -179,7 +187,8 @@ def cmd_search(args) -> int:
             )
         else:
             res = phrase_topk(
-                spark, idx, spark.read.parquet(args.source),
+                spark, idx,
+                spark.read.parquet(args.source) if args.source else None,
                 [(0, args.phrase)], args.k, slop=args.slop,
             )
         for r in res.orderBy("rank").collect():
@@ -277,6 +286,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="two-phase cutover: build + catch-up + alias (T9)")
     b.add_argument("--where", default=None,
                    help="SQL predicate narrowing the backfill (pump-all --where)")
+    b.add_argument("--positions", action="store_true",
+                   help="build the v2 POSITIONAL layout (index-side phrase/"
+                        "slop matching, no --source needed at query time)")
     b.add_argument("--include-all-langs", action="store_true",
                    help="lift the lang='en' gate (--include-unranked analog)")
     b.set_defaults(fn=cmd_build)

@@ -848,29 +848,60 @@ def _phrase_runner(state: dict, k: int, phrases_b: dict[int, list[str]],
         if eligible.size == 0:
             return empty
         m = len(phrase)
-        if slop <= 0:
+        # fused (doc, adjusted-position) keys: adj ∈ [-(m-1), maxpos], so
+        # +m keeps keys positive and +slop+2 headroom keeps a window query
+        # inside one doc's key range
+        span = (int(norms.max()) if norms.size else 1) + m + slop + 2
+        fits = int(norms.size) * span < 2**62
+        no_repeats = len(set(phrase)) == m
+        if fits and slop <= 0:
             # vectorized exact adjacency: per slot, fuse (doc, pos-slot)
             # keys for eligible docs and chain-intersect
-            span = (int(norms.max()) if norms.size else 1) + m + 2
-            if int(norms.size) * span < 2**62:
-                common = None
-                for s, t in enumerate(phrase):
-                    d, tf, poss, pstart = decoded[t]
-                    keep = np.isin(d, eligible)
-                    dpp = np.repeat(d[keep], tf[keep])
-                    pp = _gather_runs_np(poss, pstart[:-1][keep], tf[keep])
-                    fused = dpp * np.int64(span) + (pp - s + m)
-                    common = (
-                        fused
-                        if common is None
-                        else np.intersect1d(common, fused, assume_unique=False)
-                    )
-                    if common.size == 0:
-                        return empty
-                verified = np.unique(common // np.int64(span))
-            else:  # fused key would overflow: per-doc criterion
-                verified = _verify_per_doc(eligible, phrase, decoded, 0)
-        else:
+            common = None
+            for s, t in enumerate(phrase):
+                d, tf, poss, pstart = decoded[t]
+                keep = np.isin(d, eligible)
+                dpp = np.repeat(d[keep], tf[keep])
+                pp = _gather_runs_np(poss, pstart[:-1][keep], tf[keep])
+                fused = dpp * np.int64(span) + (pp - s + m)
+                common = (
+                    fused
+                    if common is None
+                    else np.intersect1d(common, fused, assume_unique=False)
+                )
+                if common.size == 0:
+                    return empty
+            verified = np.unique(common // np.int64(span))
+        elif fits and no_repeats:
+            # vectorized slop (no repeated phrase terms, so injectivity is
+            # automatic): a doc matches iff some anchor event lo has every
+            # slot represented in [lo, lo+slop] — the window's min IS one
+            # slot's adjusted value, so anchoring on every event is
+            # exhaustive. Per slot: one searchsorted over its sorted fused
+            # keys; slop << span keeps the range query inside one doc.
+            slot_keys = []
+            anchors = []
+            for s, t in enumerate(phrase):
+                d, tf, poss, pstart = decoded[t]
+                keep = np.isin(d, eligible)
+                dpp = np.repeat(d[keep], tf[keep])
+                pp = _gather_runs_np(poss, pstart[:-1][keep], tf[keep])
+                fused = dpp * np.int64(span) + (pp - s + m)
+                fused.sort()
+                slot_keys.append(fused)
+                anchors.append(fused)
+            anchors = np.unique(np.concatenate(anchors))
+            ok = np.ones(anchors.size, dtype=bool)
+            for fused in slot_keys:
+                idx = np.searchsorted(fused, anchors, side="left")
+                hit = idx < fused.size
+                val = np.empty(anchors.size, dtype=np.int64)
+                val[hit] = fused[idx[hit]]
+                ok &= hit & (val <= anchors + slop)
+                if not ok.any():
+                    return empty
+            verified = np.unique(anchors[ok] // np.int64(span))
+        else:  # repeated-term slop phrases / key overflow: per-doc check
             verified = _verify_per_doc(eligible, phrase, decoded, slop)
         if len(verified) == 0:
             return empty

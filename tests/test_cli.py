@@ -118,3 +118,34 @@ def test_cli_build_where_narrows_backfill(spark, env, capsys, tmp_path):
         "--where", "url LIKE '%0'",
     ])[0]
     assert 0 < narrowed["counters"]["docs"] < full["counters"]["docs"]
+
+def test_cli_positional_build_and_sourceless_phrase(
+    spark, corpus_path, tmp_path, capsys
+):
+    """`build --positions` then `search --phrase` WITHOUT --source, on both
+    the Spark and --local tiers; a positions-free index still demands
+    --source with a pointed error."""
+    root = str(tmp_path / "posidx")
+    base = ["--root", root]
+    _run(capsys, base + [
+        "build", "--input", corpus_path, "--schema", "v1", "--positions",
+    ])
+    _run(capsys, base + ["alias", "v1"])
+    hits = _run(capsys, base + ["search", "--phrase", "the and", "-k", "5"])
+    local = _run(capsys, base + [
+        "search", "--phrase", "the and", "-k", "5", "--local",
+    ])
+    assert hits and [
+        (h["doc_id"], round(h["score"], 6)) for h in hits
+    ] == [(h["doc_id"], round(h["score"], 6)) for h in local]
+    sloppy = _run(capsys, base + [
+        "search", "--phrase", "and the", "-k", "5", "--slop", "2",
+    ])
+    assert sloppy  # transposition admitted at slop 2
+    # positions-free index: same call refuses with the --source hint
+    root2 = str(tmp_path / "plainidx")
+    _run(capsys, ["--root", root2, "build", "--input", corpus_path,
+                  "--schema", "v1"])
+    _run(capsys, ["--root", root2, "alias", "v1"])
+    with pytest.raises(SystemExit, match="positions"):
+        cli.main(["--root", root2, "search", "--phrase", "the and"])
