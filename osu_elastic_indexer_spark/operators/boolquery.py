@@ -954,6 +954,203 @@ def _verify_per_doc(
     return out
 
 
+def _verify_positions_cell(
+    phrase: list[str],
+    decoded: dict,
+    eligible: np.ndarray,
+    span_hint: int,
+    slop: int,
+) -> np.ndarray:
+    """Positional verification over CELL-LOCAL doc ids: the same fused-key
+    vectorizations as the per-query runner (exact intersection for slop=0,
+    anchor-window sweep for repeat-free slop), with the per-doc _matches_occ
+    fallback. ``decoded``: term -> (docs, tfs, poss, pstart); ``eligible``:
+    sorted candidate doc ids (cell-local); ``span_hint``: > max position +
+    len(phrase) + slop. Returns the verified doc ids (sorted)."""
+    m = len(phrase)
+    span = int(span_hint) + m + slop + 2
+    max_doc = int(eligible[-1]) if eligible.size else 0
+    fits = (max_doc + 1) * span < 2**62
+    no_repeats = len(set(phrase)) == m
+    if fits and slop <= 0:
+        common = None
+        for s, t in enumerate(phrase):
+            d, tf, poss, pstart = decoded[t]
+            keep = np.isin(d, eligible)
+            dpp = np.repeat(d[keep], tf[keep])
+            pp = _gather_runs_np(poss, pstart[:-1][keep], tf[keep])
+            fused = dpp * np.int64(span) + (pp - s + m)
+            common = (
+                fused
+                if common is None
+                else np.intersect1d(common, fused, assume_unique=False)
+            )
+            if common.size == 0:
+                return np.empty(0, dtype=np.int64)
+        return np.unique(common // np.int64(span))
+    if fits and no_repeats:
+        slot_keys = []
+        for s, t in enumerate(phrase):
+            d, tf, poss, pstart = decoded[t]
+            keep = np.isin(d, eligible)
+            dpp = np.repeat(d[keep], tf[keep])
+            pp = _gather_runs_np(poss, pstart[:-1][keep], tf[keep])
+            fused = dpp * np.int64(span) + (pp - s + m)
+            fused.sort()
+            slot_keys.append(fused)
+        anchors = np.unique(np.concatenate(slot_keys))
+        ok = np.ones(anchors.size, dtype=bool)
+        for fused in slot_keys:
+            idx = np.searchsorted(fused, anchors, side="left")
+            hit = idx < fused.size
+            val = np.empty(anchors.size, dtype=np.int64)
+            val[hit] = fused[idx[hit]]
+            ok &= hit & (val <= anchors + slop)
+            if not ok.any():
+                return np.empty(0, dtype=np.int64)
+        return np.unique(anchors[ok] // np.int64(span))
+    return np.asarray(
+        _verify_per_doc(eligible, phrase, decoded, slop), dtype=np.int64
+    )
+
+
+def phrase_topk_positional_docpart(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    slop: int = 0,
+) -> DataFrame:
+    """DOCUMENT-partitioned positional phrase batch: the bool_topk_docpart
+    shape — segment rows (WITH the pos sidecar) shuffle once per
+    (generation, salt) docID cell regardless of the query count, and each
+    cell scores + position-verifies its own docs. Correct per cell by the
+    salted-grid construction: a doc's postings AND positions for every
+    term live wholly inside its cell, so cell-local verification is
+    complete, every verified doc scores positive (all phrase terms are
+    scored), and the union of per-cell top-ks contains the global top-k.
+    Scores keep the sorted-term fold — bit-identical to the per-query
+    positional path and the source-verify path.
+
+    This is also how head-term slop phrases parallelize: the per-query
+    runner verifies one query in one task, while each cell here verifies
+    its own docID range concurrently."""
+    phrases = {int(qid): tokenize(text) for qid, text in queries}
+    all_terms = sorted({t for ph in phrases.values() for t in ph})
+    if not all_terms:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    plumb = _query_plumbing(spark, index_dir, all_terms, with_positions=True)
+    if plumb is None:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    segs, term_info, idf, state = plumb
+    subs: dict[int, list[tuple[int, float]]] = {}
+    live_phrases: dict[int, list[str]] = {}
+    for qid, ph in phrases.items():
+        if not ph or any(t not in term_info for t in set(ph)):
+            continue
+        live_phrases[qid] = ph
+        for t in sorted(set(ph)):
+            subs.setdefault(term_info[t][0], []).append((qid, idf[t]))
+    if not subs:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    tids = sorted(subs)
+    segs = segs.filter(F.col("term_id").isin(tids))
+    _tid_term = {ti[0]: t for t, ti in term_info.items()}
+    fwd_path, tomb_path = state["fwd_path"], state["tomb_path"]
+    seq, avgdl = state["seq"], state["avgdl"]
+    kk = int(k)
+    slop_b = int(slop)
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        from osu_elastic_indexer_spark.operators.state import (
+            load_norms,
+            load_tombstones,
+        )
+
+        norms = load_norms(fwd_path, seq)
+        tomb = load_tombstones(tomb_path, seq)
+        lo, span = _cell_bounds(pdf["doc_min"], pdf["doc_max"])
+        hi = lo + span - 1
+        cols = {c: pdf[c].to_numpy() for c in pdf.columns}
+        rows_by_tid: dict[int, list] = {}
+        for i in range(len(pdf)):
+            rows_by_tid.setdefault(int(cols["term_id"][i]), []).append(
+                (int(cols["doc_min"][i]),
+                 _row_to_enc_pos({c: cols[c][i] for c in pdf.columns}))
+            )
+        # decode once per term in this cell: CELL-LOCAL doc ids + tfn +
+        # positions (accumulators and keys sized to the cell span only)
+        decoded: dict[str, tuple] = {}
+        max_pos = 0
+        for tid, rows in rows_by_tid.items():
+            rows.sort(key=lambda e: e[0])
+            d_parts, tf_parts, pos_parts = [], [], []
+            for _dm, enc in rows:
+                d_i, tf_i = codec.decode_postings(enc)
+                d_parts.append(d_i)
+                tf_parts.append(tf_i)
+                pos_parts.append(codec.decode_positions(enc["pos_blob"], tf_i))
+            d = np.concatenate(d_parts)
+            tf = np.concatenate(tf_parts)
+            poss = np.concatenate(pos_parts)
+            if poss.size:
+                max_pos = max(max_pos, int(poss.max()))
+            dl = norms[d].astype(np.float64)
+            tfn = tf.astype(np.float64) / (
+                tf + K1 * ((1.0 - B) + (B * dl) / avgdl)
+            )
+            pstart = np.zeros(d.size + 1, dtype=np.int64)
+            np.cumsum(tf, out=pstart[1:])
+            decoded[_tid_term[tid]] = (d - lo, tf, poss, pstart, tfn)
+        out_q, out_d, out_s = [], [], []
+        for qid, phrase in live_phrases.items():
+            uniq = sorted(set(phrase))
+            if any(t not in decoded for t in uniq):
+                continue  # term absent from this cell -> no cell matches
+            sums = np.zeros(span, dtype=np.float64)
+            cnt = np.zeros(span, dtype=np.int16)
+            for t in uniq:  # sorted-term fold (bit-identical scores)
+                d, _tf, _poss, _pstart, tfn = decoded[t]
+                sums[d] += idf[t] * tfn
+                cnt[d] += 1
+            sums[cnt < len(uniq)] = 0.0
+            if tomb is not None and tomb.size:
+                tt = tomb[(tomb >= lo) & (tomb <= hi)]
+                if tt.size:
+                    sums[tt - lo] = 0.0
+            eligible = np.flatnonzero(sums > 0.0)
+            if eligible.size == 0:
+                continue
+            dec4 = {
+                t: (v[0], v[1], v[2], v[3]) for t, v in decoded.items()
+            }
+            verified = _verify_positions_cell(
+                phrase, dec4, eligible, max_pos + 1, slop_b
+            )
+            for dd in verified[
+                np.argsort(-sums[verified], kind="stable")[:kk]
+            ] if verified.size else []:
+                out_q.append(qid)
+                out_d.append(int(dd) + lo)
+                out_s.append(float(sums[dd]))
+        return pd.DataFrame(
+            {"query_id": out_q, "rank": [0] * len(out_q),
+             "doc_id": out_d, "score": out_s}
+        )
+
+    cells = segs.groupBy("generation", "salt").applyInPandas(
+        score_cell, RESULT_SCHEMA
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        cells.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 def _phrase_topk_positional(
     spark: SparkSession,
     index_dir: str,
@@ -1042,14 +1239,17 @@ def phrase_topk(
         raise ValueError("use_positions must be 'auto', 'never', or 'require'")
     # positional (v2) route: the index answers phrases alone — no source
     # scan, no candidate guard (work ∝ the phrase terms' posting volume);
-    # per-query shape only (docpart batches keep the source verify)
-    if use_positions != "never" and not docpart and index_has_positions(index_dir):
+    # docpart routes to the cell-parallel shape
+    if use_positions != "never" and index_has_positions(index_dir):
+        if docpart:
+            return phrase_topk_positional_docpart(
+                spark, index_dir, queries, k, slop
+            )
         return _phrase_topk_positional(spark, index_dir, queries, k, slop)
     if use_positions == "require":
         raise ValueError(
             "use_positions='require' needs a positional index "
-            "(build_index(positions=True)) and the per-query shape "
-            "(docpart=False)"
+            "(build_index(positions=True))"
         )
     if source is None:
         raise ValueError(

@@ -240,3 +240,36 @@ def test_incremental_refuses_positional_index(spark, pos_index, corpus_path):
         incremental_update(
             spark, spark.read.parquet(corpus_path), pos_index, "v1"
         )
+
+
+def test_positional_docpart_matches_per_query_multisalt(
+    spark, corpus_path, tmp_path
+):
+    """phrase_topk(docpart=True) on a positional index routes to the
+    cell-parallel shape; on a FORCED multi-salt grid it must stay
+    bit-identical to the per-query positional path across slops —
+    including a repeated-term phrase (per-doc fallback inside a cell)."""
+    cat = Catalog(str(tmp_path / "pos_salted"))
+    build_index(
+        spark, spark.read.parquet(corpus_path), cat, "v1",
+        positions=True, salt_group_cap=200,
+    )
+    idx = cat.index_dir("v1")
+    qs = [
+        (0, "the and"),
+        (1, "w00100 w00200"),
+        (2, "needletriple needletriple"),
+        (3, "and the"),
+    ]
+    for slop in (0, 1, 2):
+        a = sorted(
+            tuple(r)
+            for r in phrase_topk(spark, idx, None, qs, 10, slop=slop).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in phrase_topk(
+                spark, idx, None, qs, 10, slop=slop, docpart=True
+            ).collect()
+        )
+        assert a == b and a, f"slop={slop}"
