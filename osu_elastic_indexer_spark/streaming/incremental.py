@@ -123,13 +123,10 @@ def incremental_update(
     m = cat.read_manifest(schema_version)
     assert m is not None and m["phases"].get("commit"), "no base index to update"
     _assert_format(m, cat.index_name(schema_version))
-    if m.get("positions"):
-        raise NotImplementedError(
-            "incremental updates on a POSITIONAL (v2) index are not wired "
-            "yet — new generations would lack the pos sidecar and break "
-            "positional phrase queries; rebuild with build_index("
-            "positions=True) for now (docs/positional-postings.md)"
-        )
+    # positional (v2) indexes: every generation carries the pos sidecar —
+    # materialize_forward/build_segments_spimi thread the flag below, so
+    # multi-generation positional phrase queries stay correct
+    positions = bool(m.get("positions"))
     idx = cat.index_dir(schema_version)
     # T7 replay safety: remove anything a crashed generation left behind
     clean_orphan_generations(idx)
@@ -195,6 +192,7 @@ def incremental_update(
     staged = materialize_forward(
         spark, adds, fwd_gen_dir, dm_gen_dir,
         os.path.join(idx, "_fwd_stage"), start_id=start_id,
+        positions=positions,
     )
     n_add = int(staged["n_rows"])
     add_stats = staged["fwd"]  # {n, sum_dl, dl_min, postings}
@@ -382,6 +380,7 @@ def incremental_update(
         segs, _d, sub = build_segments_spimi(
             spark, fwd_new, id_span, cap, fwd_gen_dir, norms_ver,
             generation=gen, dictionary=dict_delta, n_terms=int(n_batch_terms),
+            positions=positions,
         )
         seg_gen_dir = f"{resolve_table_dir(idx, 'segments')}/gen={gen}"
         # blob-bytes counter rides the write job itself (CollectMetrics on
@@ -389,13 +388,13 @@ def incremental_update(
         from pyspark.sql import Observation
 
         obs = Observation(f"seg_bytes_gen{gen}")
+        blob_bytes = F.length("docs_blob") + F.length("tfs_blob")
+        if positions:
+            blob_bytes = blob_bytes + F.length("pos_blob")
         with arrow_batch_rows(spark, GROUP_BATCH_ROWS):
             segs.observe(
                 obs,
-                F.coalesce(
-                    F.sum(F.length("docs_blob") + F.length("tfs_blob")),
-                    F.lit(0),
-                ).alias("b"),
+                F.coalesce(F.sum(blob_bytes), F.lit(0)).alias("b"),
             ).sortWithinPartitions("term_id", "salt").write.mode(
                 "overwrite"
             ).option(
@@ -620,19 +619,20 @@ def compact_index(
                 spark, fwd, id_span, cap,
                 tuple(fwd_old_paths), int(m.get("commit_seq", 0)),
                 generation=0, dictionary=dictionary,
+                positions=bool(m.get("positions")),
             )
             # bytes counter rides the write (the only place it can shrink:
             # dead postings are gone after the rewrite)
             from pyspark.sql import Observation
 
             obs = Observation(f"compact_bytes_v{ver}")
+            cblob = F.length("docs_blob") + F.length("tfs_blob")
+            if m.get("positions"):
+                cblob = cblob + F.length("pos_blob")
             with arrow_batch_rows(spark, GROUP_BATCH_ROWS):
                 segs.observe(
                     obs,
-                    F.coalesce(
-                        F.sum(F.length("docs_blob") + F.length("tfs_blob")),
-                        F.lit(0),
-                    ).alias("b"),
+                    F.coalesce(F.sum(cblob), F.lit(0)).alias("b"),
                 ).sortWithinPartitions("term_id", "salt").write.mode(
                     "overwrite"
                 ).option(

@@ -231,15 +231,71 @@ def test_v1_queries_unaffected_on_positional_index(
     assert "pos_blob" not in plan, plan
 
 
-def test_incremental_refuses_positional_index(spark, pos_index, corpus_path):
+def test_incremental_and_compaction_carry_positions(
+    spark, corpus_path, tmp_path
+):
+    """Incremental generations on a positional index carry the sidecar:
+    after a CDC batch (adds + updates + flips) the positional phrase
+    paths — per-query, docpart, and serve — must equal the source-verify
+    path over the evolved source, across exact and slop; compaction then
+    rewrites to one generation and everything must still agree."""
+    import pyarrow.parquet as pqt
+
+    from osu_elastic_indexer_spark.operators.serve import LocalSearcher
+    from osu_elastic_indexer_spark.sources.fixtures import evolve_corpus
     from osu_elastic_indexer_spark.streaming.incremental import (
+        compact_index,
         incremental_update,
     )
 
-    with pytest.raises(NotImplementedError, match="POSITIONAL"):
-        incremental_update(
-            spark, spark.read.parquet(corpus_path), pos_index, "v1"
-        )
+    cat = Catalog(str(tmp_path / "pos_inc"))
+    build_index(
+        spark, spark.read.parquet(corpus_path), cat, "v1", positions=True
+    )
+    evolved_path = str(tmp_path / "evolved.parquet")
+    pqt.write_table(
+        evolve_corpus(pqt.read_table(corpus_path), n_new=80, n_update=40,
+                      n_flip=10),
+        evolved_path,
+    )
+    evolved = spark.read.parquet(evolved_path)
+    m = incremental_update(spark, evolved, cat, "v1")
+    assert int(m["generations"]) == 2
+    idx = cat.index_dir("v1")
+    assert index_has_positions(idx)
+    qs = [(0, "the and"), (1, "w00100 w00200"), (2, "and the")]
+
+    def check(tag):
+        for slop in (0, 2):
+            want = sorted(
+                tuple(r)
+                for r in phrase_topk(
+                    spark, idx, evolved, qs, 10, slop=slop,
+                    use_positions="never",
+                ).collect()
+            )
+            got_pq = sorted(
+                tuple(r)
+                for r in phrase_topk(
+                    spark, idx, None, qs, 10, slop=slop
+                ).collect()
+            )
+            got_dp = sorted(
+                tuple(r)
+                for r in phrase_topk(
+                    spark, idx, None, qs, 10, slop=slop, docpart=True
+                ).collect()
+            )
+            assert want == got_pq == got_dp and want, (tag, slop)
+        s = LocalSearcher(idx)
+        sv = s.search_phrase("the and", evolved_path, k=10, slop=1)
+        sp = s.search_phrase("the and", k=10, slop=1)
+        assert sv == sp and sp, tag
+
+    check("post-incremental")
+    compact_index(spark, cat, "v1")
+    assert index_has_positions(idx)
+    check("post-compaction")
 
 
 def test_positional_docpart_matches_per_query_multisalt(
