@@ -1148,6 +1148,22 @@ def q_phrase_bm25_topk_positional(spark, sf_dir):
     return _wand_result_as_oracle_shape(spark, idx_dir, res)
 
 
+def q_phrase_bm25_topk_positional_docpart(spark, sf_dir):
+    """Cell-parallel positional phrase batch shape: segment rows WITH the
+    pos sidecar shuffle once per (generation, salt) docID cell regardless
+    of query count; per-cell verification is complete by the salted-grid
+    construction. Shares the exact-phrase twin (scores bit-identical to
+    both other phrase paths)."""
+    from osu_elastic_indexer_spark.operators.boolquery import phrase_topk
+
+    idx_dir = _driver_index_dir(spark, sf_dir, positions=True)
+    res = phrase_topk(
+        spark, idx_dir, None, [(0, PHRASE_QUERY)], 10,
+        docpart=True, use_positions="require",
+    )
+    return _wand_result_as_oracle_shape(spark, idx_dir, res)
+
+
 def q_phrase_bm25_topk_positional_slop(spark, sf_dir):
     """Positional slop: the windowed span criterion runs on decoded
     position arrays index-side; shares the position-array DuckDB twin of
@@ -1402,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_bm25_topk": q_phrase_bm25_topk,
         "phrase_bm25_topk_slop": q_phrase_bm25_topk_slop,
         "phrase_bm25_topk_positional": q_phrase_bm25_topk_positional,
+        "phrase_bm25_topk_positional_docpart": q_phrase_bm25_topk_positional_docpart,
         "phrase_bm25_topk_positional_slop": q_phrase_bm25_topk_positional_slop,
         "prefix_bm25_topk": q_prefix_bm25_topk,
         "dedup_exact": q_dedup_exact,
@@ -1538,6 +1555,7 @@ FROM events GROUP BY event_type ORDER BY event_type
         "phrase_bm25_topk": _phrase_sql(PHRASE_QUERY, 10),
         "phrase_bm25_topk_slop": _phrase_slop_sql(PHRASE_QUERY, PHRASE_SLOP, 10),
         "phrase_bm25_topk_positional": _phrase_sql(PHRASE_QUERY, 10),
+        "phrase_bm25_topk_positional_docpart": _phrase_sql(PHRASE_QUERY, 10),
         "phrase_bm25_topk_positional_slop": _phrase_slop_sql(
             PHRASE_QUERY, PHRASE_SLOP, 10
         ),

@@ -275,3 +275,40 @@ def test_bool_query_plan_prunes_and_broadcasts(spark, tmp_path):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_positional_phrase_plan_prunes_and_broadcasts(spark, tmp_path):
+    """The positional phrase runner keeps the same scan discipline as
+    bool/wand: term_id IN pushed to the segments scan, qmap broadcast,
+    one FlatMapGroupsInPandas per shape — and the positions-FREE paths on
+    the same index must NOT read the sidecar (ReadSchema pruning)."""
+    from osu_elastic_indexer_spark.operators.boolquery import phrase_topk
+    from osu_elastic_indexer_spark.operators.build import build_index
+    from osu_elastic_indexer_spark.operators.wand import wand_topk
+    from osu_elastic_indexer_spark.sources.catalog import Catalog
+    from osu_elastic_indexer_spark.sources.fixtures import write_corpus
+
+    p = write_corpus(str(tmp_path / "c.parquet"), 300)
+    cat = Catalog(str(tmp_path / "idx"))
+    build_index(spark, spark.read.parquet(p), cat, "v1", positions=True)
+    df = phrase_topk(
+        spark, cat.index_dir("v1"), None, [(0, "the and")], k=5
+    )
+    full = df._jdf.queryExecution().toString()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in full and "term_id" in full.split("PushedFilters")[-1]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "pos_blob" in plan  # the positional runner DOES read the sidecar
+    dfd = phrase_topk(
+        spark, cat.index_dir("v1"), None, [(0, "the and")], k=5, docpart=True
+    )
+    pland = dfd._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in pland and "pos_blob" in pland
+    # positions-free query on the SAME index: sidecar pruned from the scan
+    wplan = (
+        wand_topk(spark, cat.index_dir("v1"), [(0, "the and")], 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "pos_blob" not in wplan
