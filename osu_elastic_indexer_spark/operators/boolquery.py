@@ -817,36 +817,76 @@ def _phrase_runner(state: dict, k: int, phrases_b: dict[int, list[str]],
             )
         if len(rows_by_term) < len(uniq):
             return empty  # a phrase term has no postings at all
+        # pass 1: decode docs+tfs only, score + conjunction-count (positions
+        # stay encoded until the candidate set is known)
         sums = np.zeros(norms.size, dtype=np.float64)
         must_cnt = np.zeros(norms.size, dtype=np.int16)
-        decoded: dict[str, tuple] = {}
+        term_rows: dict[str, list] = {}
         for t in uniq:  # sorted-term fold (scores == bool/source path)
             rows = rows_by_term[t]
             rows.sort(key=lambda r: r[0])
-            d_parts, tf_parts, pos_parts = [], [], []
+            decoded_rows = []
             for _dm, enc in rows:
                 d_i, tf_i = codec.decode_postings(enc)
-                d_parts.append(d_i)
-                tf_parts.append(tf_i)
-                pos_parts.append(codec.decode_positions(enc["pos_blob"], tf_i))
-            d = np.concatenate(d_parts)
-            tf = np.concatenate(tf_parts)
-            poss = np.concatenate(pos_parts)
-            dl = norms[d].astype(np.float64)
-            tfn = tf.astype(np.float64) / (
-                tf + K1 * ((1.0 - B) + (B * dl) / avgdl)
-            )
-            sums[d] += idf_by_term[t] * tfn
-            must_cnt[d] += 1
-            pstart = np.zeros(d.size + 1, dtype=np.int64)
-            np.cumsum(tf, out=pstart[1:])
-            decoded[t] = (d, tf, poss, pstart)
+                decoded_rows.append((enc, d_i, tf_i))
+                dl = norms[d_i].astype(np.float64)
+                tfn = tf_i.astype(np.float64) / (
+                    tf_i + K1 * ((1.0 - B) + (B * dl) / avgdl)
+                )
+                sums[d_i] += idf_by_term[t] * tfn
+                must_cnt[d_i] += 1
+            term_rows[t] = decoded_rows
         sums[must_cnt < len(uniq)] = 0.0
         if tomb is not None and tomb.size:
             sums[tomb[tomb < sums.size]] = 0.0
         eligible = np.flatnonzero(sums > 0.0)
         if eligible.size == 0:
             return empty
+        # pass 2: positions, BLOCK-SELECTED (the Lucene-skipping analog):
+        # only blocks whose [first, last] doc range contains a candidate
+        # decode their position bytes — for a "rare common" phrase the
+        # common term decodes ~df(rare) blocks instead of its whole list.
+        # Above half the blocks, the single whole-row decode wins (no
+        # per-block call overhead).
+        decoded: dict[str, tuple] = {}
+        BLK = codec.BLOCK
+        for t in uniq:
+            d_parts, tf_parts, pos_parts = [], [], []
+            for enc, d_i, tf_i in term_rows[t]:
+                bf = np.asarray(enc["block_first"], dtype=np.int64)
+                bl = np.asarray(enc["block_last"], dtype=np.int64)
+                nb = bf.size
+                i0 = np.searchsorted(eligible, bf)
+                needed = (i0 < eligible.size) & (
+                    eligible[np.minimum(i0, eligible.size - 1)] <= bl
+                )
+                n_need = int(needed.sum())
+                if n_need == 0:
+                    continue
+                if n_need > nb // 2:
+                    d_parts.append(d_i)
+                    tf_parts.append(tf_i)
+                    pos_parts.append(
+                        codec.decode_positions(enc["pos_blob"], tf_i)
+                    )
+                else:
+                    for b in np.flatnonzero(needed):
+                        sl = slice(int(b) * BLK, min((int(b) + 1) * BLK, d_i.size))
+                        tfb = tf_i[sl]
+                        d_parts.append(d_i[sl])
+                        tf_parts.append(tfb)
+                        pos_parts.append(
+                            codec.decode_positions_block(enc, tfb, int(b))
+                        )
+            if not d_parts:
+                return empty  # every candidate block vanished (can't happen
+                # for a true candidate, defensive for empty eligible overlap)
+            d = np.concatenate(d_parts)
+            tf = np.concatenate(tf_parts)
+            poss = np.concatenate(pos_parts)
+            pstart = np.zeros(d.size + 1, dtype=np.int64)
+            np.cumsum(tf, out=pstart[1:])
+            decoded[t] = (d, tf, poss, pstart)
         m = len(phrase)
         # fused (doc, adjusted-position) keys: adj ∈ [-(m-1), maxpos], so
         # +m keeps keys positive and +slop+2 headroom keeps a window query
