@@ -141,6 +141,10 @@ class LocalSearcher:
         self._rg_idx = np.asarray(rg_idx, dtype=np.int64)
         # bounded decoded-postings cache for the TAAT path (see search())
         self._decoded: dict[str, tuple] = {}
+        # bounded decoded-POSITIONS cache for the positional phrase path
+        # (term -> (docs, poss, pstart); same LRU discipline, own budget —
+        # positions volume ~= token volume, larger than postings)
+        self._pos_decoded: dict[str, tuple] = {}
 
     def _load_term_rows(
         self, term_ids: list[int], with_positions: bool = False
@@ -514,12 +518,16 @@ class LocalSearcher:
         infos = {t: self._dict.get(t) for t in set(ph)}
         if any(v is None for v in infos.values()):
             return []
-        rows = self._load_term_rows(
-            [int(v[0]) for v in infos.values()], with_positions=True
+        need = [t for t in infos if t not in self._pos_decoded]
+        rows = (
+            self._load_term_rows(
+                [int(infos[t][0]) for t in need], with_positions=True
+            )
+            if need
+            else {}
         )
-        decoded: dict[str, tuple] = {}
-        for t, (tid, _df) in infos.items():
-            rl = rows.get(int(tid)) or []
+        for t in need:
+            rl = rows.get(int(infos[t][0])) or []
             d_parts, tf_parts, pos_parts = [], [], []
             for enc in rl:  # already doc_min-sorted by _load_term_rows
                 d_i, tf_i = _codec.decode_postings(enc)
@@ -535,7 +543,23 @@ class LocalSearcher:
             poss = np.concatenate(pos_parts)
             pstart = np.zeros(d.size + 1, dtype=np.int64)
             np.cumsum(tf, out=pstart[1:])
-            decoded[t] = (d, poss, pstart)
+            self._pos_decoded[t] = (d, poss, pstart)
+        decoded: dict[str, tuple] = {}
+        for t in infos:
+            entry = self._pos_decoded.pop(t, None)
+            if entry is None:
+                return []
+            self._pos_decoded[t] = entry  # LRU move-to-end on hit
+            decoded[t] = entry
+        # bound: evict from the head until under budget (positions volume)
+        total = sum(p.size for _d, p, _ps in self._pos_decoded.values())
+        while (
+            total > _DECODE_CACHE_MAX_POSTINGS
+            and len(self._pos_decoded) > len(infos)
+        ):
+            _t, (_d, p, _ps) = next(iter(self._pos_decoded.items()))
+            del self._pos_decoded[_t]
+            total -= p.size
         out = []
         for doc, score in cands:
             occ = []

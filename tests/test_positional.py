@@ -186,11 +186,15 @@ def test_serve_positional_phrase(pos_index, pos_truth):
     assert s.positions
     orc = oracle.build_index(sorted(texts.items()))
     toks = tokenize(texts[min(texts)])
-    for q, slop in ((" ".join(toks[2:4]), 0), (" ".join(toks[2:4]), 2),
-                    ("the and", 1)):
-        got = s.search_phrase(q, k=10, slop=slop)
-        expect = oracle.search_phrase(orc, texts, q, k=10, slop=slop)
-        assert_rank_identical(got, expect, msg=f"serve pos {q!r} slop={slop}")
+    for _repeat in range(2):  # second pass exercises the positions cache
+        for q, slop in ((" ".join(toks[2:4]), 0), (" ".join(toks[2:4]), 2),
+                        ("the and", 1)):
+            got = s.search_phrase(q, k=10, slop=slop)
+            expect = oracle.search_phrase(orc, texts, q, k=10, slop=slop)
+            assert_rank_identical(
+                got, expect, msg=f"serve pos {q!r} slop={slop}"
+            )
+    assert s._pos_decoded  # the cache actually holds decoded positions
 
 
 def test_serve_requires_source_without_positions(v1_index, corpus_path):
