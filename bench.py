@@ -186,6 +186,22 @@ def main() -> None:
         ).count()
         ts.append(round(time.time() - t0, 3))
     extras["phrase_stopword_slop_pos_sec"] = min(ts)
+    ts = []
+    for _ in range(2):
+        t0 = time.time()
+        phrase_topk(
+            spark, pos_idx, None, [(0, "the and")], 10, slop=1, docpart=True
+        ).count()
+        ts.append(round(time.time() - t0, 3))
+    extras["phrase_stopword_slop_pos_docpart_sec"] = min(ts)
+    ts = []
+    for _ in range(2):
+        t0 = time.time()
+        phrase_topk(
+            spark, pos_idx, None, [(0, "w00100 the")], 10
+        ).count()
+        ts.append(round(time.time() - t0, 3))
+    extras["phrase_rare_common_pos_sec"] = min(ts)
     _sh.rmtree(pos_root, ignore_errors=True)
 
     # ---- serving-tier p50 (no Spark job per query; the ES-analog path) -----

@@ -46,12 +46,13 @@ over our own index format:
     a plain docmap/source DataFrame filter instead).
 
     Memory envelope (per-query path): the runner allocates dense per-query
-    accumulators sized to the CORPUS docID span (float64 sums + int16
-    required-count + bool exclusion ≈ 11 bytes/doc) per concurrently
-    running query group — same shape as the TAAT note at wand.py
-    ``taat_topk``. Executor memory is therefore n_docs × concurrent
-    groups; LARGE batches belong on ``bool_topk_docpart``, whose
-    accumulators are sized to the (generation, salt) CELL span only and
+    accumulators sized to the query's OBSERVED docID range (min doc_min ..
+    max doc_max over its segment rows; float64 sums + int16 required-count
+    + bool exclusion ≈ 11 bytes/doc-in-range) per concurrently running
+    query group — a rare-term query allocates its term span, and only a
+    head-term query approaches the corpus span (the wand.py ``taat_topk``
+    note's envelope). LARGE batches still belong on ``bool_topk_docpart``,
+    whose accumulators are sized to the (generation, salt) CELL span and
     whose shuffle volume is independent of the batch size.
 
 ``phrase_topk``
@@ -240,19 +241,29 @@ def _query_plumbing(
     return segs, term_info, idf, state
 
 
-def _struct_mask(size: int, fr: dict, docmap_path, seq: int) -> np.ndarray:
+def _struct_mask_range(
+    lo: int, span: int, fr: dict, docmap_path, seq: int
+) -> np.ndarray:
     """Dense boolean eligibility mask for a filter_range spec (AND over
-    fields), built from the per-worker-cached docmap range scans."""
+    fields) over the docID window [lo, lo+span), built from the
+    per-worker-cached docmap range scans — sized to the caller's
+    accumulator range, never the corpus."""
     from osu_elastic_indexer_spark.operators.state import load_docids_in_range
 
     mask = None
     for field in sorted(fr):
-        lo, hi = fr[field]
-        ids = load_docids_in_range(docmap_path, seq, field, lo, hi)
-        m = np.zeros(size, dtype=bool)
-        m[ids[ids < size]] = True
+        flo, fhi = fr[field]
+        ids = load_docids_in_range(docmap_path, seq, field, flo, fhi)
+        sel = ids[(ids >= lo) & (ids < lo + span)] - lo
+        m = np.zeros(span, dtype=bool)
+        m[sel] = True
         mask = m if mask is None else (mask & m)
     return mask
+
+
+def _struct_mask(size: int, fr: dict, docmap_path, seq: int) -> np.ndarray:
+    """Corpus-anchored variant (window [0, size)) of _struct_mask_range."""
+    return _struct_mask_range(0, size, fr, docmap_path, seq)
 
 
 def _pad_zero_score(top: list, kk: int, eligible0: np.ndarray) -> list:
@@ -306,9 +317,16 @@ def _bool_runner(state: dict, k: int, franges: dict[int, dict]):
                 (int(cols["doc_min"][i]),
                  _row_to_enc({c: cols[c][i] for c in pdf.columns}))
             )
-        sums = np.zeros(norms.size, dtype=np.float64)
-        must_cnt = np.zeros(norms.size, dtype=np.int16)
-        excluded = np.zeros(norms.size, dtype=bool)
+        # per-query accumulators sized to the query's observed docID RANGE
+        # (min doc_min .. max doc_max over its segment rows), not the
+        # corpus: a rare-term query allocates its term span, only a
+        # head-term query approaches O(n_docs). (ADVICE r4: "size
+        # accumulators to the group's doc range like score_cell does".)
+        lo = int(cols["doc_min"].min())
+        span = int(cols["doc_max"].max()) - lo + 1
+        sums = np.zeros(span, dtype=np.float64)
+        must_cnt = np.zeros(span, dtype=np.int16)
+        excluded = np.zeros(span, dtype=bool)
         seen_must = 0
         # sorted-term accumulation: same left fold as taat_topk/the oracle
         for t in sorted(per_term):
@@ -317,23 +335,26 @@ def _bool_runner(state: dict, k: int, franges: dict[int, dict]):
             parts = [codec.decode_postings(enc) for _dm, enc in e["rows"]]
             d = np.concatenate([p[0] for p in parts])
             role = e["role"]
+            dl_ = d - lo
             if role & _SCORED:
                 tf = np.concatenate([p[1] for p in parts]).astype(np.float64)
                 dl = norms[d].astype(np.float64)
                 tfn = tf / (tf + K1 * ((1.0 - B) + (B * dl) / avgdl))
-                sums[d] += e["idf"] * tfn
+                sums[dl_] += e["idf"] * tfn
             if role & _MUST:
-                must_cnt[d] += 1
+                must_cnt[dl_] += 1
                 seen_must += 1
             if role & _MUST_NOT:
-                excluded[d] = True
+                excluded[dl_] = True
         if seen_must < n_must:
             # a required term had no segment rows (deleted-only
             # generations): nothing can match all clauses
             return empty
         fr = franges.get(qid)
         struct = (
-            _struct_mask(norms.size, fr, docmap_path, seq) if fr else None
+            _struct_mask_range(lo, span, fr, docmap_path, seq)
+            if fr
+            else None
         )
         if n_must:
             sums[must_cnt < n_must] = 0.0
@@ -341,8 +362,8 @@ def _bool_runner(state: dict, k: int, franges: dict[int, dict]):
         if struct is not None:
             sums[~struct] = 0.0
         if tomb is not None and tomb.size:
-            tt = tomb[tomb < sums.size]
-            sums[tt] = 0.0
+            tt = tomb[(tomb >= lo) & (tomb < lo + span)]
+            sums[tt - lo] = 0.0
         top = topk_from_dense(sums, kk)
         if n_must and len(top) < kk:
             # filter-context zero-score tail (docs matching all required
@@ -352,8 +373,10 @@ def _bool_runner(state: dict, k: int, franges: dict[int, dict]):
             if struct is not None:
                 eligible0 &= struct
             if tomb is not None and tomb.size:
-                eligible0[tomb[tomb < eligible0.size]] = False
+                tt = tomb[(tomb >= lo) & (tomb < lo + span)]
+                eligible0[tt - lo] = False
             top = _pad_zero_score(top, kk, eligible0)
+        top = [(s, d + lo) for s, d in top]
         return pd.DataFrame(
             {
                 "query_id": [qid] * len(top),
@@ -818,9 +841,13 @@ def _phrase_runner(state: dict, k: int, phrases_b: dict[int, list[str]],
         if len(rows_by_term) < len(uniq):
             return empty  # a phrase term has no postings at all
         # pass 1: decode docs+tfs only, score + conjunction-count (positions
-        # stay encoded until the candidate set is known)
-        sums = np.zeros(norms.size, dtype=np.float64)
-        must_cnt = np.zeros(norms.size, dtype=np.int16)
+        # stay encoded until the candidate set is known). Accumulators are
+        # sized to the query's observed docID RANGE, not the corpus (the
+        # bool-runner envelope).
+        lo = int(cols["doc_min"].min())
+        acc_span = int(cols["doc_max"].max()) - lo + 1
+        sums = np.zeros(acc_span, dtype=np.float64)
+        must_cnt = np.zeros(acc_span, dtype=np.int16)
         term_rows: dict[str, list] = {}
         for t in uniq:  # sorted-term fold (scores == bool/source path)
             rows = rows_by_term[t]
@@ -833,13 +860,14 @@ def _phrase_runner(state: dict, k: int, phrases_b: dict[int, list[str]],
                 tfn = tf_i.astype(np.float64) / (
                     tf_i + K1 * ((1.0 - B) + (B * dl) / avgdl)
                 )
-                sums[d_i] += idf_by_term[t] * tfn
-                must_cnt[d_i] += 1
+                sums[d_i - lo] += idf_by_term[t] * tfn
+                must_cnt[d_i - lo] += 1
             term_rows[t] = decoded_rows
         sums[must_cnt < len(uniq)] = 0.0
         if tomb is not None and tomb.size:
-            sums[tomb[tomb < sums.size]] = 0.0
-        eligible = np.flatnonzero(sums > 0.0)
+            tt = tomb[(tomb >= lo) & (tomb < lo + acc_span)]
+            sums[tt - lo] = 0.0
+        eligible = np.flatnonzero(sums > 0.0) + lo  # GLOBAL docIDs
         if eligible.size == 0:
             return empty
         # pass 2: positions, BLOCK-SELECTED (the Lucene-skipping analog):
@@ -945,15 +973,15 @@ def _phrase_runner(state: dict, k: int, phrases_b: dict[int, list[str]],
             verified = _verify_per_doc(eligible, phrase, decoded, slop)
         if len(verified) == 0:
             return empty
-        mask = np.zeros(norms.size, dtype=bool)
-        mask[np.asarray(verified, dtype=np.int64)] = True
+        mask = np.zeros(acc_span, dtype=bool)
+        mask[np.asarray(verified, dtype=np.int64) - lo] = True
         sums[~mask] = 0.0
         top = topk_from_dense(sums, kk)
         return pd.DataFrame(
             {
                 "query_id": [qid] * len(top),
                 "rank": list(range(1, len(top) + 1)),
-                "doc_id": [dd for _s, dd in top],
+                "doc_id": [dd + lo for _s, dd in top],
                 "score": [s for s, _d in top],
             }
         )

@@ -274,13 +274,13 @@ def topk_from_dense(sums: np.ndarray, k: int) -> list[tuple[float, int]]:
 # holds. Beyond the cap, per-term decode volume makes block-max skipping
 # the only sub-linear option.
 #
-# The same per-query O(n_docs) dense-accumulator envelope applies to the
-# bool per-query path (boolquery._bool_runner: float64 sums + int16
-# must-count + bool exclusion ~ 11 bytes/doc x concurrent query groups).
-# Large batches on either path belong on the docpart variants, whose
-# accumulators are sized to the (generation, salt) CELL span only
-# (boolquery._cell_bounds; pinned by
-# tests/test_boolquery.py::test_docpart_accumulators_are_cell_sized).
+# The bool/phrase per-query runners (boolquery._bool_runner /
+# _phrase_runner) tighten this envelope to the query's OBSERVED docID
+# range (min doc_min .. max doc_max over its segment rows ~ 11 bytes per
+# doc-in-range): only head-term queries approach O(n_docs). Large batches
+# on any path belong on the docpart variants, whose accumulators are
+# sized to the (generation, salt) CELL span only (boolquery._cell_bounds;
+# pinned by tests/test_boolquery.py::test_docpart_accumulators_are_cell_sized).
 TAAT_MAX_POSTINGS = 10_000_000
 
 
