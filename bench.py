@@ -75,14 +75,16 @@ def main() -> None:
     docs = spark.read.parquet(corpus_path)
     build_runs = []
     for attempt in range(2):
+        # ALWAYS two runs (disclosed in build_sec_runs): single shots swing
+        # ~2x at sf0.1 (measured 18.2 / 11.6 / 10.8 back-to-back, and a
+        # fast-then-slow 12.3 / 18.6 pair) — the box's degradation windows
+        # plus first-build python-worker spawn. min is the real cost; the
+        # old clean-window early-exit kept whatever the first shot was.
         root = f"/tmp/oei_bench/idx_{n_docs}_{cpus}_{os.getpid()}_{attempt}"
         cat = Catalog(root)
         t0 = time.time()
         manifest = build_index(spark, docs, cat, "bench")
         build_runs.append((round(time.time() - t0, 3), root, manifest))
-        rate = build_runs[0][2]["counters"]["docs"] / max(build_runs[0][0], 1e-9)
-        if attempt == 0 and rate > 4000:
-            break  # clean-window rate: one run is enough signal
     build_runs.sort(key=lambda r: r[0])
     t_build, root, manifest = build_runs[0]
     for _t, extra_root, _m in build_runs[1:]:
