@@ -103,11 +103,18 @@ def _bool_sql(spec: dict, k: int = 10) -> str:
     should = sorted(set(tokenize(spec.get("should") or "")))
     mnot = sorted(set(tokenize(spec.get("must_not") or "")))
     filt = sorted(set(tokenize(spec.get("filter") or "")))
+    msm = int(spec.get("minimum_should_match") or 0)
     scored = ", ".join(f"'{t}'" for t in sorted(set(must) | set(should)))
     conds = [
         f"doc_id IN (SELECT doc_id FROM tf WHERE term = '{t}')"
         for t in sorted(set(must) | set(filt))
     ]
+    if msm:
+        slist = ", ".join(f"'{t}'" for t in should)
+        conds.append(
+            f"doc_id IN (SELECT doc_id FROM tf WHERE term IN ({slist}) "
+            f"GROUP BY doc_id HAVING count(DISTINCT term) >= {msm})"
+        )
     if mnot:
         nlist = ", ".join(f"'{t}'" for t in mnot)
         conds.append(
@@ -1027,6 +1034,12 @@ BOOL_FILTER_SPEC = {
     "filter": "vector",
     "filter_range": {"url": ("%012d" % 50, "%012d" % 350)},
 }
+# ES minimum_should_match: >= 2 of the 3 should terms must match
+BOOL_MSM_SPEC = {
+    "should": "hash join merge",
+    "must_not": "stream",
+    "minimum_should_match": 2,
+}
 PHRASE_QUERY = "hash join"
 PHRASE_SLOP = 2  # admits one-gap ("hash X join") and transposed ("join hash")
 PREFIX_QUERY = "s"  # expands to scan/slow/small/sort/spark/stream
@@ -1073,6 +1086,19 @@ def q_bool_bm25_topk_filtered(spark, sf_dir):
 
     idx_dir = _driver_index_dir(spark, sf_dir)
     res = bool_topk(spark, idx_dir, [(0, BOOL_FILTER_SPEC)], 10)
+    return _wand_result_as_oracle_shape(spark, idx_dir, res)
+
+
+def q_bool_bm25_topk_msm(spark, sf_dir):
+    """ES minimum_should_match parity: eligibility additionally requires
+    matching >= N DISTINCT should terms (counted via a _SHOULD role bit in
+    the same dense pass); scores of surviving docs stay bit-identical to
+    the plain disjunction. Twin restricts by a HAVING count(DISTINCT term)
+    subquery over the should set."""
+    from osu_elastic_indexer_spark.operators.boolquery import bool_topk
+
+    idx_dir = _driver_index_dir(spark, sf_dir)
+    res = bool_topk(spark, idx_dir, [(0, BOOL_MSM_SPEC)], 10)
     return _wand_result_as_oracle_shape(spark, idx_dir, res)
 
 
@@ -1415,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_bm25_topk": q_bool_bm25_topk,
         "bool_bm25_topk_docpart": q_bool_bm25_topk_docpart,
         "bool_bm25_topk_filtered": q_bool_bm25_topk_filtered,
+        "bool_bm25_topk_msm": q_bool_bm25_topk_msm,
         "phrase_bm25_topk": q_phrase_bm25_topk,
         "phrase_bm25_topk_slop": q_phrase_bm25_topk_slop,
         "phrase_bm25_topk_positional": q_phrase_bm25_topk_positional,
@@ -1552,6 +1579,7 @@ FROM events GROUP BY event_type ORDER BY event_type
         "bool_bm25_topk": _bool_sql(BOOL_SPEC, 10),
         "bool_bm25_topk_docpart": _bool_sql(BOOL_SPEC, 10),
         "bool_bm25_topk_filtered": _bool_sql(BOOL_FILTER_SPEC, 10),
+        "bool_bm25_topk_msm": _bool_sql(BOOL_MSM_SPEC, 10),
         "phrase_bm25_topk": _phrase_sql(PHRASE_QUERY, 10),
         "phrase_bm25_topk_slop": _phrase_slop_sql(PHRASE_QUERY, PHRASE_SLOP, 10),
         "phrase_bm25_topk_positional": _phrase_sql(PHRASE_QUERY, 10),

@@ -154,6 +154,8 @@ def cmd_search(args) -> int:
             spec["filter"] = args.filter
         if args.filter_url_range:
             spec["filter_range"] = {"url": tuple(args.filter_url_range)}
+        if args.minimum_should_match:
+            spec["minimum_should_match"] = args.minimum_should_match
     if args.local:
         # serving path: no Spark session, millisecond latency
         from .operators.serve import LocalSearcher
@@ -346,6 +348,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--filter", default=None,
                    help="bool query: required but UNSCORED terms "
                         "(ES filter context)")
+    s.add_argument("--minimum-should-match", dest="minimum_should_match",
+                   type=int, default=0,
+                   help="require >= N distinct --should terms to match "
+                        "(ES minimum_should_match)")
     s.add_argument("--filter-url-range", dest="filter_url_range", nargs=2,
                    metavar=("LO", "HI"), default=None,
                    help="structured filter: restrict to docs whose url "

@@ -23,6 +23,14 @@ over our own index format:
                   must AND every filter clause matches);
       * must_not: boolean exclusion mask (any posting excludes the doc).
 
+    ``minimum_should_match``: eligibility additionally requires matching
+    at least N DISTINCT should terms (counted via a _SHOULD role bit in
+    the same dense pass; ES's parameter of the same name — integer form).
+    Defaults follow ES: 0 with required clauses present, and pure-should
+    queries already require >=1 scored match by construction. No
+    zero-score tail can exist under msm >= 1 (a should match always
+    contributes positive score).
+
     ES filter context (all four bool clause types): ``filter`` terms are
     required like must but contribute ZERO score — a doc that matches
     every required clause yet no scored term matches with score 0.0
@@ -121,8 +129,12 @@ from .wand import (
 _SCORED = 1
 _MUST = 2
 _MUST_NOT = 4
+_SHOULD = 8  # counted for minimum_should_match eligibility
 
-_SPEC_KEYS = {"must", "should", "must_not", "filter", "filter_range"}
+_SPEC_KEYS = {
+    "must", "should", "must_not", "filter", "filter_range",
+    "minimum_should_match",
+}
 # structured fields the docmap carries (url = document key — the analog of
 # scores.json's range-indexed `id`; warc_ts = the capture timestamp)
 _RANGE_FIELDS = {"url", "warc_ts"}
@@ -189,6 +201,22 @@ def _check_spec(spec: dict, s: dict[str, list[str]]) -> dict[str, tuple]:
             "filters over the docmap/source instead"
         )
     return fr
+
+
+def _get_msm(spec: dict, s: dict[str, list[str]]) -> int:
+    """Validated ES ``minimum_should_match``: a doc must match at least
+    this many DISTINCT should terms (in addition to must/filter/must_not).
+    0 keeps the defaults ES uses — with required clauses should is
+    optional; pure-should already demands >=1 match by construction. A
+    value above len(should) simply yields empty, like ES."""
+    msm = spec.get("minimum_should_match") or 0
+    if not isinstance(msm, int) or isinstance(msm, bool) or msm < 0:
+        raise ValueError("minimum_should_match must be a non-negative int")
+    if msm and not s["should"]:
+        raise ValueError(
+            "minimum_should_match requires should clauses to count"
+        )
+    return msm
 
 
 def index_has_positions(index_dir: str) -> bool:
@@ -302,6 +330,7 @@ def _bool_runner(state: dict, k: int, franges: dict[int, dict]):
         tomb = load_tombstones(tomb_path, seq)
         qid = int(pdf["query_id"].iloc[0])
         n_must = int(pdf["n_must"].iloc[0])
+        n_msm = int(pdf["n_msm"].iloc[0])
         cols = {c: pdf[c].to_numpy() for c in pdf.columns}
         # group this query's segment rows per term (rows ordered by doc_min
         # before decode: disjoint ranges concatenate in docID order)
@@ -326,6 +355,7 @@ def _bool_runner(state: dict, k: int, franges: dict[int, dict]):
         span = int(cols["doc_max"].max()) - lo + 1
         sums = np.zeros(span, dtype=np.float64)
         must_cnt = np.zeros(span, dtype=np.int16)
+        should_cnt = np.zeros(span, dtype=np.int16) if n_msm else None
         excluded = np.zeros(span, dtype=bool)
         seen_must = 0
         # sorted-term accumulation: same left fold as taat_topk/the oracle
@@ -344,6 +374,8 @@ def _bool_runner(state: dict, k: int, franges: dict[int, dict]):
             if role & _MUST:
                 must_cnt[dl_] += 1
                 seen_must += 1
+            if role & _SHOULD and n_msm:
+                should_cnt[dl_] += 1
             if role & _MUST_NOT:
                 excluded[dl_] = True
         if seen_must < n_must:
@@ -358,6 +390,8 @@ def _bool_runner(state: dict, k: int, franges: dict[int, dict]):
         )
         if n_must:
             sums[must_cnt < n_must] = 0.0
+        if n_msm:
+            sums[should_cnt < n_msm] = 0.0
         sums[excluded] = 0.0
         if struct is not None:
             sums[~struct] = 0.0
@@ -365,7 +399,10 @@ def _bool_runner(state: dict, k: int, franges: dict[int, dict]):
             tt = tomb[(tomb >= lo) & (tomb < lo + span)]
             sums[tt - lo] = 0.0
         top = topk_from_dense(sums, kk)
-        if n_must and len(top) < kk:
+        # zero-score tail is impossible under msm: matching a should term
+        # always contributes positive score, so should_cnt >= msm >= 1
+        # implies score > 0
+        if n_must and not n_msm and len(top) < kk:
             # filter-context zero-score tail (docs matching all required
             # clauses but no scored term) — a no-op unless the scored set
             # excludes some required docs (filter-only / filter+should)
@@ -412,6 +449,10 @@ def bool_topk(
         for (qid, s), (_qid2, raw) in zip(specs, queries)
         if (fr := _check_spec(raw, s))
     }
+    msms = {
+        qid: _get_msm(raw, s)
+        for (qid, s), (_qid2, raw) in zip(specs, queries)
+    }
     all_terms = sorted(
         {t for _qid, s in specs for r in s.values() for t in r}
     )
@@ -432,6 +473,9 @@ def bool_topk(
         for t in scored:
             if t in term_info:
                 roles[t] = roles.get(t, 0) | _SCORED
+        for t in s["should"]:
+            if t in term_info:
+                roles[t] = roles.get(t, 0) | _SHOULD
         for t in required:
             roles[t] = roles.get(t, 0) | _MUST
         for t in s["must_not"]:
@@ -442,14 +486,15 @@ def bool_topk(
         n_required = len(required)
         for t, role in roles.items():
             qmap_rows.append(
-                (qid, t, term_info[t][0], idf[t], role, n_required)
+                (qid, t, term_info[t][0], idf[t], role, n_required,
+                 msms[qid])
             )
     if not qmap_rows:
         return spark.createDataFrame([], RESULT_SCHEMA)
     qmap = spark.createDataFrame(
         qmap_rows,
         "query_id bigint, term string, term_id bigint, idf double, "
-        "role int, n_must int",
+        "role int, n_must int, n_msm int",
     )
     grouped = segs.join(F.broadcast(qmap), "term_id")
     return grouped.groupBy("query_id").applyInPandas(
@@ -499,6 +544,11 @@ def bool_topk_docpart(
     # counts, closure-shipped (bounded by the batch vocabulary)
     subs: dict[int, list[tuple[int, float, int]]] = {}
     n_must_by_q: dict[int, int] = {}
+    n_msm_by_q: dict[int, int] = {}
+    msms = {
+        qid: _get_msm(raw, s)
+        for (qid, s), (_qid2, raw) in zip(specs, queries)
+    }
     for qid, s in specs:
         required = sorted(set(s["must"]) | set(s["filter"]))
         if any(t not in term_info for t in required):
@@ -508,6 +558,9 @@ def bool_topk_docpart(
         for t in scored:
             if t in term_info:
                 roles[t] = roles.get(t, 0) | _SCORED
+        for t in s["should"]:
+            if t in term_info:
+                roles[t] = roles.get(t, 0) | _SHOULD
         for t in required:
             roles[t] = roles.get(t, 0) | _MUST
         for t in s["must_not"]:
@@ -516,6 +569,7 @@ def bool_topk_docpart(
         if not roles:
             continue
         n_must_by_q[qid] = len(required)
+        n_msm_by_q[qid] = msms[qid]
         for t, role in roles.items():
             subs.setdefault(term_info[t][0], []).append((qid, idf[t], role))
     if not subs:
@@ -582,8 +636,10 @@ def bool_topk_docpart(
         out_q, out_d, out_s = [], [], []
         for qid, tl in q_terms.items():
             n_must = n_must_by_q[qid]
+            n_msm = n_msm_by_q[qid]
             sums = np.zeros(span, dtype=np.float64)
             must_cnt = np.zeros(span, dtype=np.int16) if n_must else None
+            should_cnt = np.zeros(span, dtype=np.int16) if n_msm else None
             excluded = None
             # sorted-TERM fold (same order as bool_topk/the oracle)
             for qidf, tid, role in sorted(
@@ -594,6 +650,8 @@ def bool_topk_docpart(
                     sums[d] += qidf * tfn
                 if role & _MUST:
                     must_cnt[d] += 1
+                if role & _SHOULD and n_msm:
+                    should_cnt[d] += 1
                 if role & _MUST_NOT:
                     if excluded is None:
                         excluded = np.zeros(span, dtype=bool)
@@ -602,6 +660,8 @@ def bool_topk_docpart(
             struct = _cell_struct(lo, span, fr) if fr else None
             if n_must:
                 sums[must_cnt < n_must] = 0.0
+            if n_msm:
+                sums[should_cnt < n_msm] = 0.0
             if excluded is not None:
                 sums[excluded] = 0.0
             if struct is not None:
@@ -611,7 +671,8 @@ def bool_topk_docpart(
                 if tt.size:
                     sums[tt - lo] = 0.0
             top = topk_from_dense(sums, kk)
-            if n_must and len(top) < kk:
+            # (no zero-score tail under msm — a should match always scores)
+            if n_must and not n_msm and len(top) < kk:
                 # per-cell filter-context zero-score tail (see module doc:
                 # zero docs rank below every positive doc globally, so
                 # padding each cell to k keeps the union argument exact)

@@ -315,6 +315,7 @@ class LocalSearcher:
         from ..sources.catalog import committed_gen_paths
         from .boolquery import (
             _check_spec,
+            _get_msm,
             _normalize_spec,
             _pad_zero_score,
             _struct_mask,
@@ -323,6 +324,8 @@ class LocalSearcher:
 
         s = _normalize_spec(spec)
         fr = _check_spec(spec, s)
+        msm = _get_msm(spec, s)
+        should_set = set(s["should"])
         must, mnot = s["must"], s["must_not"]
         scored = set(must) | set(s["should"])
         required = sorted(set(must) | set(s["filter"]))
@@ -344,6 +347,9 @@ class LocalSearcher:
         must_cnt = (
             np.zeros(self.norms.size, dtype=np.int16) if required else None
         )
+        should_cnt = (
+            np.zeros(self.norms.size, dtype=np.int16) if msm else None
+        )
         excluded = None
         seen_must = 0
         for t, (tid, df) in infos:  # sorted-term order (all_terms sorted)
@@ -357,6 +363,8 @@ class LocalSearcher:
             if t in required:
                 must_cnt[d] += 1
                 seen_must += 1
+            if t in should_set and msm:
+                should_cnt[d] += 1
             if t in mnot:
                 if excluded is None:
                     excluded = np.zeros(self.norms.size, dtype=bool)
@@ -375,6 +383,8 @@ class LocalSearcher:
             if seen_must < len(required):
                 return []
             sums[must_cnt < len(required)] = 0.0
+        if msm:
+            sums[should_cnt < msm] = 0.0
         if excluded is not None:
             sums[excluded] = 0.0
         if struct is not None:
@@ -383,7 +393,8 @@ class LocalSearcher:
             tt = self.tombstones[self.tombstones < sums.size]
             sums[tt] = 0.0
         top = topk_from_dense(sums, k)
-        if required and len(top) < k:
+        # (no zero-score tail under msm — a should match always scores)
+        if required and not msm and len(top) < k:
             eligible0 = (must_cnt >= len(required)) & (sums <= 0.0)
             if excluded is not None:
                 eligible0 &= ~excluded

@@ -118,6 +118,8 @@ def search_bool(
     should = _clause_terms(spec.get("should"))
     mnot = _clause_terms(spec.get("must_not"))
     filt = _clause_terms(spec.get("filter"))
+    msm = int(spec.get("minimum_should_match") or 0)
+    should_set = set(should)
     required = sorted(set(must) | set(filt))
     if any(t not in index.postings for t in required):
         return []
@@ -136,6 +138,10 @@ def search_bool(
         if any(d not in index.postings[t] for t in required):
             return False
         if any(d in index.postings.get(t, {}) for t in mnot):
+            return False
+        if msm and sum(
+            d in index.postings.get(t, {}) for t in should_set
+        ) < msm:
             return False
         return allowed_docs is None or d in allowed_docs
 

@@ -62,6 +62,13 @@ BOOL_SPECS = [
     {"filter": "w00100", "should": "w00200"},  # zero-score tail mixes in
     {"must": "the", "filter": "xyzzyabsent"},  # absent filter -> empty
     {"filter": "the", "must_not": "w00100"},  # filter + exclusion
+    # minimum_should_match: >= N DISTINCT should terms must match
+    {"should": "the and of", "minimum_should_match": 2},
+    {"should": "the and of", "minimum_should_match": 3},
+    {"must": "the", "should": "w00100 w00200", "minimum_should_match": 1},
+    {"should": "w00100 xyzzyabsent", "minimum_should_match": 2},  # -> empty
+    {"filter": "the", "should": "w00100 w00200", "minimum_should_match": 1},
+    {"should": "the and of", "minimum_should_match": 4},  # > len -> empty
 ]
 
 
@@ -197,6 +204,9 @@ def test_bool_spec_validation_errors(spark, bq_index):
         {"must": "the", "bogus": 1},
         {"must": "the", "filter_range": {"lang": ("a", "b")}},
         {"must": "the", "filter_range": {"url": "notapair"}},
+        {"must": "the", "minimum_should_match": 1},  # msm w/o should
+        {"should": "the", "minimum_should_match": -1},
+        {"should": "the", "minimum_should_match": "two"},
     ]
     s = LocalSearcher(idx_dir)
     for spec in bad_specs:
