@@ -17,6 +17,7 @@ Commands/QueueCommands.cs) and their analogs here:
   search (delegated to ES)            -> search "query text" [-k 10]
   (ES bool query)                     -> search --must ... [--should ...]
                                            [--must-not ...] [--filter ...]
+                                           [--minimum-should-match N]
                                            [--filter-url-range LO HI] [--local]
   (ES prefix query)                   -> search --prefix p [--max-expansions N]
   (ES match_phrase [+slop])           -> search --phrase "..." [--source src.parquet]
