@@ -867,9 +867,11 @@ def _phrase_runner(state: dict, k: int, phrases_b: dict[int, list[str]],
     slop=0, the shared ``_matches_occ`` criterion per candidate for
     slop>0. No source scan, no tokenizer — the index answers alone.
 
-    Memory: per-query dense accumulators sized to the corpus docID span
-    (the bool per-query envelope, wand.py TAAT note) plus the decoded
-    positions of the phrase's terms (∝ their posting volume)."""
+    Memory: per-query dense accumulators sized to the query's OBSERVED
+    docID range (min doc_min .. max doc_max over its segment rows — the
+    bool-runner envelope; only a head-term phrase approaches the corpus
+    span) plus the decoded positions of the phrase's terms (∝ their
+    posting volume)."""
     fwd_path = state["fwd_path"]
     tomb_path = state["tomb_path"]
     seq = state["seq"]

@@ -117,6 +117,21 @@ def arrow_batch_rows(spark, n: int):
 GROUP_BATCH_ROWS = 256       # rows/batch when each row is a whole group
 
 
+def _assert_blob_i32(prefix: np.ndarray, what: str) -> None:
+    """pa.binary() offsets are int32: a single Arrow batch whose blob
+    column exceeds 2 GiB would silently WRAP the offsets and corrupt the
+    segment (positions volume ~= token volume, an order beyond docs/tfs,
+    so the pos sidecar hits this first at 100-TB batch sizes). Fail loudly
+    with the knob to turn instead (ADVICE r5)."""
+    if prefix.size and int(prefix[-1]) >= 2**31:
+        raise ValueError(
+            f"{what} blob is {int(prefix[-1])} bytes in one Arrow batch — "
+            "exceeds pa.binary()'s int32 offset space; lower "
+            "salt_group_cap / GROUP_BATCH_ROWS so per-batch posting "
+            "volume shrinks"
+        )
+
+
 @contextmanager
 def scan_split_bytes(spark, nbytes: int):
     """Scoped override of the file-scan split size. The fwd table is small
@@ -527,6 +542,7 @@ def _local_invert_pass(id_span: int, grid_salts: int, positions: bool = False):
             data = codec.varbyte_encode(vals)
             prefix = np.zeros(vals.size + 1, dtype=np.int64)
             np.cumsum(codec.varbyte_lengths(vals), out=prefix[1:])
+            _assert_blob_i32(prefix, "sub-segment")
             offs = prefix[vbounds].astype(np.int32)
             return pa.Array.from_buffers(
                 pa.binary(),
@@ -711,6 +727,7 @@ def _merge_subsegments_arrow(
             row_bounds = np.append(row_starts, total)
 
             def bin_col(data: bytes, prefix: np.ndarray):
+                _assert_blob_i32(prefix, "segment")
                 offs32 = prefix[row_bounds].astype(np.int32)
                 return pa.Array.from_buffers(
                     pa.binary(), nrows,
@@ -766,6 +783,7 @@ def _merge_subsegments_arrow(
                 pprefix = np.zeros(g_poss.size + 1, dtype=np.int64)
                 np.cumsum(codec.varbyte_lengths(pgaps_out), out=pprefix[1:])
                 pbyte = pprefix[vprefix]  # posting idx -> byte offset
+                _assert_blob_i32(pprefix, "segment positions")
                 offs32 = pbyte[row_bounds].astype(np.int32)
                 arrays.append(
                     pa.Array.from_buffers(

@@ -39,6 +39,13 @@ _SEG_COLS = [
 # EVERY query, the exact workload the cache exists for.
 _DECODE_CACHE_MAX_POSTINGS = TAAT_MAX_POSTINGS
 
+# positions cache budget — BYTES, not posting counts: positions volume ~=
+# token volume (an order beyond docs/tfs), and each entry also carries its
+# docs + pstart arrays, so counting position values against the postings
+# constant under-billed by several x (ADVICE r5). 32 B/posting * the TAAT
+# envelope = 2x the postings cache's ~16 B/posting worst case.
+_POS_CACHE_MAX_BYTES = 32 * TAAT_MAX_POSTINGS
+
 
 class LocalSearcher:
     """Loads small index state once; serves top-k queries in milliseconds."""
@@ -521,7 +528,17 @@ class LocalSearcher:
         """Positional serve verify (v2 index): one pruned segment read per
         phrase term WITH the pos columns, per-candidate occurrence lists
         through the SAME _matches_occ criterion as the Spark path — no
-        source IO at all. Work is ∝ the phrase terms' posting volume."""
+        source IO at all.
+
+        First-touch decode is BLOCK-SELECTED (the per-query Spark runner's
+        Lucene-skip analog, boolquery._phrase_runner pass 2): only blocks
+        whose [first, last] docID range contains a candidate decode their
+        position bytes, so a rare+common phrase decodes ~df(rare) blocks
+        of the common term instead of its whole sidecar. Partial decodes
+        are NOT cached — the cache holds only COMPLETE term entries (a
+        later query's candidates could need postings a partial entry
+        dropped); a term whose candidate blocks exceed half its list
+        decodes fully and enters the bytes-budgeted LRU."""
         from ..functions import codec as _codec
         from .boolquery import _matches_occ
 
@@ -529,6 +546,9 @@ class LocalSearcher:
         infos = {t: self._dict.get(t) for t in set(ph)}
         if any(v is None for v in infos.values()):
             return []
+        eligible = np.sort(
+            np.asarray([d for d, _s in cands], dtype=np.int64)
+        )
         need = [t for t in infos if t not in self._pos_decoded]
         rows = (
             self._load_term_rows(
@@ -537,16 +557,46 @@ class LocalSearcher:
             if need
             else {}
         )
+        decoded: dict[str, tuple] = {}
+        BLK = _codec.BLOCK
         for t in need:
             rl = rows.get(int(infos[t][0])) or []
             d_parts, tf_parts, pos_parts = [], [], []
+            full = True
             for enc in rl:  # already doc_min-sorted by _load_term_rows
                 d_i, tf_i = _codec.decode_postings(enc)
-                d_parts.append(d_i)
-                tf_parts.append(tf_i)
-                pos_parts.append(
-                    _codec.decode_positions(enc["pos_blob"], tf_i)
+                bf = np.asarray(enc["block_first"], dtype=np.int64)
+                bl = np.asarray(enc["block_last"], dtype=np.int64)
+                nb = bf.size
+                i0 = np.searchsorted(eligible, bf)
+                needed = (i0 < eligible.size) & (
+                    eligible[np.minimum(i0, eligible.size - 1)] <= bl
                 )
+                n_need = int(needed.sum())
+                if n_need == 0:
+                    full = False
+                    continue
+                if n_need > nb // 2:
+                    # above half the blocks the single whole-row decode
+                    # wins (no per-block call overhead) — same crossover
+                    # as the Spark runner
+                    d_parts.append(d_i)
+                    tf_parts.append(tf_i)
+                    pos_parts.append(
+                        _codec.decode_positions(enc["pos_blob"], tf_i)
+                    )
+                else:
+                    full = False
+                    for b in np.flatnonzero(needed):
+                        sl = slice(
+                            int(b) * BLK, min((int(b) + 1) * BLK, d_i.size)
+                        )
+                        tfb = tf_i[sl]
+                        d_parts.append(d_i[sl])
+                        tf_parts.append(tfb)
+                        pos_parts.append(
+                            _codec.decode_positions_block(enc, tfb, int(b))
+                        )
             if not d_parts:
                 return []
             d = np.concatenate(d_parts)
@@ -554,23 +604,16 @@ class LocalSearcher:
             poss = np.concatenate(pos_parts)
             pstart = np.zeros(d.size + 1, dtype=np.int64)
             np.cumsum(tf, out=pstart[1:])
-            self._pos_decoded[t] = (d, poss, pstart)
-        decoded: dict[str, tuple] = {}
+            decoded[t] = (d, poss, pstart)
+            if full:
+                self._pos_decoded[t] = decoded[t]
         for t in infos:
-            entry = self._pos_decoded.pop(t, None)
-            if entry is None:
-                return []
+            if t in decoded:
+                continue
+            entry = self._pos_decoded.pop(t)
             self._pos_decoded[t] = entry  # LRU move-to-end on hit
             decoded[t] = entry
-        # bound: evict from the head until under budget (positions volume)
-        total = sum(p.size for _d, p, _ps in self._pos_decoded.values())
-        while (
-            total > _DECODE_CACHE_MAX_POSTINGS
-            and len(self._pos_decoded) > len(infos)
-        ):
-            _t, (_d, p, _ps) = next(iter(self._pos_decoded.items()))
-            del self._pos_decoded[_t]
-            total -= p.size
+        self._bound_pos_cache(keep=len(infos))
         out = []
         for doc, score in cands:
             occ = []
@@ -585,6 +628,25 @@ class LocalSearcher:
                 out.append((doc, score))
         out.sort(key=lambda e: (-e[1], e[0]))
         return out[:k]
+
+    def _bound_pos_cache(self, keep: int) -> None:
+        """Evict least-recently-used POSITIONS entries until under the
+        bytes budget (_POS_CACHE_MAX_BYTES). Accounting includes every
+        array the entry holds — docs + position values + pstart — not
+        just position counts (ADVICE r5: the old posting-count bound
+        under-billed by several x). Never evicts the ``keep`` most recent
+        entries (the query in flight)."""
+        total = sum(
+            d.nbytes + p.nbytes + ps.nbytes
+            for d, p, ps in self._pos_decoded.values()
+        )
+        while (
+            total > _POS_CACHE_MAX_BYTES
+            and len(self._pos_decoded) > keep
+        ):
+            _t, (d, p, ps) = next(iter(self._pos_decoded.items()))
+            del self._pos_decoded[_t]
+            total -= d.nbytes + p.nbytes + ps.nbytes
 
     def _decode_terms_parallel(self, need: list, rows: dict) -> None:
         """Decode uncached terms into the cache, MULTI-TERM queries in a

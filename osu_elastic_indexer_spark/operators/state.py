@@ -31,10 +31,51 @@ drops in here without touching callers.
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 
 import numpy as np
 
 _CACHE: dict[tuple, tuple[int, object]] = {}
+
+# structured-filter docID arrays (range AND term scans) live in their own
+# LRU bounded by TOTAL BYTES: r5 keyed these under per-(field, range) kind
+# strings, so _cached's same-kind eviction never crossed distinct ranges
+# and every new range leaked an O(matching docs) int64 array on a
+# long-lived executor (ADVICE r5). 128 MiB = ~16M matching docIDs resident
+# per worker across all concurrently-hot filters.
+_FILTER_CACHE: OrderedDict[tuple, tuple[int, np.ndarray]] = OrderedDict()
+_FILTER_CACHE_MAX_BYTES = 128 << 20
+
+
+def _filter_cached(
+    paths: tuple[str, ...], version: int, field: str, spec: tuple, loader
+) -> np.ndarray:
+    """Unified ``docfilter`` cache: key carries the (field, filter spec),
+    value the sorted docID array. A version bump (new commit) eagerly
+    drops the index's stale entries; beyond that, least-recently-used
+    entries evict until the byte budget holds."""
+    key = (paths, field, spec)
+    hit = _FILTER_CACHE.get(key)
+    if hit is not None and hit[0] == version:
+        _FILTER_CACHE.move_to_end(key)
+        return hit[1]
+    val = loader()
+    root = _index_root(paths[0]) if paths else ""
+    stale = [
+        k
+        for k, (v, _a) in _FILTER_CACHE.items()
+        if v != version
+        and (_index_root(k[0][0]) if k[0] else "") == root
+    ]
+    for k in stale:
+        del _FILTER_CACHE[k]
+    _FILTER_CACHE[key] = (version, val)
+    total = sum(a.nbytes for _v, a in _FILTER_CACHE.values())
+    while total > _FILTER_CACHE_MAX_BYTES and len(_FILTER_CACHE) > 1:
+        _k, (_v, a) = next(iter(_FILTER_CACHE.items()))
+        del _FILTER_CACHE[_k]
+        total -= a.nbytes
+    return val
 
 
 def _as_tuple(paths) -> tuple[str, ...]:
@@ -128,9 +169,10 @@ def load_docids_in_range(paths, version: int, field: str, lo, hi) -> np.ndarray:
     loaders (ES filter context over the keyword/numeric fields the docmap
     carries; the reference's scores.json keyword fields ride the ES doc the
     same way). Column-pruned pyarrow read with the range predicate PUSHED
-    into the scan, cached per worker per (field, range, commit) — a batch
-    of queries sharing one filter pays one load, and the array is
-    O(matching docs), never the docmap's payload columns."""
+    into the scan, cached per worker per (field, range, commit) in the
+    byte-bounded docfilter LRU — a batch of queries sharing one filter
+    pays one load, and the array is O(matching docs), never the docmap's
+    payload columns."""
     paths = _as_tuple(paths)
 
     def load() -> np.ndarray:
@@ -148,7 +190,30 @@ def load_docids_in_range(paths, version: int, field: str, lo, hi) -> np.ndarray:
         t = ds.dataset(files).to_table(columns=["doc_id"], filter=pred)
         return np.sort(t.column("doc_id").to_numpy().astype(np.int64))
 
-    return _cached(f"docfilter:{field}:{lo!r}:{hi!r}", paths, version, load)
+    return _filter_cached(paths, version, field, ("range", lo, hi), load)
+
+
+def load_docids_eq(paths, version: int, field: str, values: tuple) -> np.ndarray:
+    """Sorted docIDs whose docmap ``field`` equals ANY of ``values`` — the
+    ES ``term``/``terms``-query analog over the keyword columns the docmap
+    carries (the reference's consumers filter on country_code / ruleset_id
+    exactly this way, osu.ElasticIndexer/schemas/scores.json:17-19,32-37).
+    Same pushed, column-pruned pyarrow scan + byte-bounded worker cache as
+    the range loader."""
+    paths = _as_tuple(paths)
+    vals = tuple(values)
+
+    def load() -> np.ndarray:
+        import pyarrow.dataset as ds
+
+        files = _parquet_files(paths)
+        if not files:
+            return np.zeros(0, dtype=np.int64)
+        pred = ds.field(field).isin(list(vals))
+        t = ds.dataset(files).to_table(columns=["doc_id"], filter=pred)
+        return np.sort(t.column("doc_id").to_numpy().astype(np.int64))
+
+    return _filter_cached(paths, version, field, ("eq", vals), load)
 
 
 def tomb_contains(tomb: np.ndarray | None, doc: int) -> bool:

@@ -56,6 +56,71 @@ def test_norms_cache_version_invalidates_same_key(tmp_path):
     state._CACHE.clear()
 
 
+def _write_docmap(path, n):
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([f"{i:012d}" for i in range(n)], pa.string()),
+                "doc_id": pa.array(list(range(n)), pa.int64()),
+                "lang": pa.array(
+                    ["en" if i % 3 else "de" for i in range(n)], pa.string()
+                ),
+            }
+        ),
+        os.path.join(path, "part-0.parquet"),
+    )
+
+
+def test_docfilter_cache_bounded_across_distinct_ranges(tmp_path):
+    """ADVICE r5: distinct filter ranges must NOT accumulate forever — the
+    unified docfilter LRU evicts by total bytes, so many distinct ranges
+    on one worker stay under budget."""
+    g = str(tmp_path / "idx" / "docmap" / "gen=0")
+    _write_docmap(g, 2000)
+    state._FILTER_CACHE.clear()
+    old = state._FILTER_CACHE_MAX_BYTES
+    state._FILTER_CACHE_MAX_BYTES = 40_000  # ~2.5 full-range entries
+    try:
+        for i in range(40):
+            ids = state.load_docids_in_range(
+                (g,), 1, "url", "%012d" % i, None
+            )
+            assert ids.size == 2000 - i
+        total = sum(
+            a.nbytes for _v, a in state._FILTER_CACHE.values()
+        )
+        assert total <= 40_000, total
+        assert len(state._FILTER_CACHE) < 5
+        # hits still serve from cache (most recent range is resident)
+        before = len(state._FILTER_CACHE)
+        state.load_docids_in_range((g,), 1, "url", "%012d" % 39, None)
+        assert len(state._FILTER_CACHE) == before
+    finally:
+        state._FILTER_CACHE_MAX_BYTES = old
+        state._FILTER_CACHE.clear()
+
+
+def test_docfilter_eq_and_version_invalidation(tmp_path):
+    """load_docids_eq matches the keyword column exactly; a commit_seq
+    bump reloads; range and eq entries share the one docfilter cache."""
+    g = str(tmp_path / "idx" / "docmap" / "gen=0")
+    _write_docmap(g, 30)
+    state._FILTER_CACHE.clear()
+    de = state.load_docids_eq((g,), 1, "lang", ("de",))
+    assert list(de) == [i for i in range(30) if i % 3 == 0]
+    both = state.load_docids_eq((g,), 1, "lang", ("de", "en"))
+    assert both.size == 30
+    # same version -> cached object identity
+    assert state.load_docids_eq((g,), 1, "lang", ("de",)) is de
+    # version bump -> stale same-index entries evicted, fresh load
+    _write_docmap(g, 3)
+    fresh = state.load_docids_eq((g,), 2, "lang", ("de",))
+    assert list(fresh) == [0]
+    assert all(v == 2 for v, _a in state._FILTER_CACHE.values())
+    state._FILTER_CACHE.clear()
+
+
 def test_queue_depth_decodes_percent_encoded_source_log(tmp_path):
     """FileStreamSource logs URIs; a queue dir with a space must still
     drain the gauge."""
