@@ -18,7 +18,8 @@ Commands/QueueCommands.cs) and their analogs here:
   (ES bool query)                     -> search --must ... [--should ...]
                                            [--must-not ...] [--filter ...]
                                            [--minimum-should-match N]
-                                           [--filter-url-range LO HI] [--local]
+                                           [--filter-url-range LO HI]
+                                           [--filter-term FIELD=VALUE] [--local]
   (ES prefix query)                   -> search --prefix p [--max-expansions N]
   (ES match_phrase [+slop])           -> search --phrase "..." [--source src.parquet]
                                            (--source optional on --positions builds)
@@ -57,7 +58,7 @@ def cmd_build(args) -> int:
         m = build_index(
             spark, docs, cat, args.schema, resume=args.resume,
             where=args.where, include_all_langs=args.include_all_langs,
-            positions=args.positions,
+            positions=args.positions, keyword_fields=args.keyword_fields,
         )
     print(json.dumps({"index": m["index_name"], "counters": m["counters"],
                       "cursor": m["cursor"], "generations": m["generations"]}))
@@ -130,7 +131,7 @@ def cmd_search(args) -> int:
     spec = None
     bool_clauses = (
         args.must or args.should or args.must_not or args.filter
-        or args.filter_url_range
+        or args.filter_url_range or args.filter_term
     )
     modes = sum(
         1 for v in (args.query, args.prefix, args.phrase, bool_clauses) if v
@@ -155,6 +156,16 @@ def cmd_search(args) -> int:
             spec["filter"] = args.filter
         if args.filter_url_range:
             spec["filter_range"] = {"url": tuple(args.filter_url_range)}
+        if args.filter_term:
+            ft: dict[str, list[str]] = {}
+            for kv in args.filter_term:
+                field, sep, value = kv.partition("=")
+                if not sep or not field:
+                    raise SystemExit(
+                        f"--filter-term expects FIELD=VALUE, got {kv!r}"
+                    )
+                ft.setdefault(field, []).append(value)
+            spec["filter_term"] = ft
         if args.minimum_should_match:
             spec["minimum_should_match"] = args.minimum_should_match
     if args.local:
@@ -294,6 +305,11 @@ def main(argv: list[str] | None = None) -> int:
                         "slop matching, no --source needed at query time)")
     b.add_argument("--include-all-langs", action="store_true",
                    help="lift the lang='en' gate (--include-unranked analog)")
+    b.add_argument("--keyword-field", dest="keyword_fields", action="append",
+                   metavar="COL", default=None,
+                   help="carry input column COL on the docmap as a keyword "
+                        "field for search --filter-term (repeatable; "
+                        "default: lang when the input has it)")
     b.set_defaults(fn=cmd_build)
 
     qp = sub.add_parser("queue-push", help="enqueue a parquet of docs (pump-file)")
@@ -357,6 +373,13 @@ def main(argv: list[str] | None = None) -> int:
                    metavar=("LO", "HI"), default=None,
                    help="structured filter: restrict to docs whose url "
                         "(document key) lies in [LO, HI] inclusive")
+    s.add_argument("--filter-term", dest="filter_term", action="append",
+                   metavar="FIELD=VALUE", default=None,
+                   help="keyword filter: restrict to docs whose docmap "
+                        "FIELD equals VALUE (ES term filter over the "
+                        "keyword columns declared at build time, e.g. "
+                        "lang=de; repeat the flag — same field twice = "
+                        "ES terms query, ANY of the values)")
     s.add_argument("--prefix", default=None,
                    help="prefix query: expand against the dictionary "
                         "(term-asc, capped) and score the expansion; "

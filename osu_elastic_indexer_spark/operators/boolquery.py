@@ -40,8 +40,23 @@ over our own index format:
     range-indexed ``id`` analog — and warc_ts): per field an inclusive
     [lo, hi], evaluated executor-side via a pushed pyarrow range scan of
     the docmap (operators/state.load_docids_in_range, cached per worker
-    per range) — the keyword/numeric filter the reference's consumers put
-    in ES filter context (scores.json:7-47).
+    per range). ``filter_term`` exact-matches the index's DECLARED
+    keyword fields (build_index(keyword_fields=...), e.g. lang) plus the
+    structured fields — the ES term/terms filter the reference's
+    consumers run on country_code / rank / ruleset_id
+    (scores.json:17-19,32-37); same pushed pyarrow scan discipline
+    (state.load_docids_eq), byte-budgeted worker cache.
+
+    Filter context counts as "required clauses present" for the msm
+    default AND the zero-score tail (ES semantics): a should+filter spec
+    with msm 0 returns filter-matching docs at score 0.0 even when no
+    should term matches — including docs carrying NONE of the query's
+    terms, enumerated from the intersected filter docIDs (indexed docs
+    only, dl > 0). An explicit minimum_should_match >= 1 suppresses the
+    tail, as in ES. One documented divergence: a spec whose every term
+    clause is out-of-vocabulary returns empty even with filter context
+    (the all-zero result set never touches the inverted index — run a
+    docmap DataFrame filter instead).
 
     ES edge semantics preserved: a required term absent from the dictionary
     empties that query's result (no doc can match all required clauses);
@@ -132,11 +147,13 @@ _MUST_NOT = 4
 _SHOULD = 8  # counted for minimum_should_match eligibility
 
 _SPEC_KEYS = {
-    "must", "should", "must_not", "filter", "filter_range",
+    "must", "should", "must_not", "filter", "filter_range", "filter_term",
     "minimum_should_match",
 }
-# structured fields the docmap carries (url = document key — the analog of
-# scores.json's range-indexed `id`; warc_ts = the capture timestamp)
+# structured fields EVERY docmap carries (url = document key — the analog of
+# scores.json's range-indexed `id`; warc_ts = the capture timestamp);
+# KEYWORD fields declared at build time (build_index(keyword_fields=...),
+# recorded in the manifest) extend the filter_term-able set per index
 _RANGE_FIELDS = {"url", "warc_ts"}
 
 
@@ -161,13 +178,26 @@ def _normalize_spec(spec) -> dict[str, list[str]]:
     }
 
 
-def _check_spec(spec: dict, s: dict[str, list[str]]) -> dict[str, tuple]:
-    """Validate a bool spec; -> normalized {field: (lo, hi)} filter_range.
+def index_keyword_fields(index_dir: str) -> tuple[str, ...]:
+    """Keyword columns this index's docmap carries (declared at build via
+    ``build_index(keyword_fields=...)``, recorded in the manifest) — the
+    fields ``filter_term`` may restrict on. Empty for pre-keyword indexes."""
+    from ..sources.catalog import read_index_manifest
+
+    m = read_index_manifest(index_dir)
+    return tuple((m or {}).get("keyword_fields") or ())
+
+
+def _check_spec(
+    spec: dict, s: dict[str, list[str]], keyword_fields: tuple = ()
+) -> tuple[dict[str, tuple], dict[str, tuple]]:
+    """Validate a bool spec; -> (normalized {field: (lo, hi)} filter_range,
+    normalized {field: (value, ...)} filter_term).
 
     Raises ValueError for unusable specs instead of returning empty (the
     silent-empty failure modes users actually hit): unknown keys, bad
-    range fields/shapes, and specs with NO term clause (must_not-only /
-    filter_range-only / empty — see the module doc)."""
+    range/term fields or shapes, and specs with NO term clause
+    (must_not-only / filter-context-only / empty — see the module doc)."""
     unknown = set(spec) - _SPEC_KEYS
     if unknown:
         raise ValueError(
@@ -192,15 +222,38 @@ def _check_spec(spec: dict, s: dict[str, list[str]]) -> dict[str, tuple]:
                 "(either bound may be None)"
             ) from None
         fr[field] = (lo, hi)
+    ft_in = spec.get("filter_term") or {}
+    if not isinstance(ft_in, dict):
+        raise ValueError("filter_term must be {field: value-or-list}")
+    ft: dict[str, tuple] = {}
+    allowed = _RANGE_FIELDS | set(keyword_fields)
+    for field, vals in ft_in.items():
+        if field not in allowed:
+            raise ValueError(
+                f"filter_term field {field!r} not a docmap structured/"
+                f"keyword field of this index; it carries: "
+                f"{sorted(allowed)} (declare keyword columns at build "
+                "time via build_index(keyword_fields=...))"
+            )
+        if isinstance(vals, (str, bytes)) or not hasattr(vals, "__iter__"):
+            vals = (vals,)
+        vals = tuple(vals)
+        if not vals or any(v is None for v in vals):
+            raise ValueError(
+                f"filter_term[{field!r}] needs >=1 non-null value (ES "
+                "term/terms queries never match null — filter nulls with "
+                "a DataFrame predicate over the docmap instead)"
+            )
+        ft[field] = vals
     if not (s["must"] or s["should"] or s["filter"]):
         raise ValueError(
             "bool spec has no must/should/filter TERM clause: a "
             "must_not-only query is ES match_all-minus-excluded and a "
-            "filter_range-only query never touches the inverted index — "
-            "both are corpus scans; express them as plain DataFrame "
-            "filters over the docmap/source instead"
+            "filter_range/filter_term-only query never touches the "
+            "inverted index — both are corpus scans; express them as "
+            "plain DataFrame filters over the docmap/source instead"
         )
-    return fr
+    return fr, ft
 
 
 def _get_msm(spec: dict, s: dict[str, list[str]]) -> int:
@@ -269,19 +322,34 @@ def _query_plumbing(
     return segs, term_info, idf, state
 
 
-def _struct_mask_range(
-    lo: int, span: int, fr: dict, docmap_path, seq: int
-) -> np.ndarray:
-    """Dense boolean eligibility mask for a filter_range spec (AND over
-    fields) over the docID window [lo, lo+span), built from the
-    per-worker-cached docmap range scans — sized to the caller's
-    accumulator range, never the corpus."""
-    from osu_elastic_indexer_spark.operators.state import load_docids_in_range
+def _struct_arrays(
+    fr: dict, ft: dict, docmap_path, seq: int
+) -> list[np.ndarray]:
+    """One sorted docID array per structured-filter field (range AND term
+    clauses), from the byte-budgeted per-worker docfilter cache."""
+    from osu_elastic_indexer_spark.operators.state import (
+        load_docids_eq,
+        load_docids_in_range,
+    )
 
-    mask = None
+    arrs = []
     for field in sorted(fr):
         flo, fhi = fr[field]
-        ids = load_docids_in_range(docmap_path, seq, field, flo, fhi)
+        arrs.append(load_docids_in_range(docmap_path, seq, field, flo, fhi))
+    for field in sorted(ft):
+        arrs.append(load_docids_eq(docmap_path, seq, field, ft[field]))
+    return arrs
+
+
+def _struct_mask_range(
+    lo: int, span: int, fr: dict, ft: dict, docmap_path, seq: int
+) -> np.ndarray:
+    """Dense boolean eligibility mask for the structured filters (AND over
+    range + term fields) over the docID window [lo, lo+span), built from
+    the per-worker-cached docmap scans — sized to the caller's
+    accumulator range, never the corpus."""
+    mask = None
+    for ids in _struct_arrays(fr, ft, docmap_path, seq):
         sel = ids[(ids >= lo) & (ids < lo + span)] - lo
         m = np.zeros(span, dtype=bool)
         m[sel] = True
@@ -289,9 +357,21 @@ def _struct_mask_range(
     return mask
 
 
-def _struct_mask(size: int, fr: dict, docmap_path, seq: int) -> np.ndarray:
+def _struct_mask(size: int, fr: dict, ft: dict, docmap_path, seq: int) -> np.ndarray:
     """Corpus-anchored variant (window [0, size)) of _struct_mask_range."""
-    return _struct_mask_range(0, size, fr, docmap_path, seq)
+    return _struct_mask_range(0, size, fr, ft, docmap_path, seq)
+
+
+def _struct_docids(fr: dict, ft: dict, docmap_path, seq: int) -> np.ndarray:
+    """INTERSECTED sorted global docIDs matching every structured filter —
+    the zero-score-tail enumeration source for specs whose only required
+    clauses are filter context (ES: such docs are hits at score 0.0 even
+    when they contain none of the query's terms)."""
+    arrs = _struct_arrays(fr, ft, docmap_path, seq)
+    out = arrs[0]
+    for a in arrs[1:]:
+        out = np.intersect1d(out, a, assume_unique=True)
+    return out
 
 
 def _pad_zero_score(top: list, kk: int, eligible0: np.ndarray) -> list:
@@ -306,10 +386,11 @@ def _pad_zero_score(top: list, kk: int, eligible0: np.ndarray) -> list:
     return top
 
 
-def _bool_runner(state: dict, k: int, franges: dict[int, dict]):
+def _bool_runner(state: dict, k: int, structs: dict[int, tuple[dict, dict]]):
     """applyInPandas body for one query's segment rows (term, idf, role,
     n_must columns riding the broadcast qmap join; n_must counts REQUIRED
-    clauses = must ∪ filter)."""
+    clauses = must ∪ filter). ``structs``: qid -> (filter_range,
+    filter_term) normalized filter-context restrictions."""
     fwd_path = state["fwd_path"]
     tomb_path = state["tomb_path"]
     docmap_path = state["docmap_path"]
@@ -382,10 +463,10 @@ def _bool_runner(state: dict, k: int, franges: dict[int, dict]):
             # a required term had no segment rows (deleted-only
             # generations): nothing can match all clauses
             return empty
-        fr = franges.get(qid)
+        st_spec = structs.get(qid)
         struct = (
-            _struct_mask_range(lo, span, fr, docmap_path, seq)
-            if fr
+            _struct_mask_range(lo, span, *st_spec, docmap_path, seq)
+            if st_spec
             else None
         )
         if n_must:
@@ -401,19 +482,41 @@ def _bool_runner(state: dict, k: int, franges: dict[int, dict]):
         top = topk_from_dense(sums, kk)
         # zero-score tail is impossible under msm: matching a should term
         # always contributes positive score, so should_cnt >= msm >= 1
-        # implies score > 0
-        if n_must and not n_msm and len(top) < kk:
+        # implies score > 0. ES treats filter CONTEXT (filter_range /
+        # filter_term) as "required clauses present" too: with them the
+        # msm default stays 0 and filter-matching docs are hits at 0.0
+        # even when no scored term matches (ADVICE r5).
+        top = [(s, d + lo) for s, d in top]  # span-relative -> global ids
+        if (n_must or st_spec) and not n_msm and len(top) < kk:
             # filter-context zero-score tail (docs matching all required
-            # clauses but no scored term) — a no-op unless the scored set
-            # excludes some required docs (filter-only / filter+should)
+            # clauses but no scored term)
             eligible0 = (must_cnt >= n_must) & ~excluded & (sums <= 0.0)
             if struct is not None:
                 eligible0 &= struct
             if tomb is not None and tomb.size:
                 tt = tomb[(tomb >= lo) & (tomb < lo + span)]
                 eligible0[tt - lo] = False
-            top = _pad_zero_score(top, kk, eligible0)
-        top = [(s, d + lo) for s, d in top]
+            zeros = np.flatnonzero(eligible0) + lo
+            if st_spec and not n_must:
+                # no required TERM clause: the tail covers INDEXED
+                # (dl > 0) filter-matching docs with no query-term
+                # postings at all — both inside the span (dl guard) and
+                # beyond it (enumerated from the intersected filter
+                # docIDs; they carry no postings, so no must_not term
+                # can exclude them)
+                avail = max(0, min(norms.size - lo, span))
+                nm = np.zeros(span, dtype=np.int64)
+                if avail > 0:
+                    nm[:avail] = norms[lo : lo + avail]
+                zeros = zeros[nm[zeros - lo] > 0]
+                fd = _struct_docids(*st_spec, docmap_path, seq)
+                out = fd[(fd < lo) | (fd >= lo + span)]
+                out = out[out < norms.size]
+                out = out[norms[out] > 0]
+                if tomb is not None and tomb.size:
+                    out = out[~np.isin(out, tomb)]
+                zeros = np.union1d(zeros, out)
+            top.extend((0.0, int(d)) for d in zeros[: kk - len(top)])
         return pd.DataFrame(
             {
                 "query_id": [qid] * len(top),
@@ -435,20 +538,24 @@ def bool_topk(
     """Batched ES-style boolean top-k over a built index.
 
     ``queries``: [(query_id, {"must": ..., "should": ..., "must_not": ...,
-    "filter": ..., "filter_range": {field: (lo, hi)}})] — term clause
-    values are raw text or lists of texts (tokenized with the engine
-    tokenizer); ``filter`` terms are required but unscored (ES filter
-    context); ``filter_range`` restricts by the docmap's structured fields
-    (module doc). Returns (query_id, rank, doc_id, score); a query whose
-    required clause cannot match produces no rows; an unusable spec raises
-    ValueError (``_check_spec``).
+    "filter": ..., "filter_range": {field: (lo, hi)},
+    "filter_term": {field: value-or-list}})] — term clause values are raw
+    text or lists of texts (tokenized with the engine tokenizer);
+    ``filter`` terms are required but unscored (ES filter context);
+    ``filter_range`` restricts by the docmap's structured fields and
+    ``filter_term`` exact-matches its declared KEYWORD fields (ES
+    term/terms filter — the country_code/ruleset_id restriction,
+    scores.json:17-19,32-37). Returns (query_id, rank, doc_id, score); a
+    query whose required clause cannot match produces no rows; an
+    unusable spec raises ValueError (``_check_spec``).
     """
+    kw_fields = index_keyword_fields(index_dir)
     specs = [(qid, _normalize_spec(s)) for qid, s in queries]
-    franges = {
-        qid: fr
-        for (qid, s), (_qid2, raw) in zip(specs, queries)
-        if (fr := _check_spec(raw, s))
-    }
+    structs = {}
+    for (qid, s), (_qid2, raw) in zip(specs, queries):
+        fr, ft = _check_spec(raw, s, kw_fields)
+        if fr or ft:
+            structs[qid] = (fr, ft)
     msms = {
         qid: _get_msm(raw, s)
         for (qid, s), (_qid2, raw) in zip(specs, queries)
@@ -498,7 +605,7 @@ def bool_topk(
     )
     grouped = segs.join(F.broadcast(qmap), "term_id")
     return grouped.groupBy("query_id").applyInPandas(
-        _bool_runner(state, k, franges), RESULT_SCHEMA
+        _bool_runner(state, k, structs), RESULT_SCHEMA
     )
 
 
@@ -523,13 +630,36 @@ def bool_topk_docpart(
     filter context (``filter`` terms, ``filter_range``, zero-score tail):
     zero-score docs rank below every positive doc globally, so per-cell
     padding to k keeps the union argument exact.
+
+    One shape routes to the per-query path: a spec whose ONLY required
+    clauses are filter context (no must/filter term, msm 0). Its ES
+    zero-score tail covers filter-matching docs with NO query-term
+    postings at all — docs living in cells no segment row reaches, which
+    no cell task can enumerate. ``bool_topk`` computes that tail exactly
+    (from the intersected filter docIDs), and both paths are
+    bit-identical on every other shape, so the union stays exact.
     """
+    kw_fields = index_keyword_fields(index_dir)
     specs = [(qid, _normalize_spec(s)) for qid, s in queries]
-    franges = {
-        qid: fr
-        for (qid, s), (_qid2, raw) in zip(specs, queries)
-        if (fr := _check_spec(raw, s))
-    }
+    structs = {}
+    tail_qids = set()
+    for (qid, s), (_qid2, raw) in zip(specs, queries):
+        fr, ft = _check_spec(raw, s, kw_fields)
+        if fr or ft:
+            structs[qid] = (fr, ft)
+            if not (s["must"] or s["filter"]) and not _get_msm(raw, s):
+                tail_qids.add(qid)
+    if tail_qids:
+        routed = bool_topk(
+            spark, index_dir,
+            [(q, r) for q, r in queries if q in tail_qids], k,
+        )
+        rest = [(q, r) for q, r in queries if q not in tail_qids]
+        if not rest:
+            return routed
+        return routed.unionByName(
+            bool_topk_docpart(spark, index_dir, rest, k)
+        )
     all_terms = sorted(
         {t for _qid, s in specs for r in s.values() for t in r}
     )
@@ -581,24 +711,6 @@ def bool_topk_docpart(
     docmap_path = state["docmap_path"]
     seq, avgdl = state["seq"], state["avgdl"]
     kk = int(k)
-
-    def _cell_struct(lo: int, span: int, fr: dict) -> np.ndarray:
-        """filter_range mask sized to THIS cell's span: the worker-cached
-        docID arrays are sliced to [lo, lo+span) — accumulator memory stays
-        bounded by the cell, matching the docpart contract."""
-        from osu_elastic_indexer_spark.operators.state import (
-            load_docids_in_range,
-        )
-
-        mask = None
-        for field in sorted(fr):
-            flo, fhi = fr[field]
-            ids = load_docids_in_range(docmap_path, seq, field, flo, fhi)
-            sel = ids[(ids >= lo) & (ids < lo + span)] - lo
-            m = np.zeros(span, dtype=bool)
-            m[sel] = True
-            mask = m if mask is None else (mask & m)
-        return mask
 
     def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         from osu_elastic_indexer_spark.operators.state import (
@@ -656,8 +768,15 @@ def bool_topk_docpart(
                     if excluded is None:
                         excluded = np.zeros(span, dtype=bool)
                     excluded[d] = True
-            fr = franges.get(qid)
-            struct = _cell_struct(lo, span, fr) if fr else None
+            # struct mask sized to THIS cell's span: the worker-cached
+            # docID arrays are sliced to [lo, lo+span) — accumulator
+            # memory stays bounded by the cell (docpart contract)
+            st_spec = structs.get(qid)
+            struct = (
+                _struct_mask_range(lo, span, *st_spec, docmap_path, seq)
+                if st_spec
+                else None
+            )
             if n_must:
                 sums[must_cnt < n_must] = 0.0
             if n_msm:

@@ -207,7 +207,7 @@ FWD_STAGE_SCHEMA = (
 # (sum == dl), so no extra offsets column is needed downstream
 FWD_STAGE_SCHEMA_POS = FWD_STAGE_SCHEMA + ", poss array<bigint>"
 
-def _fused_stage_pass(positions: bool = False):
+def _fused_stage_pass(positions: bool = False, keyword_cols: tuple = ()):
     """mapInArrow body over input partitions of (url, warc_ts, html, __pid):
     byte-exact extraction + tokenization + per-doc combine in ONE python
     pass, emitting doc-GROUPED rows keyed by (pid, pos). EVERY row is
@@ -217,7 +217,11 @@ def _fused_stage_pass(positions: bool = False):
     ``positions=True`` additionally emits each term's token positions
     (term-major flat, ascending within term — FWD_STAGE_SCHEMA_POS); the
     per-doc dict pass already visits every token, so this costs one list
-    append per token, only when enabled."""
+    append per token, only when enabled.
+
+    ``keyword_cols``: declared docmap keyword columns (the scores.json
+    country_code/ruleset_id analog) — pure Arrow pass-through, zero
+    Python work per row."""
     from ..functions.textprep import extract_text, tokenize
 
     def run(batches):
@@ -289,6 +293,9 @@ def _fused_stage_pass(positions: bool = False):
                     )
                 )
                 fields.append(("poss", pa.list_(pa.int64())))
+            for kc in keyword_cols:
+                arrays.append(batch.column(kc))
+                fields.append((kc, batch.schema.field(kc).type))
             yield pa.RecordBatch.from_arrays(
                 arrays, schema=pa.schema(fields)
             )
@@ -304,6 +311,7 @@ def materialize_forward(
     staging_dir: str,
     start_id: int = 0,
     positions: bool = False,
+    keyword_cols: tuple = (),
 ) -> dict:
     """ONE scan of the heavy input -> staged forward rows keyed by
     (pid, pos) -> dense docIDs assigned by a file-based projection.
@@ -326,12 +334,19 @@ def materialize_forward(
     """
     import shutil
 
-    part = adds.select("url", "warc_ts", "html").withColumn(
+    keyword_cols = tuple(keyword_cols)
+    # keyword columns (scores.json keyword-field analog) ride the staging
+    # pass untouched — cast to string driver-side so the docmap's keyword
+    # type is pinned regardless of the input column's type
+    kw_sel = [F.col(c).cast("string").alias(c) for c in keyword_cols]
+    part = adds.select("url", "warc_ts", "html", *kw_sel).withColumn(
         "__pid", F.spark_partition_id()
     )
-    stage_schema = FWD_STAGE_SCHEMA_POS if positions else FWD_STAGE_SCHEMA
-    part.select("url", "warc_ts", "html", "__pid").mapInArrow(
-        _fused_stage_pass(positions), stage_schema
+    stage_schema = (
+        FWD_STAGE_SCHEMA_POS if positions else FWD_STAGE_SCHEMA
+    ) + "".join(f", {c} string" for c in keyword_cols)
+    part.select("url", "warc_ts", "html", *keyword_cols, "__pid").mapInArrow(
+        _fused_stage_pass(positions, keyword_cols), stage_schema
     ).write.mode("overwrite").parquet(staging_dir)
     stage = spark.read.parquet(staging_dir)
     counts = dict(
@@ -363,7 +378,7 @@ def materialize_forward(
         F.min("dl").alias("dl_min"),
         F.coalesce(F.sum(F.size("terms")), F.lit(0)).alias("postings"),
     ).write.mode("overwrite").parquet(fwd_dir)
-    with_ids.select("url", "warc_ts", "doc_id").write.mode(
+    with_ids.select("url", "warc_ts", *keyword_cols, "doc_id").write.mode(
         "overwrite"
     ).parquet(docmap_dir)
     shutil.rmtree(staging_dir, ignore_errors=True)
@@ -926,6 +941,7 @@ def build_index(
     where: str | None = None,
     include_all_langs: bool = False,
     positions: bool = False,
+    keyword_fields=None,
 ) -> dict:
     """Full (backfill) index build — the `queue pump-all` + consume analog.
 
@@ -947,10 +963,27 @@ def build_index(
     into the scan, so a selective predicate prunes IO). ``include_all_langs``
     lifts the lang='en' gate, the analog of `--include-unranked`
     (PumpAllScoresCommand.cs:29) which widens the normally-excluded set.
+
+    ``keyword_fields``: declared keyword columns carried on the DOCMAP for
+    exact-match filter context (bool ``filter_term`` — the restriction the
+    reference's consumers run on country_code / rank / ruleset_id,
+    osu.ElasticIndexer/schemas/scores.json:17-19,32-37). Default: ["lang"]
+    when the input has it. Recorded in the manifest so query paths can
+    validate filterable fields.
     """
     from ..session import ship_package
 
     ship_package(spark)
+    if keyword_fields is None:
+        keyword_fields = ("lang",) if "lang" in docs.columns else ()
+    keyword_fields = tuple(keyword_fields)
+    reserved = {"url", "warc_ts", "doc_id", "html", "text"}
+    bad = [c for c in keyword_fields if c in reserved or c not in docs.columns]
+    if bad:
+        raise ValueError(
+            f"keyword_fields {bad} must be non-reserved input columns "
+            f"(reserved: {sorted(reserved)}; input has {docs.columns})"
+        )
     cat = catalog
     cat.find_or_create_index(schema_version)
     cat.assert_writable(schema_version)  # T6 stale-builder guard
@@ -1000,7 +1033,7 @@ def build_index(
                 spark, adds,
                 f"{fwd_path}/gen=0", f"{docmap_path}/gen=0",
                 f"{cat.index_dir(schema_version)}/_fwd_stage",
-                positions=positions,
+                positions=positions, keyword_cols=keyword_fields,
             )
         fwd = spark.read.parquet(fwd_path)
         dm = spark.read.parquet(docmap_path)
@@ -1122,6 +1155,8 @@ def build_index(
     m["cursor"] = m["phases"]["postings"].get("cursor")
     m["generations"] = 1
     m["positions"] = bool(positions)
+    m["keyword_fields"] = list(keyword_fields)
+    m["include_all_langs"] = bool(include_all_langs)
     cat.write_manifest(schema_version, m)
     cat.mark_phase(schema_version, "commit", "done")
     from ..sources.catalog import emit_metric_event

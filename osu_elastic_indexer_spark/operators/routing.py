@@ -17,19 +17,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-def should_index_expr():
+def should_index_expr(include_all_langs: bool = False):
     """The P1 predicate as a Column (built lazily — Column construction
-    requires an active session in classic PySpark)."""
-    return (
-        (F.col("lang") == "en")
-        & F.col("text").isNotNull()
-        & (F.length("text") > 0)
-    )
+    requires an active session in classic PySpark). ``include_all_langs``
+    lifts the lang gate — the `--include-unranked` analog; an index built
+    with it must route its INCREMENTAL batches through the same widened
+    predicate (the flag is an index-level membership property, recorded in
+    the manifest) or a non-en doc re-crawled later would be routed to
+    delete."""
+    pred = F.col("text").isNotNull() & (F.length("text") > 0)
+    if not include_all_langs:
+        pred = (F.col("lang") == "en") & pred
+    return pred
 
 
-def with_should_index(docs: DataFrame) -> DataFrame:
+def with_should_index(
+    docs: DataFrame, include_all_langs: bool = False
+) -> DataFrame:
     """P1: attach the indexability flag as a column."""
-    return docs.withColumn("should_index", should_index_expr())
+    return docs.withColumn(
+        "should_index", should_index_expr(include_all_langs)
+    )
 
 
 def split_batch(docs: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -313,12 +313,14 @@ class LocalSearcher:
     def search_bool(self, spec: dict, k: int = 10) -> list[tuple[int, float]]:
         """ES bool-query serving: must (scored AND), should (scored OR),
         must_not (excluded), filter (required, UNSCORED — ES filter
-        context) and filter_range (structured docmap-field restriction) —
-        same dense masks, spec validation, and zero-score tail as
-        operators/boolquery.bool_topk, same sorted-term score fold as
-        search(), so a surviving doc's score is bit-identical to a plain
-        query over the same terms. Always the dense/cache path: the
-        eligibility masks need full postings regardless of df."""
+        context), filter_range (structured docmap-field restriction) and
+        filter_term (declared-keyword-field exact match — the
+        country_code/ruleset_id analog) — same dense masks, spec
+        validation, and zero-score tail as operators/boolquery.bool_topk,
+        same sorted-term score fold as search(), so a surviving doc's
+        score is bit-identical to a plain query over the same terms.
+        Always the dense/cache path: the eligibility masks need full
+        postings regardless of df."""
         from ..sources.catalog import committed_gen_paths
         from .boolquery import (
             _check_spec,
@@ -326,11 +328,12 @@ class LocalSearcher:
             _normalize_spec,
             _pad_zero_score,
             _struct_mask,
+            index_keyword_fields,
         )
         from .wand import manifest_commit_seq, topk_from_dense
 
         s = _normalize_spec(spec)
-        fr = _check_spec(spec, s)
+        fr, ft = _check_spec(spec, s, index_keyword_fields(self.index_dir))
         msm = _get_msm(spec, s)
         should_set = set(s["should"])
         must, mnot = s["must"], s["must_not"]
@@ -378,11 +381,12 @@ class LocalSearcher:
                 excluded[d] = True
         self._bound_decode_cache()
         struct = None
-        if fr:
-            # same worker-cached pushed-range docmap scan as the Spark path
+        if fr or ft:
+            # same worker-cached pushed docmap scans as the Spark path
             struct = _struct_mask(
                 sums.size,
                 fr,
+                ft,
                 tuple(committed_gen_paths(self.index_dir, "docmap")),
                 manifest_commit_seq(self.index_dir),
             )
@@ -400,9 +404,15 @@ class LocalSearcher:
             tt = self.tombstones[self.tombstones < sums.size]
             sums[tt] = 0.0
         top = topk_from_dense(sums, k)
-        # (no zero-score tail under msm — a should match always scores)
-        if required and not msm and len(top) < k:
-            eligible0 = (must_cnt >= len(required)) & (sums <= 0.0)
+        # (no zero-score tail under msm — a should match always scores).
+        # Filter CONTEXT counts as "required clauses present" for the tail
+        # (ES semantics, boolquery._bool_runner): with only filter_range/
+        # filter_term required, the tail base is every INDEXED doc (the
+        # accumulators here are corpus-anchored, so no out-of-span case).
+        if (required or struct is not None) and not msm and len(top) < k:
+            eligible0 = (
+                (must_cnt >= len(required)) if required else (self.norms > 0)
+            ) & (sums <= 0.0)
             if excluded is not None:
                 eligible0 &= ~excluded
             if struct is not None:

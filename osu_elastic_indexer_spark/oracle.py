@@ -110,10 +110,13 @@ def search_bool(
     Same sorted-term fold as ``search``; a required term absent from the
     index empties the result; with no required clauses a doc qualifies by
     matching >=1 scored term. ``allowed_docs`` is the structured
-    filter_range truth (the engine evaluates it against docmap fields; the
-    oracle takes the resolved doc set). Docs matching every required
-    clause but no scored term rank with score 0.0 after all positive docs,
-    doc_id ascending — ES filter-context scoring."""
+    filter_range/filter_term truth (the engine evaluates it against
+    docmap fields; the oracle takes the resolved doc set). Docs matching
+    every required clause but no scored term rank with score 0.0 after
+    all positive docs, doc_id ascending — ES filter-context scoring; a
+    structured filter counts as a required clause for that tail, so a
+    should+filter spec (msm 0) also returns filter-matching INDEXED docs
+    carrying none of the query's terms at score 0.0."""
     must = _clause_terms(spec.get("must"))
     should = _clause_terms(spec.get("should"))
     mnot = _clause_terms(spec.get("must_not"))
@@ -150,13 +153,18 @@ def search_bool(
         key=lambda kv: (-kv[1], kv[0]),
     )
     out = ranked[:k]
-    if required and len(out) < k:
+    if (required or allowed_docs is not None) and not msm and len(out) < k:
         # filter-context zero-score tail
-        req_docs = set(index.postings[required[0]])
-        for t in required[1:]:
-            req_docs &= set(index.postings[t])
+        if required:
+            base = set(index.postings[required[0]])
+            for t in required[1:]:
+                base &= set(index.postings[t])
+        else:
+            # structured-filter-only required clauses: every INDEXED
+            # (dl > 0) allowed doc is a candidate, scored terms or not
+            base = {d for d in allowed_docs if index.dl.get(d, 0) > 0}
         zeros = sorted(
-            d for d in req_docs if d not in scores and eligible(d)
+            d for d in base if d not in scores and eligible(d)
         )
         out += [(d, 0.0) for d in zeros[: k - len(out)]]
     return out

@@ -127,6 +127,13 @@ def incremental_update(
     # materialize_forward/build_segments_spimi thread the flag below, so
     # multi-generation positional phrase queries stay correct
     positions = bool(m.get("positions"))
+    # declared docmap keyword columns (build_index(keyword_fields=...)) —
+    # every generation's docmap must carry them or filter_term scans over
+    # multi-generation indexes would silently miss newer docs
+    keyword_fields = tuple(m.get("keyword_fields") or ())
+    # index-level membership: an all-langs base index keeps accepting all
+    # langs incrementally (and never routes a live non-en doc to delete)
+    include_all_langs = bool(m.get("include_all_langs"))
     idx = cat.index_dir(schema_version)
     # T7 replay safety: remove anything a crashed generation left behind
     clean_orphan_generations(idx)
@@ -146,9 +153,11 @@ def incremental_update(
     else:
         cursor = m["cursor"]
         batch = docs.filter(F.col("warc_ts") > F.lit(cursor).cast("timestamp"))
-    batch = with_should_index(batch).persist()
+    batch = with_should_index(batch, include_all_langs).persist()
 
-    adds = batch.filter(F.col("should_index")).select("url", "warc_ts", "html")
+    adds = batch.filter(F.col("should_index")).select(
+        "url", "warc_ts", "html", *keyword_fields
+    )
 
     docmap = _read_committed(spark, idx, "docmap", DOCMAP_SCHEMA)
     old_tombs = _read_committed(spark, idx, "tombstones", TOMB_SCHEMA)
@@ -192,7 +201,7 @@ def incremental_update(
     staged = materialize_forward(
         spark, adds, fwd_gen_dir, dm_gen_dir,
         os.path.join(idx, "_fwd_stage"), start_id=start_id,
-        positions=positions,
+        positions=positions, keyword_cols=keyword_fields,
     )
     n_add = int(staged["n_rows"])
     add_stats = staged["fwd"]  # {n, sum_dl, dl_min, postings}

@@ -149,3 +149,33 @@ def test_cli_positional_build_and_sourceless_phrase(
     _run(capsys, ["--root", root2, "alias", "v1"])
     with pytest.raises(SystemExit, match="positions"):
         cli.main(["--root", root2, "search", "--phrase", "the and"])
+
+
+def test_cli_filter_term(spark, corpus_path, tmp_path, capsys):
+    """`build --include-all-langs` (lang auto-declared as a keyword field)
+    then `search --must ... --filter-term lang=de` on the Spark and
+    --local tiers; repeated flags on one field = ES terms (ANY);
+    undeclared fields refused with a pointed error."""
+    root = str(tmp_path / "ftidx")
+    base = ["--root", root]
+    m = _run(capsys, base + [
+        "build", "--input", corpus_path, "--schema", "v1",
+        "--include-all-langs",
+    ])[0]
+    _run(capsys, base + ["alias", "v1"])
+    qa = ["search", "--must", "the", "--filter-term", "lang=de", "-k", "5"]
+    hits = _run(capsys, base + qa)
+    local = _run(capsys, base + qa + ["--local"])
+    assert hits
+    assert [h["doc_id"] for h in local] == [h["doc_id"] for h in hits]
+    both = _run(capsys, base + [
+        "search", "--must", "the", "--filter-term", "lang=de",
+        "--filter-term", "lang=fr", "-k", "50",
+    ])
+    assert {h["doc_id"] for h in hits} <= {h["doc_id"] for h in both}
+    with pytest.raises(ValueError, match="filter_term"):
+        cli.main(base + [
+            "search", "--must", "the", "--filter-term", "country=de",
+        ])
+    with pytest.raises(SystemExit, match="FIELD=VALUE"):
+        cli.main(base + ["search", "--must", "the", "--filter-term", "de"])
