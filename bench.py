@@ -126,14 +126,23 @@ def main() -> None:
     )
 
     # ---- WAND per-query p50 (individual jobs, warm JVM) --------------------
-    lat = []
-    for qid, q in qs[:10]:
-        t0 = time.time()
-        wand_topk(spark, idx_dir, [(qid, q)], 10).collect()
-        lat.append(time.time() - t0)
-    lat.sort()
+    # best-of-2 PER QUERY (same box-noise protocol as timed()): two full
+    # sweeps, per-query min, both sweeps' p50s disclosed — single-shot
+    # percentiles produced phantom regressions in r4/r5 (VERDICT r5 #4)
+    sweeps = []
+    for _ in range(2):
+        lat1 = []
+        for qid, q in qs[:10]:
+            t0 = time.time()
+            wand_topk(spark, idx_dir, [(qid, q)], 10).collect()
+            lat1.append(time.time() - t0)
+        sweeps.append(lat1)
+    lat = sorted(min(a, b) for a, b in zip(*sweeps))
     queries["wand_single_p50"] = round(lat[len(lat) // 2], 3)
     extras["wand_single_p90"] = round(lat[int(len(lat) * 0.9)], 3)
+    extras["wand_single_p50_runs"] = [
+        round(sorted(s)[len(s) // 2], 3) for s in sweeps
+    ]
 
     # ---- ES-parity query surface (bool / phrase / prefix), so regressions
     # on the round-4 paths are visible round-over-round like wand's --------
@@ -184,7 +193,8 @@ def main() -> None:
     for _ in range(2):
         t0 = time.time()
         phrase_topk(
-            spark, pos_idx, None, [(0, "the and")], 10, slop=1
+            spark, pos_idx, None, [(0, "the and")], 10, slop=1,
+            docpart=False,  # pin the one-task-per-query path for comparison
         ).count()
         ts.append(round(time.time() - t0, 3))
     extras["phrase_stopword_slop_pos_sec"] = min(ts)
@@ -196,6 +206,16 @@ def main() -> None:
         ).count()
         ts.append(round(time.time() - t0, 3))
     extras["phrase_stopword_slop_pos_docpart_sec"] = min(ts)
+    # the DEFAULT (docpart='auto'): df-sum routing should land this
+    # head-term phrase on the docpart path without the caller asking
+    ts = []
+    for _ in range(2):
+        t0 = time.time()
+        phrase_topk(
+            spark, pos_idx, None, [(0, "the and")], 10, slop=1
+        ).count()
+        ts.append(round(time.time() - t0, 3))
+    extras["phrase_stopword_slop_pos_auto_sec"] = min(ts)
     ts = []
     for _ in range(2):
         t0 = time.time()
@@ -209,16 +229,34 @@ def main() -> None:
     # ---- serving-tier p50 (no Spark job per query; the ES-analog path) -----
     from osu_elastic_indexer_spark.operators.serve import LocalSearcher
 
-    searcher = LocalSearcher(idx_dir)
-    searcher.search("zebra", 10)  # warm
-    lat = []
+    # same best-of-2-per-query protocol as the wand sampler above, kept
+    # COLD (first-touch decode — what previous rounds measured): each sweep
+    # gets a FRESH searcher so the postings cache never carries over; the
+    # steady-state hot-cache latency is reported separately
+    sweeps = []
+    for _ in range(2):
+        searcher = LocalSearcher(idx_dir)
+        searcher.search("zebra", 10)  # JVM-free warm (footer index, norms)
+        lat1 = []
+        for _qid, q, k in reference_queries():
+            t0 = time.time()
+            searcher.search(q, k)
+            lat1.append(time.time() - t0)
+        sweeps.append(lat1)
+    lat = sorted(min(a, b) for a, b in zip(*sweeps))
+    extras["serve_p50_ms"] = round(lat[len(lat) // 2] * 1000, 2)
+    extras["serve_p90_ms"] = round(lat[int(len(lat) * 0.9)] * 1000, 2)
+    extras["serve_p50_ms_runs"] = [
+        round(sorted(s)[len(s) // 2] * 1000, 2) for s in sweeps
+    ]
+    # hot path: repeat the sweep on the last searcher (decode cache full)
+    lat1 = []
     for _qid, q, k in reference_queries():
         t0 = time.time()
         searcher.search(q, k)
-        lat.append(time.time() - t0)
-    lat.sort()
-    extras["serve_p50_ms"] = round(lat[len(lat) // 2] * 1000, 2)
-    extras["serve_p90_ms"] = round(lat[int(len(lat) * 0.9)] * 1000, 2)
+        lat1.append(time.time() - t0)
+    lat1.sort()
+    extras["serve_hot_p50_ms"] = round(lat1[len(lat1) // 2] * 1000, 2)
 
     # ---- incremental CDC batch (the queue-consume hot path): evolve ~12%
     # of the corpus and apply one cursor batch — measures tombstone+append,

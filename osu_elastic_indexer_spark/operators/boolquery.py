@@ -976,6 +976,56 @@ def _row_to_enc_pos(row) -> dict:
     return enc
 
 
+def _decode_positions_selected(
+    term_rows: list[tuple], eligible: np.ndarray
+) -> tuple | None:
+    """BLOCK-SELECTED position decode for ONE term (the Lucene-skipping
+    analog): only blocks whose [first, last] docID range contains a
+    candidate decode their position bytes — for a "rare common" phrase
+    the common term decodes ~df(rare) blocks instead of its whole list.
+    Above half a row's blocks, one whole-row decode wins (no per-block
+    call overhead). ``term_rows``: ``[(enc, docs, tfs), ...]`` for the
+    term's segment rows (postings already decoded); ``eligible``: sorted
+    GLOBAL candidate docIDs. Returns ``(docs, tfs, positions, pstart)``
+    over the selected blocks only — a candidate doc is always inside some
+    selected block, so phrase verification over the partial arrays is
+    complete — or None when no block holds a candidate."""
+    d_parts, tf_parts, pos_parts = [], [], []
+    BLK = codec.BLOCK
+    for enc, d_i, tf_i in term_rows:
+        bf = np.asarray(enc["block_first"], dtype=np.int64)
+        bl = np.asarray(enc["block_last"], dtype=np.int64)
+        nb = bf.size
+        i0 = np.searchsorted(eligible, bf)
+        needed = (i0 < eligible.size) & (
+            eligible[np.minimum(i0, eligible.size - 1)] <= bl
+        )
+        n_need = int(needed.sum())
+        if n_need == 0:
+            continue
+        if n_need > nb // 2:
+            d_parts.append(d_i)
+            tf_parts.append(tf_i)
+            pos_parts.append(codec.decode_positions(enc["pos_blob"], tf_i))
+        else:
+            for b in np.flatnonzero(needed):
+                sl = slice(int(b) * BLK, min((int(b) + 1) * BLK, d_i.size))
+                tfb = tf_i[sl]
+                d_parts.append(d_i[sl])
+                tf_parts.append(tfb)
+                pos_parts.append(
+                    codec.decode_positions_block(enc, tfb, int(b))
+                )
+    if not d_parts:
+        return None
+    d = np.concatenate(d_parts)
+    tf = np.concatenate(tf_parts)
+    poss = np.concatenate(pos_parts)
+    pstart = np.zeros(d.size + 1, dtype=np.int64)
+    np.cumsum(tf, out=pstart[1:])
+    return d, tf, poss, pstart
+
+
 def _phrase_runner(state: dict, k: int, phrases_b: dict[int, list[str]],
                    slop: int, idf_by_term: dict[str, float]):
     """applyInPandas body for one phrase query's POSITIONAL segment rows:
@@ -1052,51 +1102,15 @@ def _phrase_runner(state: dict, k: int, phrases_b: dict[int, list[str]],
         eligible = np.flatnonzero(sums > 0.0) + lo  # GLOBAL docIDs
         if eligible.size == 0:
             return empty
-        # pass 2: positions, BLOCK-SELECTED (the Lucene-skipping analog):
-        # only blocks whose [first, last] doc range contains a candidate
-        # decode their position bytes — for a "rare common" phrase the
-        # common term decodes ~df(rare) blocks instead of its whole list.
-        # Above half the blocks, the single whole-row decode wins (no
-        # per-block call overhead).
+        # pass 2: positions, block-selected via the shared helper (also
+        # the docpart cell scorer's position pass)
         decoded: dict[str, tuple] = {}
-        BLK = codec.BLOCK
         for t in uniq:
-            d_parts, tf_parts, pos_parts = [], [], []
-            for enc, d_i, tf_i in term_rows[t]:
-                bf = np.asarray(enc["block_first"], dtype=np.int64)
-                bl = np.asarray(enc["block_last"], dtype=np.int64)
-                nb = bf.size
-                i0 = np.searchsorted(eligible, bf)
-                needed = (i0 < eligible.size) & (
-                    eligible[np.minimum(i0, eligible.size - 1)] <= bl
-                )
-                n_need = int(needed.sum())
-                if n_need == 0:
-                    continue
-                if n_need > nb // 2:
-                    d_parts.append(d_i)
-                    tf_parts.append(tf_i)
-                    pos_parts.append(
-                        codec.decode_positions(enc["pos_blob"], tf_i)
-                    )
-                else:
-                    for b in np.flatnonzero(needed):
-                        sl = slice(int(b) * BLK, min((int(b) + 1) * BLK, d_i.size))
-                        tfb = tf_i[sl]
-                        d_parts.append(d_i[sl])
-                        tf_parts.append(tfb)
-                        pos_parts.append(
-                            codec.decode_positions_block(enc, tfb, int(b))
-                        )
-            if not d_parts:
+            res = _decode_positions_selected(term_rows[t], eligible)
+            if res is None:
                 return empty  # every candidate block vanished (can't happen
                 # for a true candidate, defensive for empty eligible overlap)
-            d = np.concatenate(d_parts)
-            tf = np.concatenate(tf_parts)
-            poss = np.concatenate(pos_parts)
-            pstart = np.zeros(d.size + 1, dtype=np.int64)
-            np.cumsum(tf, out=pstart[1:])
-            decoded[t] = (d, tf, poss, pstart)
+            decoded[t] = res
         m = len(phrase)
         # fused (doc, adjusted-position) keys: adj ∈ [-(m-1), maxpos], so
         # +m keeps keys positive and +slop+2 headroom keeps a window query
@@ -1328,39 +1342,40 @@ def phrase_topk_positional_docpart(
                 (int(cols["doc_min"][i]),
                  _row_to_enc_pos({c: cols[c][i] for c in pdf.columns}))
             )
-        # decode once per term in this cell: CELL-LOCAL doc ids + tfn +
-        # positions (accumulators and keys sized to the cell span only)
-        decoded: dict[str, tuple] = {}
-        max_pos = 0
+        # pass 1: POSTINGS only, once per term in this cell — CELL-LOCAL
+        # doc ids + tfn for scoring; the enc rows stay for the later
+        # block-selected position pass (positions stay encoded until the
+        # candidate set is known, same as the per-query runner)
+        term_rows: dict[str, list] = {}
+        score_data: dict[str, tuple] = {}
         for tid, rows in rows_by_tid.items():
             rows.sort(key=lambda e: e[0])
-            d_parts, tf_parts, pos_parts = [], [], []
+            parts = []
             for _dm, enc in rows:
                 d_i, tf_i = codec.decode_postings(enc)
-                d_parts.append(d_i)
-                tf_parts.append(tf_i)
-                pos_parts.append(codec.decode_positions(enc["pos_blob"], tf_i))
-            d = np.concatenate(d_parts)
-            tf = np.concatenate(tf_parts)
-            poss = np.concatenate(pos_parts)
-            if poss.size:
-                max_pos = max(max_pos, int(poss.max()))
+                parts.append((enc, d_i, tf_i))
+            d = np.concatenate([p[1] for p in parts])
+            tf = np.concatenate([p[2] for p in parts])
             dl = norms[d].astype(np.float64)
             tfn = tf.astype(np.float64) / (
                 tf + K1 * ((1.0 - B) + (B * dl) / avgdl)
             )
-            pstart = np.zeros(d.size + 1, dtype=np.int64)
-            np.cumsum(tf, out=pstart[1:])
-            decoded[_tid_term[tid]] = (d - lo, tf, poss, pstart, tfn)
-        out_q, out_d, out_s = [], [], []
+            term_rows[_tid_term[tid]] = parts
+            score_data[_tid_term[tid]] = (d - lo, tfn)
+        # score every query first, keeping only SPARSE candidates (docIDs
+        # + their scores), so the position pass below can decode each
+        # term's candidate-bearing blocks ONCE for the union of all its
+        # queries' candidates. One dense accumulator pair lives at a time.
+        cand: dict[int, tuple] = {}
+        need: dict[str, list] = {}
         for qid, phrase in live_phrases.items():
             uniq = sorted(set(phrase))
-            if any(t not in decoded for t in uniq):
+            if any(t not in score_data for t in uniq):
                 continue  # term absent from this cell -> no cell matches
             sums = np.zeros(span, dtype=np.float64)
             cnt = np.zeros(span, dtype=np.int16)
             for t in uniq:  # sorted-term fold (bit-identical scores)
-                d, _tf, _poss, _pstart, tfn = decoded[t]
+                d, tfn = score_data[t]
                 sums[d] += idf[t] * tfn
                 cnt[d] += 1
             sums[cnt < len(uniq)] = 0.0
@@ -1371,18 +1386,40 @@ def phrase_topk_positional_docpart(
             eligible = np.flatnonzero(sums > 0.0)
             if eligible.size == 0:
                 continue
-            dec4 = {
-                t: (v[0], v[1], v[2], v[3]) for t, v in decoded.items()
-            }
+            cand[qid] = (eligible, sums[eligible])
+            for t in uniq:
+                need.setdefault(t, []).append(eligible)
+        # pass 2: positions, BLOCK-SELECTED per term over the union of its
+        # queries' candidates (the Lucene-skipping analog — a head-term
+        # batch still decodes most blocks, but a cell serving only rare
+        # phrases touches ~candidate-count blocks of a head term's sidecar)
+        decoded_pos: dict[str, tuple] = {}
+        max_pos = 0
+        for t, parts_el in need.items():
+            union_g = np.unique(np.concatenate(parts_el)) + lo
+            res = _decode_positions_selected(term_rows[t], union_g)
+            if res is None:
+                continue  # defensive: candidates always live in a block
+            d, tf, poss, pstart = res
+            if poss.size:
+                max_pos = max(max_pos, int(poss.max()))
+            decoded_pos[t] = (d - lo, tf, poss, pstart)
+        out_q, out_d, out_s = [], [], []
+        for qid, (eligible, scores) in cand.items():
+            phrase = live_phrases[qid]
+            if any(t not in decoded_pos for t in set(phrase)):
+                continue
             verified = _verify_positions_cell(
-                phrase, dec4, eligible, max_pos + 1, slop_b
+                phrase, decoded_pos, eligible, max_pos + 1, slop_b
             )
-            for dd in verified[
-                np.argsort(-sums[verified], kind="stable")[:kk]
-            ] if verified.size else []:
+            if verified.size == 0:
+                continue
+            # scores for the verified docs, from the sparse candidate set
+            vs = scores[np.searchsorted(eligible, verified)]
+            for j in np.argsort(-vs, kind="stable")[:kk]:
                 out_q.append(qid)
-                out_d.append(int(dd) + lo)
-                out_s.append(float(sums[dd]))
+                out_d.append(int(verified[j]) + lo)
+                out_s.append(float(vs[j]))
         return pd.DataFrame(
             {"query_id": out_q, "rank": [0] * len(out_q),
              "doc_id": out_d, "score": out_s}
@@ -1438,6 +1475,14 @@ def _phrase_topk_positional(
 
 
 PHRASE_MAX_CANDIDATES = 1_000_000
+# auto-routing (docpart='auto'): a positional phrase whose terms' summed
+# document frequency exceeds this runs on the cell-parallel docpart path —
+# the per-query runner decodes ALL of those terms' postings+positions in
+# ONE task, so head-term phrases ("the and") serialize there while docpart
+# splits the same work across (generation, salt) cells, whose count grows
+# with the corpus. Both paths are bit-identical, so routing is purely a
+# physical-plan choice (Catalyst-style: same logical query, cheaper shape).
+PHRASE_DOCPART_DF_SUM = 100_000
 
 
 def phrase_topk(
@@ -1446,7 +1491,7 @@ def phrase_topk(
     source: DataFrame | None,
     queries: list[tuple[int, str]],
     k: int = 10,
-    docpart: bool = False,
+    docpart: bool | str = "auto",
     max_candidates: int = PHRASE_MAX_CANDIDATES,
     on_overflow: str = "error",
     slop: int = 0,
@@ -1459,6 +1504,12 @@ def phrase_topk(
     Lucene span-of-adjusted-positions criterion (transposition costs 2).
     Candidate generation is slop-independent — candidates are always the
     conjunctive term match — so only the verify predicate changes.
+
+    ``docpart`` (positional indexes): ``'auto'`` (default) routes each
+    query by its terms' summed df — above ``PHRASE_DOCPART_DF_SUM`` the
+    cell-parallel ``phrase_topk_positional_docpart`` shape runs it (one
+    task per docID cell instead of one task per query); ``True``/``False``
+    force a path. All three produce bit-identical results.
 
     ``source``: the corpus table with (url, html) — the same rows the index
     was built from (the reference keeps _source outside ES and re-reads by
@@ -1487,10 +1538,44 @@ def phrase_topk(
         raise ValueError("slop must be >= 0")
     if use_positions not in ("auto", "never", "require"):
         raise ValueError("use_positions must be 'auto', 'never', or 'require'")
+    if docpart not in (True, False, "auto"):
+        raise ValueError("docpart must be True, False, or 'auto'")
     # positional (v2) route: the index answers phrases alone — no source
     # scan, no candidate guard (work ∝ the phrase terms' posting volume);
-    # docpart routes to the cell-parallel shape
+    # docpart routes to the cell-parallel shape. 'auto' (default) splits
+    # the batch by the terms' summed df — a driver-side pyarrow dictionary
+    # seek, no Spark job — so head-term phrases land on docpart without
+    # the caller knowing the corpus statistics (PHRASE_DOCPART_DF_SUM).
     if use_positions != "never" and index_has_positions(index_dir):
+        if docpart == "auto":
+            from .dictionary import lookup_term_info
+
+            phs = {int(qid): set(tokenize(text)) for qid, text in queries}
+            ti = lookup_term_info(
+                spark, index_dir, sorted({t for s in phs.values() for t in s})
+            )
+            heavy = {
+                qid
+                for qid, terms in phs.items()
+                if terms
+                and all(t in ti for t in terms)
+                and sum(ti[t][1] for t in terms) > PHRASE_DOCPART_DF_SUM
+            }
+            parts = []
+            if heavy:
+                parts.append(phrase_topk_positional_docpart(
+                    spark, index_dir,
+                    [(q, t) for q, t in queries if int(q) in heavy], k, slop,
+                ))
+            light = [(q, t) for q, t in queries if int(q) not in heavy]
+            if light or not parts:
+                parts.append(_phrase_topk_positional(
+                    spark, index_dir, light, k, slop
+                ))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
         if docpart:
             return phrase_topk_positional_docpart(
                 spark, index_dir, queries, k, slop
@@ -1522,7 +1607,9 @@ def phrase_topk(
     # shape (blobs shuffle once per docID cell, independent of the batch
     # size) — same candidates and scores bit-identically, the right form
     # for 10^4-phrase batches sharing head terms
-    gen = bool_topk_docpart if docpart else bool_topk
+    # ('auto' means per-query here: the source-verify guard already refuses
+    # head-term phrases, so candidates are few and per-query joins win)
+    gen = bool_topk_docpart if docpart is True else bool_topk
     cands = gen(spark, index_dir, bool_queries, k=2**31 - 1)
     # bound before pinning: the count also materializes the cache both
     # verify joins reuse (one candidate job, not two)

@@ -324,7 +324,9 @@ def test_positional_docpart_matches_per_query_multisalt(
     for slop in (0, 1, 2):
         a = sorted(
             tuple(r)
-            for r in phrase_topk(spark, idx, None, qs, 10, slop=slop).collect()
+            for r in phrase_topk(
+                spark, idx, None, qs, 10, slop=slop, docpart=False
+            ).collect()
         )
         b = sorted(
             tuple(r)
@@ -333,3 +335,120 @@ def test_positional_docpart_matches_per_query_multisalt(
             ).collect()
         )
         assert a == b and a, f"slop={slop}"
+
+
+def test_phrase_auto_routes_head_terms_to_docpart(
+    spark, pos_index, monkeypatch
+):
+    """docpart='auto' (the default) routes a head-term phrase to the
+    cell-parallel docpart shape and a rare phrase to the per-query runner
+    — decided from a driver-side dictionary df seek, no Spark job — and
+    the mixed batch unions bit-identically to the forced paths."""
+    from osu_elastic_indexer_spark.operators import boolquery as bq
+
+    idx = pos_index.index_dir("v1")
+    calls = {"docpart": [], "perq": []}
+    real_dp, real_pq = bq.phrase_topk_positional_docpart, bq._phrase_topk_positional
+
+    def spy_dp(spark_, idx_, queries, k, slop):
+        calls["docpart"] += [q for q, _t in queries]
+        return real_dp(spark_, idx_, queries, k, slop)
+
+    def spy_pq(spark_, idx_, queries, k, slop):
+        calls["perq"] += [q for q, _t in queries]
+        return real_pq(spark_, idx_, queries, k, slop)
+
+    monkeypatch.setattr(bq, "phrase_topk_positional_docpart", spy_dp)
+    monkeypatch.setattr(bq, "_phrase_topk_positional", spy_pq)
+    # fixture corpus: 'the and' dfs sum well above 400; 'w00100 w00200' far
+    # below — pin the threshold between them instead of relying on scale
+    monkeypatch.setattr(bq, "PHRASE_DOCPART_DF_SUM", 400)
+    qs = [(0, "the and"), (1, "w00100 w00200")]
+    auto = sorted(
+        tuple(r) for r in bq.phrase_topk(spark, idx, None, qs, 10, slop=1).collect()
+    )
+    assert calls == {"docpart": [0], "perq": [1]}
+    forced = sorted(
+        tuple(r)
+        for r in bq.phrase_topk(
+            spark, idx, None, qs, 10, slop=1, docpart=False
+        ).collect()
+    )
+    assert auto == forced and auto
+    # out-of-vocabulary terms stay on the per-query path (empty result)
+    calls["docpart"], calls["perq"] = [], []
+    got = bq.phrase_topk(
+        spark, idx, None, [(7, "the xyzzyabsent")], 10
+    ).collect()
+    assert got == [] and calls == {"docpart": [], "perq": [7]}
+
+
+def test_decode_positions_selected_unit(monkeypatch):
+    """The shared block-selection helper (per-query runner pass 2 AND the
+    docpart cell scorer's position pass) decodes ONLY candidate-bearing
+    128-posting blocks when they are <= half the row's blocks, falls back
+    to one whole-row decode above that, returns None when no block holds
+    a candidate, and its partial arrays agree with the full decode."""
+    from osu_elastic_indexer_spark.operators.boolquery import (
+        _decode_positions_selected,
+    )
+
+    n = 600  # 5 blocks at BLOCK=128 (last one partial)
+    docs = np.arange(0, 2 * n, 2, dtype=np.int64)
+    tfs = (np.arange(n) % 3 + 1).astype(np.int64)
+    positions = np.concatenate(
+        [np.arange(t, dtype=np.int64) * 2 + (i % 7) for i, t in enumerate(tfs)]
+    )
+    enc = codec.encode_postings(docs, tfs)
+    enc.update(codec.encode_positions(positions, tfs))
+    rows = [(enc, docs, tfs)]
+
+    calls = {"full": 0, "block": []}
+    real_full = codec.decode_positions
+    real_block = codec.decode_positions_block
+
+    def spy_full(blob, t):
+        # decode_positions_block delegates here with a SLICED memoryview;
+        # count only whole-sidecar decodes (what block selection avoids)
+        if len(blob) == len(enc["pos_blob"]):
+            calls["full"] += 1
+        return real_full(blob, t)
+
+    def spy_block(e, tb, b):
+        calls["block"].append(b)
+        return real_block(e, tb, b)
+
+    monkeypatch.setattr(codec, "decode_positions", spy_full)
+    monkeypatch.setattr(codec, "decode_positions_block", spy_block)
+
+    BLK = codec.BLOCK
+    full_poss = real_full(enc["pos_blob"], tfs)
+    pstart = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tfs, out=pstart[1:])
+
+    # one candidate inside block 3 -> exactly block 3 decoded
+    eligible = docs[3 * BLK + 10 : 3 * BLK + 11]
+    d, tf, poss, ps = _decode_positions_selected(rows, eligible)
+    assert calls == {"full": 0, "block": [3]}
+    sl = slice(3 * BLK, 4 * BLK)
+    assert np.array_equal(d, docs[sl]) and np.array_equal(tf, tfs[sl])
+    assert np.array_equal(poss, full_poss[pstart[3 * BLK] : pstart[4 * BLK]])
+    assert ps[-1] == poss.size
+    # the selected arrays still resolve a candidate's occurrence run
+    j = int(np.searchsorted(d, eligible[0]))
+    assert np.array_equal(
+        poss[ps[j] : ps[j + 1]],
+        full_poss[pstart[3 * BLK + 10] : pstart[3 * BLK + 11]],
+    )
+
+    # candidates in 4 of 5 blocks -> whole-row decode (n_need > nb // 2)
+    calls["full"], calls["block"] = 0, []
+    eligible = docs[[10, BLK + 10, 2 * BLK + 10, 4 * BLK + 10]]
+    d, tf, poss, ps = _decode_positions_selected(rows, eligible)
+    assert calls["full"] == 1 and calls["block"] == []
+    assert np.array_equal(d, docs) and np.array_equal(poss, full_poss)
+
+    # no candidate in any block's [first, last] range -> None
+    calls["full"], calls["block"] = 0, []
+    assert _decode_positions_selected(rows, np.array([10**9])) is None
+    assert calls == {"full": 0, "block": []}
