@@ -20,6 +20,9 @@ Commands/QueueCommands.cs) and their analogs here:
                                            [--minimum-should-match N]
                                            [--filter-url-range LO HI]
                                            [--filter-term FIELD=VALUE] [--local]
+  (ES sort query / doc values)        -> search --sort FIELD [--sort-asc]
+                                           [--filter-term ...] [--filter-range ...]
+  (ES per-clause boost)               -> search --must "a" --should "b^2.5"
   (ES prefix query)                   -> search --prefix p [--max-expansions N]
   (ES match_phrase [+slop])           -> search --phrase "..." [--source src.parquet]
                                            (--source optional on --positions builds)
@@ -59,6 +62,7 @@ def cmd_build(args) -> int:
             spark, docs, cat, args.schema, resume=args.resume,
             where=args.where, include_all_langs=args.include_all_langs,
             positions=args.positions, keyword_fields=args.keyword_fields,
+            numeric_fields=tuple(args.numeric_fields or ()),
         )
     print(json.dumps({"index": m["index_name"], "counters": m["counters"],
                       "cursor": m["cursor"], "generations": m["generations"]}))
@@ -123,6 +127,45 @@ def cmd_queue_watch(args) -> int:
     return 0
 
 
+def _parse_boosted(text):
+    """Lucene query-string boost syntax for scored CLI clauses: tokens
+    suffixed ``^FACTOR`` ("merge^2.5") become boosted clause items
+    (boolquery._normalize_spec dict form); everything else passes through
+    as plain text."""
+    if not text:
+        return text
+    items: list = []
+    plain: list[str] = []
+    for tok in str(text).split():
+        base, sep, factor = tok.rpartition("^")
+        if sep and base:
+            try:
+                items.append({"query": base, "boost": float(factor)})
+                continue
+            except ValueError:
+                pass  # not a number after ^ -> treat as plain text
+        plain.append(tok)
+    if not items:
+        return text
+    if plain:
+        items.append(" ".join(plain))
+    return items
+
+
+def _jsonable(v):
+    import datetime
+
+    import numpy as np
+
+    if isinstance(v, (np.floating, np.integer)):
+        return v.item()
+    if isinstance(v, np.datetime64):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    return v
+
+
 def cmd_search(args) -> int:
     from .sources.catalog import Catalog
 
@@ -131,15 +174,17 @@ def cmd_search(args) -> int:
     spec = None
     bool_clauses = (
         args.must or args.should or args.must_not or args.filter
-        or args.filter_url_range or args.filter_term
+        or ((args.filter_url_range or args.filter_term or args.filter_range)
+            and not args.sort)
     )
     modes = sum(
-        1 for v in (args.query, args.prefix, args.phrase, bool_clauses) if v
+        1 for v in (args.query, args.prefix, args.phrase, bool_clauses,
+                    args.sort) if v
     )
     if modes != 1:
         raise SystemExit(
             "search: give exactly one of free text, --prefix, --phrase, "
-            "or bool clauses"
+            "--sort, or bool clauses"
         )
     if args.phrase and not args.source:
         from .operators.boolquery import index_has_positions
@@ -149,22 +194,37 @@ def cmd_search(args) -> int:
                 "search: --phrase needs --source (url, html parquet) on a "
                 "positions-free index; build with --positions to drop it"
             )
+    fr: dict[str, tuple] = {}
+    if args.filter_url_range:
+        fr["url"] = tuple(args.filter_url_range)
+    for field, lo, hi in args.filter_range or ():
+        def _bound(v, f=field):
+            if v == "null":
+                return None
+            if f in ("url", "warc_ts"):
+                return v  # string-typed structured fields stay strings
+            try:
+                return float(v)
+            except ValueError:
+                return v
+        fr[field] = (_bound(lo), _bound(hi))
+    ft: dict[str, list[str]] = {}
+    for kv in args.filter_term or ():
+        field, sep, value = kv.partition("=")
+        if not sep or not field:
+            raise SystemExit(
+                f"--filter-term expects FIELD=VALUE, got {kv!r}"
+            )
+        ft.setdefault(field, []).append(value)
     if bool_clauses:
-        spec = {"must": args.must, "should": args.should,
+        spec = {"must": _parse_boosted(args.must),
+                "should": _parse_boosted(args.should),
                 "must_not": args.must_not}
         if args.filter:
             spec["filter"] = args.filter
-        if args.filter_url_range:
-            spec["filter_range"] = {"url": tuple(args.filter_url_range)}
-        if args.filter_term:
-            ft: dict[str, list[str]] = {}
-            for kv in args.filter_term:
-                field, sep, value = kv.partition("=")
-                if not sep or not field:
-                    raise SystemExit(
-                        f"--filter-term expects FIELD=VALUE, got {kv!r}"
-                    )
-                ft.setdefault(field, []).append(value)
+        if fr:
+            spec["filter_range"] = fr
+        if ft:
             spec["filter_term"] = ft
         if args.minimum_should_match:
             spec["minimum_should_match"] = args.minimum_should_match
@@ -173,6 +233,15 @@ def cmd_search(args) -> int:
         from .operators.serve import LocalSearcher
 
         searcher = LocalSearcher(idx)
+        if args.sort:
+            res = searcher.search_sort(
+                args.sort, args.k, ascending=args.sort_asc,
+                filter_term=ft or None, filter_range=fr or None,
+            )
+            for rank, (doc_id, val) in enumerate(res, 1):
+                print(json.dumps({"rank": rank, "doc_id": doc_id,
+                                  args.sort: _jsonable(val)}))
+            return 0
         if spec is not None:
             res = searcher.search_bool(spec, args.k)
         elif args.prefix:
@@ -189,6 +258,18 @@ def cmd_search(args) -> int:
             print(json.dumps({"rank": rank, "doc_id": doc_id, "score": score}))
         return 0
     spark = _spark(args)
+    if args.sort:
+        from .operators.sortquery import sort_topk
+
+        res = sort_topk(
+            spark, idx, args.sort, args.k, ascending=args.sort_asc,
+            filter_term=ft or None, filter_range=fr or None,
+        )
+        for rank, r in enumerate(res.collect(), 1):
+            print(json.dumps({"rank": rank, "doc_id": r.doc_id,
+                              "url": r.url,
+                              args.sort: _jsonable(r[args.sort])}))
+        return 0
     if spec is not None or args.prefix or args.phrase:
         from .operators.boolquery import bool_topk, phrase_topk, prefix_topk
 
@@ -310,6 +391,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="carry input column COL on the docmap as a keyword "
                         "field for search --filter-term (repeatable; "
                         "default: lang when the input has it)")
+    b.add_argument("--numeric-field", dest="numeric_fields", action="append",
+                   metavar="COL", default=None,
+                   help="carry input column COL on the docmap as a NUMERIC "
+                        "doc-value field (double) for search --sort / "
+                        "--filter-range (repeatable)")
     b.set_defaults(fn=cmd_build)
 
     qp = sub.add_parser("queue-push", help="enqueue a parquet of docs (pump-file)")
@@ -380,6 +466,18 @@ def main(argv: list[str] | None = None) -> int:
                         "keyword columns declared at build time, e.g. "
                         "lang=de; repeat the flag — same field twice = "
                         "ES terms query, ANY of the values)")
+    s.add_argument("--sort", dest="sort", default=None, metavar="FIELD",
+                   help="ES sort query: top-k by a stored docmap field "
+                        "(keyword/numeric/structured), no scoring; combine "
+                        "with --filter-term / --filter-range / "
+                        "--filter-url-range")
+    s.add_argument("--sort-asc", dest="sort_asc", action="store_true",
+                   help="ascending sort (default: descending)")
+    s.add_argument("--filter-range", dest="filter_range", nargs=3,
+                   action="append", metavar=("FIELD", "LO", "HI"),
+                   help="structured/numeric range filter: docs whose FIELD "
+                        "lies in [LO, HI]; pass 'null' for an open bound "
+                        "(numeric fields coerce to float)")
     s.add_argument("--prefix", default=None,
                    help="prefix query: expand against the dictionary "
                         "(term-asc, capped) and score the expansion; "

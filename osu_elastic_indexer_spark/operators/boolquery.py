@@ -157,25 +157,78 @@ _SPEC_KEYS = {
 _RANGE_FIELDS = {"url", "warc_ts"}
 
 
-def _normalize_spec(spec) -> dict[str, list[str]]:
-    """Accept clause values as raw text or token lists; tokenize + dedup."""
+def _normalize_spec(spec) -> dict:
+    """Accept clause values as raw text or token lists; tokenize + dedup.
 
-    def toks(v) -> list[str]:
+    ES per-clause ``boost``: items in the SCORED clause lists (must /
+    should) may be ``{"query"/"term": text, "boost": factor}`` dicts or
+    ``(text, factor)`` pairs. The returned ``"boosts"`` map gives each
+    term its effective factor — the PRODUCT of the boosts of every scored
+    clause containing it (unboosted clauses contribute 1.0, so unboosted
+    specs score exactly as before; the engine dedups a term shared by
+    must and should into one scored contribution, and the product rule is
+    that dedup's boost analog). Boost on must_not/filter is rejected —
+    ES ignores it there (those clauses never score), and silently
+    accepting it would hide a spec bug."""
+    boosts: dict[str, float] = {}
+
+    def one(item, clause: str) -> set[str]:
+        b = None
+        if isinstance(item, dict):
+            if not {"query", "term"} & set(item) or set(item) - {
+                "query", "term", "boost"
+            }:
+                raise ValueError(
+                    f"clause item {item!r} must be "
+                    '{"query"/"term": text, "boost": factor}'
+                )
+            b = item.get("boost")
+            item = item.get("query", item.get("term"))
+        elif (
+            isinstance(item, tuple)
+            and len(item) == 2
+            and isinstance(item[0], str)
+            and isinstance(item[1], (int, float))
+            and not isinstance(item[1], bool)
+        ):
+            item, b = item
+        ts = set(tokenize(item))
+        if b is not None:
+            if clause not in ("must", "should"):
+                raise ValueError(
+                    f"boost on a {clause} clause has no effect (ES scores "
+                    "neither must_not nor filter context) — remove it"
+                )
+            b = float(b)
+            if not b > 0.0:
+                raise ValueError("boost must be > 0")
+            for t in ts:
+                boosts[t] = boosts.get(t, 1.0) * b
+        return ts
+
+    def toks(v, clause: str) -> list[str]:
         if v is None:
             return []
-        if isinstance(v, str):
-            return sorted(set(tokenize(v)))
+        if isinstance(v, (str, dict)) or (
+            isinstance(v, tuple) and len(v) == 2
+            and isinstance(v[0], str)
+            and isinstance(v[1], (int, float))
+            and not isinstance(v[1], bool)
+        ):
+            v = [v]
         out: set[str] = set()
         for item in v:
-            out.update(tokenize(item))
+            out.update(one(item, clause))
         return sorted(out)
 
-    return {
-        "must": toks(spec.get("must")),
-        "should": toks(spec.get("should")),
-        "must_not": toks(spec.get("must_not")),
-        "filter": toks(spec.get("filter")),
+    out = {
+        "must": toks(spec.get("must"), "must"),
+        "should": toks(spec.get("should"), "should"),
+        "must_not": toks(spec.get("must_not"), "must_not"),
+        "filter": toks(spec.get("filter"), "filter"),
     }
+    out["boosts"] = {k: v for k, v in boosts.items() if v != 1.0}
+    return out
 
 
 def index_keyword_fields(index_dir: str) -> tuple[str, ...]:
@@ -188,11 +241,28 @@ def index_keyword_fields(index_dir: str) -> tuple[str, ...]:
     return tuple((m or {}).get("keyword_fields") or ())
 
 
+def index_numeric_fields(index_dir: str) -> tuple[str, ...]:
+    """NUMERIC doc-value columns this index's docmap carries (declared at
+    build via ``build_index(numeric_fields=...)`` — the ES doc_values
+    analog of scores.json's numeric sort/range fields). ``filter_range``
+    and ``filter_term`` accept them; ``sort_topk`` sorts on them."""
+    from ..sources.catalog import read_index_manifest
+
+    m = read_index_manifest(index_dir)
+    return tuple((m or {}).get("numeric_fields") or ())
+
+
 def _check_spec(
-    spec: dict, s: dict[str, list[str]], keyword_fields: tuple = ()
+    spec: dict, s: dict[str, list[str]], keyword_fields: tuple = (),
+    numeric_fields: tuple = (),
 ) -> tuple[dict[str, tuple], dict[str, tuple]]:
     """Validate a bool spec; -> (normalized {field: (lo, hi)} filter_range,
     normalized {field: (value, ...)} filter_term).
+
+    ``filter_range`` accepts the structured fields every docmap carries
+    (url, warc_ts) plus this index's declared NUMERIC doc-value fields
+    (the ES numeric-range query over total_score/pp-style fields);
+    ``filter_term`` additionally accepts the declared keyword fields.
 
     Raises ValueError for unusable specs instead of returning empty (the
     silent-empty failure modes users actually hit): unknown keys, bad
@@ -207,12 +277,15 @@ def _check_spec(
     fr_in = spec.get("filter_range") or {}
     if not isinstance(fr_in, dict):
         raise ValueError("filter_range must be {field: (lo, hi)}")
+    rangeable = _RANGE_FIELDS | set(numeric_fields)
     fr: dict[str, tuple] = {}
     for field, bounds in fr_in.items():
-        if field not in _RANGE_FIELDS:
+        if field not in rangeable:
             raise ValueError(
-                f"filter_range field {field!r} not a docmap structured "
-                f"field; supported: {sorted(_RANGE_FIELDS)}"
+                f"filter_range field {field!r} not a docmap structured/"
+                f"numeric field of this index; it carries: "
+                f"{sorted(rangeable)} (declare numeric columns at build "
+                "time via build_index(numeric_fields=...))"
             )
         try:
             lo, hi = bounds
@@ -226,7 +299,7 @@ def _check_spec(
     if not isinstance(ft_in, dict):
         raise ValueError("filter_term must be {field: value-or-list}")
     ft: dict[str, tuple] = {}
-    allowed = _RANGE_FIELDS | set(keyword_fields)
+    allowed = _RANGE_FIELDS | set(keyword_fields) | set(numeric_fields)
     for field, vals in ft_in.items():
         if field not in allowed:
             raise ValueError(
@@ -550,10 +623,11 @@ def bool_topk(
     unusable spec raises ValueError (``_check_spec``).
     """
     kw_fields = index_keyword_fields(index_dir)
+    num_fields = index_numeric_fields(index_dir)
     specs = [(qid, _normalize_spec(s)) for qid, s in queries]
     structs = {}
     for (qid, s), (_qid2, raw) in zip(specs, queries):
-        fr, ft = _check_spec(raw, s, kw_fields)
+        fr, ft = _check_spec(raw, s, kw_fields, num_fields)
         if fr or ft:
             structs[qid] = (fr, ft)
     msms = {
@@ -591,10 +665,13 @@ def bool_topk(
         if not roles:
             continue
         n_required = len(required)
+        boosts = s["boosts"]
         for t, role in roles.items():
+            # ES per-clause boost folds into the per-(query, term) idf the
+            # qmap already carries — the runner is boost-oblivious
             qmap_rows.append(
-                (qid, t, term_info[t][0], idf[t], role, n_required,
-                 msms[qid])
+                (qid, t, term_info[t][0], idf[t] * boosts.get(t, 1.0),
+                 role, n_required, msms[qid])
             )
     if not qmap_rows:
         return spark.createDataFrame([], RESULT_SCHEMA)
@@ -640,11 +717,12 @@ def bool_topk_docpart(
     bit-identical on every other shape, so the union stays exact.
     """
     kw_fields = index_keyword_fields(index_dir)
+    num_fields = index_numeric_fields(index_dir)
     specs = [(qid, _normalize_spec(s)) for qid, s in queries]
     structs = {}
     tail_qids = set()
     for (qid, s), (_qid2, raw) in zip(specs, queries):
-        fr, ft = _check_spec(raw, s, kw_fields)
+        fr, ft = _check_spec(raw, s, kw_fields, num_fields)
         if fr or ft:
             structs[qid] = (fr, ft)
             if not (s["must"] or s["filter"]) and not _get_msm(raw, s):
@@ -700,8 +778,12 @@ def bool_topk_docpart(
             continue
         n_must_by_q[qid] = len(required)
         n_msm_by_q[qid] = msms[qid]
+        boosts = s["boosts"]
         for t, role in roles.items():
-            subs.setdefault(term_info[t][0], []).append((qid, idf[t], role))
+            # per-clause boost folds into the subscription idf (bool_topk)
+            subs.setdefault(term_info[t][0], []).append(
+                (qid, idf[t] * boosts.get(t, 1.0), role)
+            )
     if not subs:
         return spark.createDataFrame([], RESULT_SCHEMA)
     tids = sorted(subs)

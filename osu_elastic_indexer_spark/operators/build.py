@@ -219,9 +219,10 @@ def _fused_stage_pass(positions: bool = False, keyword_cols: tuple = ()):
     per-doc dict pass already visits every token, so this costs one list
     append per token, only when enabled.
 
-    ``keyword_cols``: declared docmap keyword columns (the scores.json
-    country_code/ruleset_id analog) — pure Arrow pass-through, zero
-    Python work per row."""
+    ``keyword_cols``: declared docmap carry-through columns — keyword
+    (string, the scores.json country_code/ruleset_id analog) AND numeric
+    doc-value (double, the total_score/pp sort-field analog) columns
+    alike; pure Arrow pass-through, zero Python work per row."""
     from ..functions.textprep import extract_text, tokenize
 
     def run(batches):
@@ -312,6 +313,7 @@ def materialize_forward(
     start_id: int = 0,
     positions: bool = False,
     keyword_cols: tuple = (),
+    numeric_cols: tuple = (),
 ) -> dict:
     """ONE scan of the heavy input -> staged forward rows keyed by
     (pid, pos) -> dense docIDs assigned by a file-based projection.
@@ -335,18 +337,24 @@ def materialize_forward(
     import shutil
 
     keyword_cols = tuple(keyword_cols)
-    # keyword columns (scores.json keyword-field analog) ride the staging
-    # pass untouched — cast to string driver-side so the docmap's keyword
-    # type is pinned regardless of the input column's type
+    numeric_cols = tuple(numeric_cols)
+    carry_cols = keyword_cols + numeric_cols
+    # keyword/numeric columns (scores.json keyword- and numeric-field
+    # analogs) ride the staging pass untouched — cast driver-side (string /
+    # double) so the docmap's stored type is pinned regardless of the input
+    # column's type (numeric = the ES doc_values sort/range fields)
     kw_sel = [F.col(c).cast("string").alias(c) for c in keyword_cols]
-    part = adds.select("url", "warc_ts", "html", *kw_sel).withColumn(
+    num_sel = [F.col(c).cast("double").alias(c) for c in numeric_cols]
+    part = adds.select("url", "warc_ts", "html", *kw_sel, *num_sel).withColumn(
         "__pid", F.spark_partition_id()
     )
     stage_schema = (
-        FWD_STAGE_SCHEMA_POS if positions else FWD_STAGE_SCHEMA
-    ) + "".join(f", {c} string" for c in keyword_cols)
-    part.select("url", "warc_ts", "html", *keyword_cols, "__pid").mapInArrow(
-        _fused_stage_pass(positions, keyword_cols), stage_schema
+        (FWD_STAGE_SCHEMA_POS if positions else FWD_STAGE_SCHEMA)
+        + "".join(f", {c} string" for c in keyword_cols)
+        + "".join(f", {c} double" for c in numeric_cols)
+    )
+    part.select("url", "warc_ts", "html", *carry_cols, "__pid").mapInArrow(
+        _fused_stage_pass(positions, carry_cols), stage_schema
     ).write.mode("overwrite").parquet(staging_dir)
     stage = spark.read.parquet(staging_dir)
     counts = dict(
@@ -378,7 +386,7 @@ def materialize_forward(
         F.min("dl").alias("dl_min"),
         F.coalesce(F.sum(F.size("terms")), F.lit(0)).alias("postings"),
     ).write.mode("overwrite").parquet(fwd_dir)
-    with_ids.select("url", "warc_ts", *keyword_cols, "doc_id").write.mode(
+    with_ids.select("url", "warc_ts", *carry_cols, "doc_id").write.mode(
         "overwrite"
     ).parquet(docmap_dir)
     shutil.rmtree(staging_dir, ignore_errors=True)
@@ -942,6 +950,7 @@ def build_index(
     include_all_langs: bool = False,
     positions: bool = False,
     keyword_fields=None,
+    numeric_fields=(),
 ) -> dict:
     """Full (backfill) index build — the `queue pump-all` + consume analog.
 
@@ -970,6 +979,12 @@ def build_index(
     osu.ElasticIndexer/schemas/scores.json:17-19,32-37). Default: ["lang"]
     when the input has it. Recorded in the manifest so query paths can
     validate filterable fields.
+
+    ``numeric_fields``: declared NUMERIC doc-value columns carried on the
+    docmap as double — the ES doc_values analog of scores.json's numeric
+    sort/range fields (total_score / pp / beatmap_id): ``sort_topk``
+    sorts on them and bool ``filter_range`` accepts them. Recorded in the
+    manifest like keyword_fields.
     """
     from ..session import ship_package
 
@@ -977,12 +992,23 @@ def build_index(
     if keyword_fields is None:
         keyword_fields = ("lang",) if "lang" in docs.columns else ()
     keyword_fields = tuple(keyword_fields)
+    numeric_fields = tuple(numeric_fields)
     reserved = {"url", "warc_ts", "doc_id", "html", "text"}
     bad = [c for c in keyword_fields if c in reserved or c not in docs.columns]
     if bad:
         raise ValueError(
             f"keyword_fields {bad} must be non-reserved input columns "
             f"(reserved: {sorted(reserved)}; input has {docs.columns})"
+        )
+    badn = [
+        c for c in numeric_fields
+        if c in reserved or c not in docs.columns or c in keyword_fields
+    ]
+    if badn:
+        raise ValueError(
+            f"numeric_fields {badn} must be non-reserved input columns "
+            f"disjoint from keyword_fields (reserved: {sorted(reserved)}; "
+            f"input has {docs.columns})"
         )
     cat = catalog
     cat.find_or_create_index(schema_version)
@@ -1034,6 +1060,7 @@ def build_index(
                 f"{fwd_path}/gen=0", f"{docmap_path}/gen=0",
                 f"{cat.index_dir(schema_version)}/_fwd_stage",
                 positions=positions, keyword_cols=keyword_fields,
+                numeric_cols=numeric_fields,
             )
         fwd = spark.read.parquet(fwd_path)
         dm = spark.read.parquet(docmap_path)
@@ -1156,6 +1183,7 @@ def build_index(
     m["generations"] = 1
     m["positions"] = bool(positions)
     m["keyword_fields"] = list(keyword_fields)
+    m["numeric_fields"] = list(numeric_fields)
     m["include_all_langs"] = bool(include_all_langs)
     cat.write_manifest(schema_version, m)
     cat.mark_phase(schema_version, "commit", "done")

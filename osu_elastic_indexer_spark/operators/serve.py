@@ -329,11 +329,15 @@ class LocalSearcher:
             _pad_zero_score,
             _struct_mask,
             index_keyword_fields,
+            index_numeric_fields,
         )
         from .wand import manifest_commit_seq, topk_from_dense
 
         s = _normalize_spec(spec)
-        fr, ft = _check_spec(spec, s, index_keyword_fields(self.index_dir))
+        fr, ft = _check_spec(
+            spec, s, index_keyword_fields(self.index_dir),
+            index_numeric_fields(self.index_dir),
+        )
         msm = _get_msm(spec, s)
         should_set = set(s["should"])
         must, mnot = s["must"], s["must_not"]
@@ -369,7 +373,9 @@ class LocalSearcher:
             d, tfn = ent
             if t in scored:
                 idf = math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
-                sums[d] += idf * tfn
+                # ES per-clause boost (boolquery._normalize_spec product
+                # rule) — folds into idf exactly like the Spark paths
+                sums[d] += idf * s["boosts"].get(t, 1.0) * tfn
             if t in required:
                 must_cnt[d] += 1
                 seen_must += 1
@@ -421,6 +427,77 @@ class LocalSearcher:
                 eligible0[self.tombstones[self.tombstones < eligible0.size]] = False
             top = _pad_zero_score(top, k, eligible0)
         return [(doc, score) for score, doc in top]
+
+    def search_sort(
+        self,
+        sort_field: str,
+        k: int = 10,
+        ascending: bool = False,
+        filter_term: dict | None = None,
+        filter_range: dict | None = None,
+    ) -> list[tuple[int, object]]:
+        """ES ``sort``-query serving (the JVM-free mirror of
+        operators/sortquery.sort_topk): one pushed, column-pruned pyarrow
+        scan of the committed docmap generations + tombstone mask +
+        lexsort top-k. Missing (null) sort values rank last (ES
+        ``missing: _last``), ties break doc_id ascending — row-identical
+        to the Spark path. Returns [(doc_id, sort_value)]."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pds
+
+        from ..sources.catalog import committed_gen_paths
+        from .sortquery import _validated_filters, sortable_fields
+        from .state import _parquet_files
+
+        if sort_field not in sortable_fields(self.index_dir):
+            raise ValueError(
+                f"sort field {sort_field!r} not a stored docmap field of "
+                f"this index; it carries: "
+                f"{list(sortable_fields(self.index_dir))}"
+            )
+        fr, ft = _validated_filters(self.index_dir, filter_term, filter_range)
+        files = _parquet_files(
+            tuple(committed_gen_paths(self.index_dir, "docmap"))
+        )
+        if not files:
+            return []
+        pred = None
+        for field, vals in ft.items():
+            p = pds.field(field).isin(list(vals))
+            pred = p if pred is None else pred & p
+        for field, (lo, hi) in fr.items():
+            if lo is not None:
+                p = pds.field(field) >= lo
+                pred = p if pred is None else pred & p
+            if hi is not None:
+                p = pds.field(field) <= hi
+                pred = p if pred is None else pred & p
+        t = pds.dataset(files).to_table(
+            columns=["doc_id", sort_field], filter=pred
+        )
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        col = t.column(sort_field)
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False).astype(bool)
+        live = (
+            ~np.isin(ids, self.tombstones)
+            if self.tombstones is not None and self.tombstones.size
+            else np.ones(ids.size, dtype=bool)
+        )
+        vals = col.to_numpy(zero_copy_only=False)
+        sel = valid & live
+        ids_v, vals_v = ids[sel], vals[sel]
+        if ascending:
+            order = np.lexsort((ids_v, vals_v))[: int(k)]
+        else:
+            # vals desc with doc_id ASC ties: ascending lexsort with ids
+            # negated, then reversed
+            order = np.lexsort((-ids_v, vals_v))[::-1][: int(k)]
+        out = [(int(ids_v[i]), vals_v[i]) for i in order]
+        if len(out) < int(k):
+            # ES missing:_last tail — null sort values, doc_id ascending
+            rest = np.sort(ids[live & ~valid])[: int(k) - len(out)]
+            out.extend((int(d), None) for d in rest)
+        return out
 
     def search_prefix(
         self, prefix: str, k: int = 10, max_expansions: int = 50

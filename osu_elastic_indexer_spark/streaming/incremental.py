@@ -131,6 +131,7 @@ def incremental_update(
     # every generation's docmap must carry them or filter_term scans over
     # multi-generation indexes would silently miss newer docs
     keyword_fields = tuple(m.get("keyword_fields") or ())
+    numeric_fields = tuple(m.get("numeric_fields") or ())
     # index-level membership: an all-langs base index keeps accepting all
     # langs incrementally (and never routes a live non-en doc to delete)
     include_all_langs = bool(m.get("include_all_langs"))
@@ -156,7 +157,7 @@ def incremental_update(
     batch = with_should_index(batch, include_all_langs).persist()
 
     adds = batch.filter(F.col("should_index")).select(
-        "url", "warc_ts", "html", *keyword_fields
+        "url", "warc_ts", "html", *keyword_fields, *numeric_fields
     )
 
     docmap = _read_committed(spark, idx, "docmap", DOCMAP_SCHEMA)
@@ -202,6 +203,7 @@ def incremental_update(
         spark, adds, fwd_gen_dir, dm_gen_dir,
         os.path.join(idx, "_fwd_stage"), start_id=start_id,
         positions=positions, keyword_cols=keyword_fields,
+        numeric_cols=numeric_fields,
     )
     n_add = int(staged["n_rows"])
     add_stats = staged["fwd"]  # {n, sum_dl, dl_min, postings}

@@ -179,3 +179,54 @@ def test_cli_filter_term(spark, corpus_path, tmp_path, capsys):
         ])
     with pytest.raises(SystemExit, match="FIELD=VALUE"):
         cli.main(base + ["search", "--must", "the", "--filter-term", "de"])
+
+
+def test_cli_sort_and_boost(spark, corpus_path, tmp_path, capsys):
+    """`build --numeric-field` declares a docmap doc-value column; `search
+    --sort FIELD [--sort-asc] [--filter-term] [--filter-range]` runs the
+    ES sort query on the Spark and --local tiers (identical rows), and
+    the Lucene caret syntax (`term^2.5`) boosts scored clauses."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(corpus_path)
+    tbl = tbl.append_column(
+        "page_bytes",
+        pa.array([float(len(h)) for h in tbl["html"].to_pylist()]),
+    )
+    inp = str(tmp_path / "docs_num.parquet")
+    pq.write_table(tbl, inp)
+    root = str(tmp_path / "sortidx")
+    base = ["--root", root]
+    m = _run(capsys, base + [
+        "build", "--input", inp, "--schema", "v1",
+        "--include-all-langs", "--numeric-field", "page_bytes",
+    ])[0]
+    assert m["counters"]["docs"] > 0
+    _run(capsys, base + ["alias", "v1"])
+    qa = [
+        "search", "--sort", "page_bytes", "-k", "5",
+        "--filter-term", "lang=en",
+        "--filter-range", "page_bytes", "400", "null",
+    ]
+    hits = _run(capsys, base + qa)
+    local = _run(capsys, base + qa + ["--local"])
+    assert hits and [h["doc_id"] for h in local] == [h["doc_id"] for h in hits]
+    assert [h["page_bytes"] for h in local] == [h["page_bytes"] for h in hits]
+    vals = [h["page_bytes"] for h in hits]
+    assert vals == sorted(vals, reverse=True) and min(vals) >= 400
+    asc = _run(capsys, base + qa + ["--sort-asc", "--local"])
+    assert [h["page_bytes"] for h in asc] == sorted(
+        v for v in [h["page_bytes"] for h in asc]
+    )
+    # caret boost: same clause terms, boosted ordering may differ but the
+    # Spark and serve tiers must agree with each other
+    qb = ["search", "--must", "the", "--should", "zebra^3", "-k", "5"]
+    bh = _run(capsys, base + qb)
+    bl = _run(capsys, base + qb + ["--local"])
+    assert bh and [
+        (h["doc_id"], round(h["score"], 9)) for h in bl
+    ] == [(h["doc_id"], round(h["score"], 9)) for h in bh]
+    # --sort is its own mode: scored clauses alongside it are refused
+    with pytest.raises(SystemExit, match="exactly one"):
+        cli.main(base + ["search", "--sort", "page_bytes", "--must", "the"])
