@@ -216,6 +216,17 @@ def cmd_search(args) -> int:
                 f"--filter-term expects FIELD=VALUE, got {kv!r}"
             )
         ft.setdefault(field, []).append(value)
+    after = None
+    if getattr(args, "after", None):
+        av, ad = args.after
+        if av == "null":
+            av = None
+        elif args.sort not in ("url", "warc_ts"):
+            try:
+                av = float(av)
+            except ValueError:
+                pass
+        after = (av, int(ad))
     if bool_clauses:
         spec = {"must": _parse_boosted(args.must),
                 "should": _parse_boosted(args.should),
@@ -237,6 +248,7 @@ def cmd_search(args) -> int:
             res = searcher.search_sort(
                 args.sort, args.k, ascending=args.sort_asc,
                 filter_term=ft or None, filter_range=fr or None,
+                after=after,
             )
             for rank, (doc_id, val) in enumerate(res, 1):
                 print(json.dumps({"rank": rank, "doc_id": doc_id,
@@ -264,6 +276,7 @@ def cmd_search(args) -> int:
         res = sort_topk(
             spark, idx, args.sort, args.k, ascending=args.sort_asc,
             filter_term=ft or None, filter_range=fr or None,
+            after=after,
         )
         for rank, r in enumerate(res.collect(), 1):
             print(json.dumps({"rank": rank, "doc_id": r.doc_id,
@@ -473,6 +486,12 @@ def main(argv: list[str] | None = None) -> int:
                         "--filter-url-range")
     s.add_argument("--sort-asc", dest="sort_asc", action="store_true",
                    help="ascending sort (default: descending)")
+    s.add_argument("--after", nargs=2, metavar=("VALUE", "DOC_ID"),
+                   default=None,
+                   help="ES search_after deep paging: the previous page's "
+                        "last sort VALUE ('null' once inside the missing-"
+                        "value tail) and DOC_ID; the next page starts "
+                        "strictly after that key")
     s.add_argument("--filter-range", dest="filter_range", nargs=3,
                    action="append", metavar=("FIELD", "LO", "HI"),
                    help="structured/numeric range filter: docs whose FIELD "

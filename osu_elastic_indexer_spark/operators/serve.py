@@ -435,19 +435,24 @@ class LocalSearcher:
         ascending: bool = False,
         filter_term: dict | None = None,
         filter_range: dict | None = None,
+        after: tuple | None = None,
     ) -> list[tuple[int, object]]:
         """ES ``sort``-query serving (the JVM-free mirror of
-        operators/sortquery.sort_topk): one pushed, column-pruned pyarrow
-        scan of the committed docmap generations + tombstone mask +
-        lexsort top-k. Missing (null) sort values rank last (ES
-        ``missing: _last``), ties break doc_id ascending — row-identical
-        to the Spark path. Returns [(doc_id, sort_value)]."""
-        import pyarrow.compute as pc
-        import pyarrow.dataset as pds
-
+        operators/sortquery.sort_topk): the sort column loads ONCE per
+        (field, commit) into the worker doc-value cache
+        (state.load_sort_column — the Lucene doc_values analog) and the
+        filter restrictions resolve to the SAME cached docID arrays the
+        bool filter context uses, so a repeated sort query is pure numpy
+        over cached arrays — no rescan. Missing (null) sort values rank
+        last (ES ``missing: _last``), ties break doc_id ascending —
+        row-identical to the Spark path. ``after`` = ES ``search_after``
+        deep paging: the previous page's last (sort value, doc_id) key.
+        Returns [(doc_id, sort_value)]."""
         from ..sources.catalog import committed_gen_paths
+        from .boolquery import _struct_arrays
         from .sortquery import _validated_filters, sortable_fields
-        from .state import _parquet_files
+        from .state import load_sort_column
+        from .wand import manifest_commit_seq
 
         if sort_field not in sortable_fields(self.index_dir):
             raise ValueError(
@@ -456,35 +461,40 @@ class LocalSearcher:
                 f"{list(sortable_fields(self.index_dir))}"
             )
         fr, ft = _validated_filters(self.index_dir, filter_term, filter_range)
-        files = _parquet_files(
-            tuple(committed_gen_paths(self.index_dir, "docmap"))
-        )
-        if not files:
+        dm_paths = tuple(committed_gen_paths(self.index_dir, "docmap"))
+        seq = manifest_commit_seq(self.index_dir)
+        ids, vals, valid = load_sort_column(dm_paths, seq, sort_field)
+        if ids.size == 0:
             return []
-        pred = None
-        for field, vals in ft.items():
-            p = pds.field(field).isin(list(vals))
-            pred = p if pred is None else pred & p
-        for field, (lo, hi) in fr.items():
-            if lo is not None:
-                p = pds.field(field) >= lo
-                pred = p if pred is None else pred & p
-            if hi is not None:
-                p = pds.field(field) <= hi
-                pred = p if pred is None else pred & p
-        t = pds.dataset(files).to_table(
-            columns=["doc_id", sort_field], filter=pred
-        )
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        col = t.column(sort_field)
-        valid = pc.is_valid(col).to_numpy(zero_copy_only=False).astype(bool)
-        live = (
-            ~np.isin(ids, self.tombstones)
-            if self.tombstones is not None and self.tombstones.size
-            else np.ones(ids.size, dtype=bool)
-        )
-        vals = col.to_numpy(zero_copy_only=False)
-        sel = valid & live
+        keep = np.ones(ids.size, dtype=bool)
+        # filter context: cached sorted docID arrays (one per field), the
+        # exact arrays bool filter_term/filter_range queries already keep
+        # hot on this worker — membership via searchsorted on doc_id-
+        # sorted ids
+        for farr in _struct_arrays(fr, ft, dm_paths, seq):
+            j = np.searchsorted(farr, ids)
+            keep &= (j < farr.size) & (
+                farr[np.minimum(j, farr.size - 1)] == ids
+            )
+        if self.tombstones is not None and self.tombstones.size:
+            keep &= ~np.isin(ids, self.tombstones)
+        if after is not None:
+            av, ad = after
+            if av is None:
+                # cursor already in the null tail: later-docID nulls only
+                keep &= ~valid & (ids > int(ad))
+            else:
+                # compare on VALID entries only (None in an object array
+                # would raise on <, >); nulls always survive a non-null
+                # cursor (they rank after every value)
+                further = np.zeros(ids.size, dtype=bool)
+                eqv = np.zeros(ids.size, dtype=bool)
+                vi = np.flatnonzero(valid)
+                vv = vals[vi]
+                further[vi] = (vv > av) if ascending else (vv < av)
+                eqv[vi] = vv == av
+                keep &= ~valid | further | (eqv & (ids > int(ad)))
+        sel = keep & valid
         ids_v, vals_v = ids[sel], vals[sel]
         if ascending:
             order = np.lexsort((ids_v, vals_v))[: int(k)]
@@ -495,7 +505,7 @@ class LocalSearcher:
         out = [(int(ids_v[i]), vals_v[i]) for i in order]
         if len(out) < int(k):
             # ES missing:_last tail — null sort values, doc_id ascending
-            rest = np.sort(ids[live & ~valid])[: int(k) - len(out)]
+            rest = np.sort(ids[keep & ~valid])[: int(k) - len(out)]
             out.extend((int(d), None) for d in rest)
         return out
 

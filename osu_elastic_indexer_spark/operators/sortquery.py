@@ -82,6 +82,19 @@ def _apply_filters(df: DataFrame, fr: dict, ft: dict) -> DataFrame:
     return df
 
 
+def _after_predicate(sort_field: str, ascending: bool, after: tuple):
+    """ES ``search_after`` cursor -> Column predicate: keep docs STRICTLY
+    after the (sort value, doc_id) key in sort order. Nulls rank last, so
+    a non-null cursor keeps the whole null tail; a null cursor (the
+    caller is already inside the tail) keeps only later-docID nulls."""
+    av, ad = after
+    c, d = F.col(sort_field), F.col("doc_id")
+    if av is None:
+        return c.isNull() & (d > F.lit(int(ad)))
+    further = (c > F.lit(av)) if ascending else (c < F.lit(av))
+    return c.isNull() | further | ((c == F.lit(av)) & (d > F.lit(int(ad))))
+
+
 def sort_topk(
     spark: SparkSession,
     index_dir: str,
@@ -90,6 +103,7 @@ def sort_topk(
     ascending: bool = False,
     filter_term: dict | None = None,
     filter_range: dict | None = None,
+    after: tuple | None = None,
 ) -> DataFrame:
     """Top-k docs ordered by a STORED docmap field (ES ``sort`` — no
     relevance scoring), optionally restricted by the same
@@ -99,6 +113,12 @@ def sort_topk(
     last like ES's ``missing: _last`` default, ties break doc_id
     ascending. Tombstoned docs are excluded; a closed index refuses reads
     like every other query path.
+
+    ``after``: ES ``search_after`` deep paging — the (sort value, doc_id)
+    key of the previous page's LAST row; the next page starts strictly
+    after it. Unlike offset paging, every page costs one pushed-filter
+    scan + TakeOrderedAndProject with O(k) driver state — page 10^6 is as
+    cheap as page 1 (the reason ES deprecated deep from+size).
     """
     from ..sources.catalog import assert_index_readable, committed_gen_paths
 
@@ -117,6 +137,10 @@ def sort_topk(
             [], f"doc_id bigint, url string, {sort_field} string"
         )
     docmap = _apply_filters(spark.read.parquet(*dm_paths), fr, ft)
+    if after is not None:
+        docmap = docmap.filter(
+            _after_predicate(sort_field, ascending, after)
+        )
     tomb_paths = committed_gen_paths(index_dir, "tombstones")
     if tomb_paths:
         tombs = spark.read.parquet(*tomb_paths).select("doc_id")

@@ -43,17 +43,31 @@ _CACHE: dict[tuple, tuple[int, object]] = {}
 # and every new range leaked an O(matching docs) int64 array on a
 # long-lived executor (ADVICE r5). 128 MiB = ~16M matching docIDs resident
 # per worker across all concurrently-hot filters.
-_FILTER_CACHE: OrderedDict[tuple, tuple[int, np.ndarray]] = OrderedDict()
+_FILTER_CACHE: OrderedDict[tuple, tuple[int, object]] = OrderedDict()
 _FILTER_CACHE_MAX_BYTES = 128 << 20
+
+
+def _entry_nbytes(val) -> int:
+    """Honest byte accounting for cache entries: plain arrays by nbytes,
+    tuple entries (the sort-column loader) summed, object (string) arrays
+    by pointer size PLUS payload length — nbytes alone under-bills them."""
+    arrs = val if isinstance(val, tuple) else (val,)
+    total = 0
+    for a in arrs:
+        total += a.nbytes
+        if a.dtype == object:
+            total += int(sum(len(str(x)) for x in a))
+    return total
 
 
 def _filter_cached(
     paths: tuple[str, ...], version: int, field: str, spec: tuple, loader
-) -> np.ndarray:
+):
     """Unified ``docfilter`` cache: key carries the (field, filter spec),
-    value the sorted docID array. A version bump (new commit) eagerly
-    drops the index's stale entries; beyond that, least-recently-used
-    entries evict until the byte budget holds."""
+    value the sorted docID array (or the sort-column array tuple). A
+    version bump (new commit) eagerly drops the index's stale entries;
+    beyond that, least-recently-used entries evict until the byte budget
+    holds."""
     key = (paths, field, spec)
     hit = _FILTER_CACHE.get(key)
     if hit is not None and hit[0] == version:
@@ -70,11 +84,11 @@ def _filter_cached(
     for k in stale:
         del _FILTER_CACHE[k]
     _FILTER_CACHE[key] = (version, val)
-    total = sum(a.nbytes for _v, a in _FILTER_CACHE.values())
+    total = sum(_entry_nbytes(a) for _v, a in _FILTER_CACHE.values())
     while total > _FILTER_CACHE_MAX_BYTES and len(_FILTER_CACHE) > 1:
         _k, (_v, a) = next(iter(_FILTER_CACHE.items()))
         del _FILTER_CACHE[_k]
-        total -= a.nbytes
+        total -= _entry_nbytes(a)
     return val
 
 
@@ -214,6 +228,42 @@ def load_docids_eq(paths, version: int, field: str, values: tuple) -> np.ndarray
         return np.sort(t.column("doc_id").to_numpy().astype(np.int64))
 
     return _filter_cached(paths, version, field, ("eq", vals), load)
+
+
+def load_sort_column(
+    paths, version: int, field: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_ids, values, valid) for one docmap column, doc_id-sorted — the
+    serving tier's doc-value store (the ES doc_values / Lucene
+    NumericDocValues analog backing ``sort`` queries). Loaded once per
+    (field, commit) into the byte-budgeted docfilter LRU, so repeated
+    sort queries intersect cached arrays instead of re-scanning the
+    docmap; ``valid`` marks non-null values (ES missing:_last needs the
+    null set, and object/datetime arrays have no NaN sentinel)."""
+    paths = _as_tuple(paths)
+
+    def load():
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds
+
+        files = _parquet_files(paths)
+        if not files:
+            return (
+                np.zeros(0, dtype=np.int64),
+                np.zeros(0, dtype=np.float64),
+                np.zeros(0, dtype=bool),
+            )
+        t = ds.dataset(files).to_table(columns=["doc_id", field])
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        col = t.column(field)
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False).astype(bool)
+        vals = col.to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)  # doc_id-sorted for searchsorted intersects
+        return (ids[order], vals[order], valid[order])
+
+    return _filter_cached(paths, version, field, ("sortcol",), load)
 
 
 def tomb_contains(tomb: np.ndarray | None, doc: int) -> bool:

@@ -269,3 +269,81 @@ def test_sort_plan_pushes_filters_no_global_sort(spark, sort_index):
     pushed = [ln for ln in scan.splitlines() if "PushedFilters" in ln]
     joined = " ".join(pushed)
     assert "lang" in joined and "page_bytes" in joined
+
+
+def test_search_after_pagination(spark, sort_index):
+    """ES search_after deep paging: paging with the previous page's last
+    (value, doc_id) key reconstructs the full ranking exactly — including
+    across the value-tie boundaries and INTO the null tail — on both the
+    Spark and serve tiers, desc and asc."""
+    idx = sort_index.index_dir("v1")
+    ls = LocalSearcher(idx)
+    n = spark.read.parquet(sort_index.table_path("v1", "docmap")).count()
+    for asc in (False, True):
+        full = _rows(sort_topk(spark, idx, "page_bytes", n, ascending=asc))
+        pages, after = [], None
+        while True:
+            page = _rows(sort_topk(
+                spark, idx, "page_bytes", 7, ascending=asc, after=after
+            ))
+            if not page:
+                break
+            pages.extend(page)
+            after = (page[-1][1], page[-1][0])  # (sort value, doc_id)
+        assert pages == full, f"asc={asc}"
+        spages, after = [], None
+        while True:
+            page = [
+                (d, float(v) if v is not None else None)
+                for d, v in ls.search_sort(
+                    "page_bytes", 7, ascending=asc, after=after
+                )
+            ]
+            if not page:
+                break
+            spages.extend(page)
+            after = (page[-1][1], page[-1][0])
+        assert spages == full, f"serve asc={asc}"
+
+
+def test_search_after_with_filters(spark, sort_index):
+    idx = sort_index.index_dir("v1")
+    kw = dict(filter_term={"lang": ["en", "de"]})
+    first = _rows(sort_topk(spark, idx, "page_bytes", 5, **kw))
+    cursor = (first[-1][1], first[-1][0])
+    second = _rows(sort_topk(
+        spark, idx, "page_bytes", 5, after=cursor, **kw
+    ))
+    both = _rows(sort_topk(spark, idx, "page_bytes", 10, **kw))
+    assert first + second == both
+    ls = LocalSearcher(idx)
+    s2 = [
+        (d, float(v) if v is not None else None)
+        for d, v in ls.search_sort("page_bytes", 5, after=cursor, **kw)
+    ]
+    assert s2 == second
+
+
+def test_serve_sort_column_cached(spark, sort_index):
+    """The serve tier's doc-value column loads ONCE per (field, commit):
+    the second identical query reuses the cached arrays (identity), and
+    the cache honors the byte budget discipline (entry present in the
+    docfilter LRU)."""
+    from osu_elastic_indexer_spark.operators import state
+    from osu_elastic_indexer_spark.operators.wand import manifest_commit_seq
+    from osu_elastic_indexer_spark.sources.catalog import committed_gen_paths
+
+    idx = sort_index.index_dir("v1")
+    paths = tuple(committed_gen_paths(idx, "docmap"))
+    seq = manifest_commit_seq(idx)
+    a = state.load_sort_column(paths, seq, "page_bytes")
+    b = state.load_sort_column(paths, seq, "page_bytes")
+    assert a[0] is b[0] and a[1] is b[1]  # cache hit, no reload
+    key_present = any(
+        k[1] == "page_bytes" and k[2] == ("sortcol",)
+        for k in state._FILTER_CACHE
+    )
+    assert key_present
+    # a stale commit_seq forces a reload (new committed snapshot)
+    c = state.load_sort_column(paths, seq + 1, "page_bytes")
+    assert c[0] is not a[0]
