@@ -18,6 +18,8 @@ Caveats this harness controls for:
   * run-to-run variance on the shared box: best-of-R runs per level.
 
 Usage:  python bench/scaling.py [n_docs] [levels-csv] [repeats]
+        single pinned level with repeats: "1," csv form (e.g. `taskset -c
+        0-1 python bench/scaling.py 2880000 1, 1`, SCALING_SKIP_BW=1)
         (defaults: 1600000 1,2,4,8 2)   levels are executor counts (x2 cores)
         legacy pair form also accepted: python bench/scaling.py N 4N repeats
 """
@@ -129,6 +131,7 @@ def main() -> None:
         levels = [
             int(x)
             for x in (sys.argv[2] if len(sys.argv) > 2 else "1,2,4,8").split(",")
+            if x  # "1," = single level in csv form (repeats then usable)
         ]
         repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     corpus_path, n_docs = corpus_for_sf(n_docs / 1_000_000)
@@ -146,7 +149,13 @@ def main() -> None:
     out = {
         "levels": {str(lv): results[lv] for lv in levels},
         "pairs": pairs,
-        "bandwidth_contention_per_proc_sec": bandwidth_contention(),
+        # taskset-pinned single-level invocations must skip the contention
+        # microbench (a 16-proc pool inheriting a 2-core affinity mask
+        # measures the pin, not the bus) — run it unpinned separately
+        "bandwidth_contention_per_proc_sec": (
+            None if os.environ.get("SCALING_SKIP_BW")
+            else bandwidth_contention()
+        ),
     }
     print(json.dumps(out))
     # committed artifact: bench.py folds this into its JSON line so the

@@ -22,6 +22,7 @@ Commands/QueueCommands.cs) and their analogs here:
                                            [--filter-term FIELD=VALUE] [--local]
   (ES sort query / doc values)        -> search --sort FIELD [--sort-asc]
                                            [--filter-term ...] [--filter-range ...]
+                                           [--after VALUE DOC_ID]  (search_after)
   (ES per-clause boost)               -> search --must "a" --should "b^2.5"
   (ES prefix query)                   -> search --prefix p [--max-expansions N]
   (ES match_phrase [+slop])           -> search --phrase "..." [--source src.parquet]
