@@ -24,6 +24,7 @@ Commands/QueueCommands.cs) and their analogs here:
                                            [--filter-term ...] [--filter-range ...]
                                            [--after VALUE DOC_ID]  (search_after)
   (ES per-clause boost)               -> search --must "a" --should "b^2.5"
+  (ES terms / stats aggregations)     -> search --terms-agg FIELD | --stats-agg FIELD
   (ES prefix query)                   -> search --prefix p [--max-expansions N]
   (ES match_phrase [+slop])           -> search --phrase "..." [--source src.parquet]
                                            (--source optional on --positions builds)
@@ -173,19 +174,20 @@ def cmd_search(args) -> int:
     cat = Catalog(args.root, alias=args.alias)
     idx = cat.index_dir(args.schema) if args.schema else cat.current_index_dir()
     spec = None
+    agg_mode = args.terms_agg or args.stats_agg
     bool_clauses = (
         args.must or args.should or args.must_not or args.filter
         or ((args.filter_url_range or args.filter_term or args.filter_range)
-            and not args.sort)
+            and not (args.sort or agg_mode))
     )
     modes = sum(
         1 for v in (args.query, args.prefix, args.phrase, bool_clauses,
-                    args.sort) if v
+                    args.sort, agg_mode) if v
     )
     if modes != 1:
         raise SystemExit(
             "search: give exactly one of free text, --prefix, --phrase, "
-            "--sort, or bool clauses"
+            "--sort, --terms-agg, --stats-agg, or bool clauses"
         )
     if args.phrase and not args.source:
         from .operators.boolquery import index_has_positions
@@ -245,6 +247,20 @@ def cmd_search(args) -> int:
         from .operators.serve import LocalSearcher
 
         searcher = LocalSearcher(idx)
+        if args.terms_agg:
+            for val, cnt in searcher.agg_terms(
+                args.terms_agg, args.k,
+                filter_term=ft or None, filter_range=fr or None,
+            ):
+                print(json.dumps({args.terms_agg: _jsonable(val),
+                                  "doc_count": cnt}))
+            return 0
+        if args.stats_agg:
+            print(json.dumps(searcher.agg_stats(
+                args.stats_agg,
+                filter_term=ft or None, filter_range=fr or None,
+            )))
+            return 0
         if args.sort:
             res = searcher.search_sort(
                 args.sort, args.k, ascending=args.sort_asc,
@@ -271,6 +287,27 @@ def cmd_search(args) -> int:
             print(json.dumps({"rank": rank, "doc_id": doc_id, "score": score}))
         return 0
     spark = _spark(args)
+    if args.terms_agg:
+        from .operators.aggquery import terms_agg
+
+        res = terms_agg(
+            spark, idx, args.terms_agg, args.k,
+            filter_term=ft or None, filter_range=fr or None,
+        )
+        for r in res.collect():
+            print(json.dumps({args.terms_agg: _jsonable(r[args.terms_agg]),
+                              "doc_count": r.doc_count}))
+        return 0
+    if args.stats_agg:
+        from .operators.aggquery import stats_agg
+
+        r = stats_agg(
+            spark, idx, args.stats_agg,
+            filter_term=ft or None, filter_range=fr or None,
+        ).collect()[0]
+        print(json.dumps({c: _jsonable(r[c]) for c in
+                          ("cnt", "min_v", "max_v", "avg_v", "sum_v")}))
+        return 0
     if args.sort:
         from .operators.sortquery import sort_topk
 
@@ -487,6 +524,15 @@ def main(argv: list[str] | None = None) -> int:
                         "--filter-url-range")
     s.add_argument("--sort-asc", dest="sort_asc", action="store_true",
                    help="ascending sort (default: descending)")
+    s.add_argument("--terms-agg", dest="terms_agg", default=None,
+                   metavar="FIELD",
+                   help="ES terms aggregation: top-k buckets of a stored "
+                        "docmap field by doc count (combinable with "
+                        "filter context)")
+    s.add_argument("--stats-agg", dest="stats_agg", default=None,
+                   metavar="FIELD",
+                   help="ES stats aggregation (cnt/min/max/avg/sum) over "
+                        "a declared numeric doc-value field")
     s.add_argument("--after", nargs=2, metavar=("VALUE", "DOC_ID"),
                    default=None,
                    help="ES search_after deep paging: the previous page's "

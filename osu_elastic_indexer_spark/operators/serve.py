@@ -47,6 +47,15 @@ _DECODE_CACHE_MAX_POSTINGS = TAAT_MAX_POSTINGS
 _POS_CACHE_MAX_BYTES = 32 * TAAT_MAX_POSTINGS
 
 
+def _member_mask(farr: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    """Membership of doc_id-sorted ``ids`` in the sorted filter array
+    (searchsorted probe; an EMPTY filter array matches nothing)."""
+    if farr.size == 0:
+        return np.zeros(ids.size, dtype=bool)
+    j = np.searchsorted(farr, ids)
+    return (j < farr.size) & (farr[np.minimum(j, farr.size - 1)] == ids)
+
+
 class LocalSearcher:
     """Loads small index state once; serves top-k queries in milliseconds."""
 
@@ -472,10 +481,7 @@ class LocalSearcher:
         # hot on this worker — membership via searchsorted on doc_id-
         # sorted ids
         for farr in _struct_arrays(fr, ft, dm_paths, seq):
-            j = np.searchsorted(farr, ids)
-            keep &= (j < farr.size) & (
-                farr[np.minimum(j, farr.size - 1)] == ids
-            )
+            keep &= _member_mask(farr, ids)
         if self.tombstones is not None and self.tombstones.size:
             keep &= ~np.isin(ids, self.tombstones)
         if after is not None:
@@ -508,6 +514,86 @@ class LocalSearcher:
             rest = np.sort(ids[keep & ~valid])[: int(k) - len(out)]
             out.extend((int(d), None) for d in rest)
         return out
+
+    def _agg_base(self, field: str, filter_term, filter_range):
+        """Shared serving base for the aggs: cached doc-value column +
+        cached filter docID arrays + tombstone mask -> (values, valid)
+        restricted to the matching live docs."""
+        from ..sources.catalog import committed_gen_paths
+        from .boolquery import _struct_arrays
+        from .sortquery import _validated_filters
+        from .state import load_sort_column
+        from .wand import manifest_commit_seq
+
+        fr, ft = _validated_filters(self.index_dir, filter_term, filter_range)
+        dm_paths = tuple(committed_gen_paths(self.index_dir, "docmap"))
+        seq = manifest_commit_seq(self.index_dir)
+        ids, vals, valid = load_sort_column(dm_paths, seq, field)
+        keep = np.ones(ids.size, dtype=bool)
+        for farr in _struct_arrays(fr, ft, dm_paths, seq):
+            keep &= _member_mask(farr, ids)
+        if self.tombstones is not None and self.tombstones.size:
+            keep &= ~np.isin(ids, self.tombstones)
+        return vals[keep], valid[keep]
+
+    def agg_terms(
+        self,
+        field: str,
+        k: int = 10,
+        filter_term: dict | None = None,
+        filter_range: dict | None = None,
+    ) -> list[tuple[object, int]]:
+        """ES ``terms``-aggregation serving (operators/aggquery.terms_agg,
+        JVM-free): np.unique bucket counts over the cached doc-value
+        column, top-k by (count desc, value asc). Returns
+        [(value, doc_count)]."""
+        from .sortquery import sortable_fields
+
+        if field not in sortable_fields(self.index_dir):
+            raise ValueError(
+                f"terms_agg field {field!r} not a stored docmap field of "
+                f"this index; it carries: "
+                f"{list(sortable_fields(self.index_dir))}"
+            )
+        vals, valid = self._agg_base(field, filter_term, filter_range)
+        vv = vals[valid]
+        if vv.size == 0:
+            return []
+        uniq, counts = np.unique(vv, return_counts=True)
+        # count desc, value asc: ascending lexsort on (value, -count)
+        order = np.lexsort((uniq, -counts))[: int(k)]
+        return [(uniq[i], int(counts[i])) for i in order]
+
+    def agg_stats(
+        self,
+        field: str,
+        filter_term: dict | None = None,
+        filter_range: dict | None = None,
+    ) -> dict:
+        """ES ``stats``-aggregation serving (aggquery.stats_agg): one pass
+        over the cached numeric doc-value column. Returns {cnt, min_v,
+        max_v, avg_v, sum_v} (None-valued beyond cnt when no doc has a
+        value, matching the Spark row)."""
+        from .boolquery import index_numeric_fields
+
+        if field not in index_numeric_fields(self.index_dir):
+            raise ValueError(
+                f"stats_agg field {field!r} not a declared numeric "
+                f"doc-value field; this index carries: "
+                f"{list(index_numeric_fields(self.index_dir))}"
+            )
+        vals, valid = self._agg_base(field, filter_term, filter_range)
+        vv = vals[valid].astype(np.float64)
+        if vv.size == 0:
+            return {"cnt": 0, "min_v": None, "max_v": None,
+                    "avg_v": None, "sum_v": None}
+        return {
+            "cnt": int(vv.size),
+            "min_v": float(vv.min()),
+            "max_v": float(vv.max()),
+            "avg_v": float(vv.mean()),
+            "sum_v": float(vv.sum()),
+        }
 
     def search_prefix(
         self, prefix: str, k: int = 10, max_expansions: int = 50

@@ -230,3 +230,17 @@ def test_cli_sort_and_boost(spark, corpus_path, tmp_path, capsys):
     # --sort is its own mode: scored clauses alongside it are refused
     with pytest.raises(SystemExit, match="exactly one"):
         cli.main(base + ["search", "--sort", "page_bytes", "--must", "the"])
+    # ES aggregations: terms buckets + numeric stats, Spark and --local
+    ta = ["search", "--terms-agg", "lang", "-k", "3"]
+    th = _run(capsys, base + ta)
+    tl = _run(capsys, base + ta + ["--local"])
+    assert th == tl and th and all("doc_count" in h for h in th)
+    assert [h["doc_count"] for h in th] == sorted(
+        (h["doc_count"] for h in th), reverse=True
+    )
+    sa = ["search", "--stats-agg", "page_bytes",
+          "--filter-term", "lang=en"]
+    sh = _run(capsys, base + sa)[0]
+    sl = _run(capsys, base + sa + ["--local"])[0]
+    assert sh["cnt"] == sl["cnt"] > 0
+    assert abs(sh["sum_v"] - sl["sum_v"]) < 1e-6

@@ -312,3 +312,28 @@ def test_positional_phrase_plan_prunes_and_broadcasts(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "pos_blob" not in wplan
+
+
+def test_terms_agg_plan_partial_agg_single_exchange(spark, tmp_path):
+    """ES terms agg must lower to partial (map-side) HashAggregates around
+    ONE shuffle that carries a row per (partition, distinct bucket) —
+    never the doc rows — plus TakeOrderedAndProject for the top-k."""
+    from osu_elastic_indexer_spark.operators.aggquery import terms_agg
+    from osu_elastic_indexer_spark.operators.build import build_index
+    from osu_elastic_indexer_spark.sources.catalog import Catalog
+    from osu_elastic_indexer_spark.sources.fixtures import write_corpus
+
+    cat = Catalog(str(tmp_path / "aggidx"))
+    corpus = write_corpus(str(tmp_path / "c.parquet"), n_docs=300)
+    build_index(
+        spark, spark.read.parquet(corpus), cat, "v1",
+        include_all_langs=True, keyword_fields=("lang",),
+    )
+    df = terms_agg(spark, cat.index_dir("v1"), "lang", 5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    # exactly one exchange below the agg (the bucket-key shuffle); the
+    # left-anti tombstone join broadcasts (no second shuffle) on this
+    # no-tombstone index
+    assert plan.count("Exchange") <= 1

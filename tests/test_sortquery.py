@@ -347,3 +347,74 @@ def test_serve_sort_column_cached(spark, sort_index):
     # a stale commit_seq forces a reload (new committed snapshot)
     c = state.load_sort_column(paths, seq + 1, "page_bytes")
     assert c[0] is not a[0]
+
+
+def test_terms_agg_matches_pandas_twin(spark, sort_index):
+    """ES terms aggregation: buckets by doc count (count desc, value asc),
+    nulls skipped, filter context honored — vs a pandas twin; serve tier
+    row-identical."""
+    from osu_elastic_indexer_spark.operators.aggquery import terms_agg
+
+    idx = sort_index.index_dir("v1")
+    pdf = _docmap_pdf(spark, sort_index)
+    vc = pdf["lang"].value_counts()
+    expected = sorted(
+        ((v, int(c)) for v, c in vc.items()), key=lambda t: (-t[1], t[0])
+    )[:10]
+    got = [
+        (r.lang, int(r.doc_count))
+        for r in terms_agg(spark, idx, "lang", 10).collect()
+    ]
+    assert got == expected
+    ls = LocalSearcher(idx)
+    assert [(v, c) for v, c in ls.agg_terms("lang", 10)] == expected
+    # filter context restricts the bucket universe
+    sub = pdf[(pdf["page_bytes"] >= 500.0) & (pdf["page_bytes"] <= 1500.0)]
+    vc2 = sub["lang"].value_counts()
+    exp2 = sorted(
+        ((v, int(c)) for v, c in vc2.items()), key=lambda t: (-t[1], t[0])
+    )[:10]
+    fkw = dict(filter_range={"page_bytes": (500.0, 1500.0)})
+    got2 = [
+        (r.lang, int(r.doc_count))
+        for r in terms_agg(spark, idx, "lang", 10, **fkw).collect()
+    ]
+    assert got2 == exp2
+    assert [(v, c) for v, c in ls.agg_terms("lang", 10, **fkw)] == exp2
+    with pytest.raises(ValueError, match="terms_agg field"):
+        terms_agg(spark, idx, "nope", 10)
+
+
+def test_stats_agg_matches_pandas_twin(spark, sort_index):
+    """ES stats aggregation (cnt/min/max/avg/sum) over the numeric
+    doc-value field, nulls ignored, filter context honored; serve tier
+    agrees to float tolerance."""
+    from osu_elastic_indexer_spark.operators.aggquery import stats_agg
+
+    idx = sort_index.index_dir("v1")
+    pdf = _docmap_pdf(spark, sort_index)
+    sub = pdf[pdf["lang"] == "en"]["page_bytes"].dropna()
+    r = stats_agg(
+        spark, idx, "page_bytes", filter_term={"lang": "en"}
+    ).collect()[0]
+    assert (r.cnt, r.min_v, r.max_v, r.sum_v) == (
+        len(sub), float(sub.min()), float(sub.max()), float(sub.sum())
+    )
+    assert abs(r.avg_v - float(sub.mean())) < 1e-9
+    ls = LocalSearcher(idx)
+    sv = ls.agg_stats("page_bytes", filter_term={"lang": "en"})
+    assert (sv["cnt"], sv["min_v"], sv["max_v"]) == (
+        r.cnt, r.min_v, r.max_v
+    )
+    assert abs(sv["avg_v"] - r.avg_v) < 1e-9
+    assert abs(sv["sum_v"] - r.sum_v) < 1e-6
+    with pytest.raises(ValueError, match="stats_agg field"):
+        stats_agg(spark, idx, "lang")  # keyword, not numeric
+    # empty match -> cnt 0, None stats (both tiers)
+    empty = ls.agg_stats("page_bytes", filter_term={"lang": "xx"})
+    assert empty == {"cnt": 0, "min_v": None, "max_v": None,
+                     "avg_v": None, "sum_v": None}
+    er = stats_agg(
+        spark, idx, "page_bytes", filter_term={"lang": "xx"}
+    ).collect()[0]
+    assert er.cnt == 0 and er.min_v is None and er.sum_v is None
