@@ -19,7 +19,8 @@ Commands/QueueCommands.cs) and their analogs here:
                                            [--must-not ...] [--filter ...]
                                            [--minimum-should-match N]
                                            [--filter-url-range LO HI]
-                                           [--filter-term FIELD=VALUE] [--local]
+                                           [--filter-term FIELD=VALUE]
+                                           [--filter-exists FIELD] [--local]
   (ES sort query / doc values)        -> search --sort FIELD [--sort-asc]
                                            [--filter-term ...] [--filter-range ...]
                                            [--after VALUE DOC_ID]  (search_after)
@@ -177,7 +178,8 @@ def cmd_search(args) -> int:
     agg_mode = args.terms_agg or args.stats_agg
     bool_clauses = (
         args.must or args.should or args.must_not or args.filter
-        or ((args.filter_url_range or args.filter_term or args.filter_range)
+        or ((args.filter_url_range or args.filter_term or args.filter_range
+             or args.filter_exists)
             and not (args.sort or agg_mode))
     )
     modes = sum(
@@ -240,6 +242,8 @@ def cmd_search(args) -> int:
             spec["filter_range"] = fr
         if ft:
             spec["filter_term"] = ft
+        if args.filter_exists:
+            spec["filter_exists"] = list(args.filter_exists)
         if args.minimum_should_match:
             spec["minimum_should_match"] = args.minimum_should_match
     if args.local:
@@ -524,6 +528,10 @@ def main(argv: list[str] | None = None) -> int:
                         "--filter-url-range")
     s.add_argument("--sort-asc", dest="sort_asc", action="store_true",
                    help="ascending sort (default: descending)")
+    s.add_argument("--filter-exists", dest="filter_exists",
+                   action="append", metavar="FIELD", default=None,
+                   help="ES exists query: restrict to docs whose stored "
+                        "FIELD is non-null (repeatable; bool context)")
     s.add_argument("--terms-agg", dest="terms_agg", default=None,
                    metavar="FIELD",
                    help="ES terms aggregation: top-k buckets of a stored "

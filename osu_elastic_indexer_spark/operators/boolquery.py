@@ -148,7 +148,7 @@ _SHOULD = 8  # counted for minimum_should_match eligibility
 
 _SPEC_KEYS = {
     "must", "should", "must_not", "filter", "filter_range", "filter_term",
-    "minimum_should_match",
+    "filter_exists", "minimum_should_match",
 }
 # structured fields EVERY docmap carries (url = document key — the analog of
 # scores.json's range-indexed `id`; warc_ts = the capture timestamp);
@@ -255,9 +255,11 @@ def index_numeric_fields(index_dir: str) -> tuple[str, ...]:
 def _check_spec(
     spec: dict, s: dict[str, list[str]], keyword_fields: tuple = (),
     numeric_fields: tuple = (),
-) -> tuple[dict[str, tuple], dict[str, tuple]]:
+) -> tuple[dict[str, tuple], dict[str, tuple], tuple]:
     """Validate a bool spec; -> (normalized {field: (lo, hi)} filter_range,
-    normalized {field: (value, ...)} filter_term).
+    normalized {field: (value, ...)} filter_term, (field, ...)
+    filter_exists — the ES ``exists`` query, docs whose stored field is
+    non-null, e.g. the reference's nullable pp field).
 
     ``filter_range`` accepts the structured fields every docmap carries
     (url, warc_ts) plus this index's declared NUMERIC doc-value fields
@@ -318,6 +320,19 @@ def _check_spec(
                 "a DataFrame predicate over the docmap instead)"
             )
         ft[field] = vals
+    fe_in = spec.get("filter_exists") or ()
+    if isinstance(fe_in, str):
+        fe_in = (fe_in,)
+    fe: tuple = ()
+    for field in fe_in:
+        if field not in allowed:
+            raise ValueError(
+                f"filter_exists field {field!r} not a docmap structured/"
+                f"keyword/numeric field of this index; it carries: "
+                f"{sorted(allowed)}"
+            )
+        fe += (field,)
+    fe = tuple(sorted(set(fe)))
     if not (s["must"] or s["should"] or s["filter"]):
         raise ValueError(
             "bool spec has no must/should/filter TERM clause: a "
@@ -326,7 +341,7 @@ def _check_spec(
             "inverted index — both are corpus scans; express them as "
             "plain DataFrame filters over the docmap/source instead"
         )
-    return fr, ft
+    return fr, ft, fe
 
 
 def _get_msm(spec: dict, s: dict[str, list[str]]) -> int:
@@ -396,12 +411,14 @@ def _query_plumbing(
 
 
 def _struct_arrays(
-    fr: dict, ft: dict, docmap_path, seq: int
+    fr: dict, ft: dict, fe: tuple, docmap_path, seq: int
 ) -> list[np.ndarray]:
-    """One sorted docID array per structured-filter field (range AND term
-    clauses), from the byte-budgeted per-worker docfilter cache."""
+    """One sorted docID array per structured-filter field (range, term,
+    AND exists clauses), from the byte-budgeted per-worker docfilter
+    cache."""
     from osu_elastic_indexer_spark.operators.state import (
         load_docids_eq,
+        load_docids_exists,
         load_docids_in_range,
     )
 
@@ -411,18 +428,20 @@ def _struct_arrays(
         arrs.append(load_docids_in_range(docmap_path, seq, field, flo, fhi))
     for field in sorted(ft):
         arrs.append(load_docids_eq(docmap_path, seq, field, ft[field]))
+    for field in fe:
+        arrs.append(load_docids_exists(docmap_path, seq, field))
     return arrs
 
 
 def _struct_mask_range(
-    lo: int, span: int, fr: dict, ft: dict, docmap_path, seq: int
+    lo: int, span: int, fr: dict, ft: dict, fe: tuple, docmap_path, seq: int
 ) -> np.ndarray:
     """Dense boolean eligibility mask for the structured filters (AND over
     range + term fields) over the docID window [lo, lo+span), built from
     the per-worker-cached docmap scans — sized to the caller's
     accumulator range, never the corpus."""
     mask = None
-    for ids in _struct_arrays(fr, ft, docmap_path, seq):
+    for ids in _struct_arrays(fr, ft, fe, docmap_path, seq):
         sel = ids[(ids >= lo) & (ids < lo + span)] - lo
         m = np.zeros(span, dtype=bool)
         m[sel] = True
@@ -430,17 +449,21 @@ def _struct_mask_range(
     return mask
 
 
-def _struct_mask(size: int, fr: dict, ft: dict, docmap_path, seq: int) -> np.ndarray:
+def _struct_mask(
+    size: int, fr: dict, ft: dict, fe: tuple, docmap_path, seq: int
+) -> np.ndarray:
     """Corpus-anchored variant (window [0, size)) of _struct_mask_range."""
-    return _struct_mask_range(0, size, fr, ft, docmap_path, seq)
+    return _struct_mask_range(0, size, fr, ft, fe, docmap_path, seq)
 
 
-def _struct_docids(fr: dict, ft: dict, docmap_path, seq: int) -> np.ndarray:
+def _struct_docids(
+    fr: dict, ft: dict, fe: tuple, docmap_path, seq: int
+) -> np.ndarray:
     """INTERSECTED sorted global docIDs matching every structured filter —
     the zero-score-tail enumeration source for specs whose only required
     clauses are filter context (ES: such docs are hits at score 0.0 even
     when they contain none of the query's terms)."""
-    arrs = _struct_arrays(fr, ft, docmap_path, seq)
+    arrs = _struct_arrays(fr, ft, fe, docmap_path, seq)
     out = arrs[0]
     for a in arrs[1:]:
         out = np.intersect1d(out, a, assume_unique=True)
@@ -627,9 +650,9 @@ def bool_topk(
     specs = [(qid, _normalize_spec(s)) for qid, s in queries]
     structs = {}
     for (qid, s), (_qid2, raw) in zip(specs, queries):
-        fr, ft = _check_spec(raw, s, kw_fields, num_fields)
-        if fr or ft:
-            structs[qid] = (fr, ft)
+        fr, ft, fe = _check_spec(raw, s, kw_fields, num_fields)
+        if fr or ft or fe:
+            structs[qid] = (fr, ft, fe)
     msms = {
         qid: _get_msm(raw, s)
         for (qid, s), (_qid2, raw) in zip(specs, queries)
@@ -722,9 +745,9 @@ def bool_topk_docpart(
     structs = {}
     tail_qids = set()
     for (qid, s), (_qid2, raw) in zip(specs, queries):
-        fr, ft = _check_spec(raw, s, kw_fields, num_fields)
-        if fr or ft:
-            structs[qid] = (fr, ft)
+        fr, ft, fe = _check_spec(raw, s, kw_fields, num_fields)
+        if fr or ft or fe:
+            structs[qid] = (fr, ft, fe)
             if not (s["must"] or s["filter"]) and not _get_msm(raw, s):
                 tail_qids.add(qid)
     if tail_qids:

@@ -343,7 +343,7 @@ class LocalSearcher:
         from .wand import manifest_commit_seq, topk_from_dense
 
         s = _normalize_spec(spec)
-        fr, ft = _check_spec(
+        fr, ft, fe = _check_spec(
             spec, s, index_keyword_fields(self.index_dir),
             index_numeric_fields(self.index_dir),
         )
@@ -396,12 +396,13 @@ class LocalSearcher:
                 excluded[d] = True
         self._bound_decode_cache()
         struct = None
-        if fr or ft:
+        if fr or ft or fe:
             # same worker-cached pushed docmap scans as the Spark path
             struct = _struct_mask(
                 sums.size,
                 fr,
                 ft,
+                fe,
                 tuple(committed_gen_paths(self.index_dir, "docmap")),
                 manifest_commit_seq(self.index_dir),
             )
@@ -470,6 +471,7 @@ class LocalSearcher:
                 f"{list(sortable_fields(self.index_dir))}"
             )
         fr, ft = _validated_filters(self.index_dir, filter_term, filter_range)
+        fe: tuple = ()
         dm_paths = tuple(committed_gen_paths(self.index_dir, "docmap"))
         seq = manifest_commit_seq(self.index_dir)
         ids, vals, valid = load_sort_column(dm_paths, seq, sort_field)
@@ -480,7 +482,7 @@ class LocalSearcher:
         # exact arrays bool filter_term/filter_range queries already keep
         # hot on this worker — membership via searchsorted on doc_id-
         # sorted ids
-        for farr in _struct_arrays(fr, ft, dm_paths, seq):
+        for farr in _struct_arrays(fr, ft, fe, dm_paths, seq):
             keep &= _member_mask(farr, ids)
         if self.tombstones is not None and self.tombstones.size:
             keep &= ~np.isin(ids, self.tombstones)
@@ -530,7 +532,7 @@ class LocalSearcher:
         seq = manifest_commit_seq(self.index_dir)
         ids, vals, valid = load_sort_column(dm_paths, seq, field)
         keep = np.ones(ids.size, dtype=bool)
-        for farr in _struct_arrays(fr, ft, dm_paths, seq):
+        for farr in _struct_arrays(fr, ft, (), dm_paths, seq):
             keep &= _member_mask(farr, ids)
         if self.tombstones is not None and self.tombstones.size:
             keep &= ~np.isin(ids, self.tombstones)

@@ -62,10 +62,11 @@ def _validated_filters(
         spec["filter_term"] = filter_term
     if filter_range:
         spec["filter_range"] = filter_range
-    return _check_spec(
+    fr, ft, _fe = _check_spec(
         spec, dict(_SORT_SPEC_STUB),
         index_keyword_fields(index_dir), index_numeric_fields(index_dir),
     )
+    return fr, ft
 
 
 def _apply_filters(df: DataFrame, fr: dict, ft: dict) -> DataFrame:

@@ -230,6 +230,29 @@ def load_docids_eq(paths, version: int, field: str, values: tuple) -> np.ndarray
     return _filter_cached(paths, version, field, ("eq", vals), load)
 
 
+def load_docids_exists(paths, version: int, field: str) -> np.ndarray:
+    """Sorted docIDs whose docmap ``field`` is NON-NULL — the ES
+    ``exists`` query analog (consumers restrict to docs where an optional
+    doc-value field is set, e.g. the nullable pp field in the reference's
+    schema, scores.json:29-31 / Score.cs:64-65). Same pushed,
+    column-pruned pyarrow scan + byte-bounded worker cache as the
+    range/term loaders."""
+    paths = _as_tuple(paths)
+
+    def load() -> np.ndarray:
+        import pyarrow.dataset as ds
+
+        files = _parquet_files(paths)
+        if not files:
+            return np.zeros(0, dtype=np.int64)
+        t = ds.dataset(files).to_table(
+            columns=["doc_id"], filter=~ds.field(field).is_null()
+        )
+        return np.sort(t.column("doc_id").to_numpy().astype(np.int64))
+
+    return _filter_cached(paths, version, field, ("exists",), load)
+
+
 def load_sort_column(
     paths, version: int, field: str
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -418,3 +418,51 @@ def test_stats_agg_matches_pandas_twin(spark, sort_index):
         spark, idx, "page_bytes", filter_term={"lang": "xx"}
     ).collect()[0]
     assert er.cnt == 0 and er.min_v is None and er.sum_v is None
+
+
+def test_bool_filter_exists(spark, sort_index):
+    """ES `exists` query (filter context): restricts to docs whose stored
+    field is non-null — the nullable-pp restriction. Results equal the
+    unrestricted hits minus null-valued docs, scores untouched; per-query,
+    docpart, and serve tiers agree; unknown fields refused."""
+    from osu_elastic_indexer_spark.operators.boolquery import (
+        bool_topk_docpart,
+    )
+
+    idx = sort_index.index_dir("v1")
+    pdf = _docmap_pdf(spark, sort_index)
+    has_val = set(pdf[pdf["page_bytes"].notna()]["doc_id"].astype(int))
+    assert len(has_val) < len(pdf)
+    base = {
+        r.doc_id: r.score
+        for r in bool_topk(
+            spark, idx, [(0, {"must": "the"})], k=10**6
+        ).collect()
+        if r.score > 0.0
+    }
+    spec = {"must": "the", "filter_exists": ["page_bytes"]}
+    got = {
+        r.doc_id: r.score
+        for r in bool_topk(spark, idx, [(0, spec)], k=10**6).collect()
+        if r.score > 0.0
+    }
+    assert set(got) == set(base) & has_val and got
+    assert all(abs(got[d] - base[d]) < 1e-12 for d in got)
+    dp = {
+        r.doc_id: r.score
+        for r in bool_topk_docpart(
+            spark, idx, [(0, spec)], k=10**6
+        ).collect()
+        if r.score > 0.0
+    }
+    assert dp == got
+    sv = {
+        d: s for d, s in LocalSearcher(idx).search_bool(spec, 10**6)
+        if s > 0.0
+    }
+    assert sv == got
+    with pytest.raises(ValueError, match="filter_exists field"):
+        bool_topk(
+            spark, idx,
+            [(0, {"must": "the", "filter_exists": ["nope"]})], 5,
+        ).collect()
