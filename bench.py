@@ -224,6 +224,22 @@ def main() -> None:
         ).count()
         ts.append(round(time.time() - t0, 3))
     extras["phrase_rare_common_pos_sec"] = min(ts)
+    # serve-tier POSITIONAL phrase (VERDICT r5 #4's serve phrase extra):
+    # cold first-touch (block-selected position decode) then hot, on the
+    # v2 index; best-of-2 fresh-searcher for the cold figure
+    from osu_elastic_indexer_spark.operators.serve import LocalSearcher
+
+    ts = []
+    for _ in range(2):
+        s2 = LocalSearcher(pos_idx)
+        t0 = time.time()
+        s2.search_phrase("hash join", None, 10)
+        ts.append(round((time.time() - t0) * 1000, 2))
+    extras["serve_phrase_cold_ms"] = min(ts)
+    t0 = time.time()
+    s2.search_phrase("hash join", None, 10)
+    extras["serve_phrase_hot_ms"] = round((time.time() - t0) * 1000, 2)
+    del s2
     _sh.rmtree(pos_root, ignore_errors=True)
 
     # ---- serving-tier p50 (no Spark job per query; the ES-analog path) -----
@@ -257,20 +273,6 @@ def main() -> None:
         lat1.append(time.time() - t0)
     lat1.sort()
     extras["serve_hot_p50_ms"] = round(lat1[len(lat1) // 2] * 1000, 2)
-
-    # serve-tier POSITIONAL phrase (VERDICT r5 #4's serve phrase extra):
-    # cold first-touch (block-selected position decode) then hot, on the
-    # v2 index; best-of-2 fresh-searcher for the cold figure
-    ts = []
-    for _ in range(2):
-        s2 = LocalSearcher(pos_idx)
-        t0 = time.time()
-        s2.search_phrase("hash join", None, 10)
-        ts.append(round((time.time() - t0) * 1000, 2))
-    extras["serve_phrase_cold_ms"] = min(ts)
-    t0 = time.time()
-    s2.search_phrase("hash join", None, 10)
-    extras["serve_phrase_hot_ms"] = round((time.time() - t0) * 1000, 2)
 
     # ---- incremental CDC batch (the queue-consume hot path): evolve ~12%
     # of the corpus and apply one cursor batch — measures tombstone+append,
