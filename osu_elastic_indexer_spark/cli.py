@@ -27,6 +27,7 @@ Commands/QueueCommands.cs) and their analogs here:
   (ES per-clause boost)               -> search --must "a" --should "b^2.5"
   (ES terms / stats aggregations)     -> search --terms-agg FIELD | --stats-agg FIELD
   (ES prefix query)                   -> search --prefix p [--max-expansions N]
+  (ES match_phrase_prefix)            -> search --phrase-prefix "hash jo"
   (ES match_phrase [+slop])           -> search --phrase "..." [--source src.parquet]
                                            (--source optional on --positions builds)
 
@@ -183,13 +184,20 @@ def cmd_search(args) -> int:
             and not (args.sort or agg_mode))
     )
     modes = sum(
-        1 for v in (args.query, args.prefix, args.phrase, bool_clauses,
-                    args.sort, agg_mode) if v
+        1 for v in (args.query, args.prefix, args.phrase,
+                    args.phrase_prefix, bool_clauses, args.sort, agg_mode)
+        if v
     )
     if modes != 1:
         raise SystemExit(
             "search: give exactly one of free text, --prefix, --phrase, "
-            "--sort, --terms-agg, --stats-agg, or bool clauses"
+            "--phrase-prefix, --sort, --terms-agg, --stats-agg, or bool "
+            "clauses"
+        )
+    if args.phrase_prefix and args.local:
+        raise SystemExit(
+            "search: --phrase-prefix is a Spark-path query (no serving-"
+            "tier implementation yet) — drop --local"
         )
     if args.phrase and not args.source:
         from .operators.boolquery import index_has_positions
@@ -291,6 +299,17 @@ def cmd_search(args) -> int:
             print(json.dumps({"rank": rank, "doc_id": doc_id, "score": score}))
         return 0
     spark = _spark(args)
+    if args.phrase_prefix:
+        from .operators.boolquery import match_phrase_prefix_topk
+
+        res = match_phrase_prefix_topk(
+            spark, idx, [(0, args.phrase_prefix)], args.k,
+            max_expansions=args.max_expansions,
+        )
+        for r in res.orderBy("rank").collect():
+            print(json.dumps({"rank": r.rank, "doc_id": r.doc_id,
+                              "score": r.score}))
+        return 0
     if args.terms_agg:
         from .operators.aggquery import terms_agg
 
@@ -559,6 +578,12 @@ def main(argv: list[str] | None = None) -> int:
                         "rejected, matching ES prefix semantics)")
     s.add_argument("--max-expansions", type=int, default=50,
                    help="prefix rewrite cap (ES max_expansions analog)")
+    s.add_argument("--phrase-prefix", dest="phrase_prefix", default=None,
+                   metavar="TEXT",
+                   help="ES match_phrase_prefix (autocomplete): last "
+                        "token is a prefix, earlier tokens exact phrase "
+                        "slots (positional index required; "
+                        "--max-expansions caps the rewrite)")
     s.add_argument("--phrase", default=None,
                    help="phrase query (match-then-verify); needs --source")
     s.add_argument("--source", default=None,

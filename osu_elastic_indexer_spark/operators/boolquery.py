@@ -1579,6 +1579,244 @@ def _phrase_topk_positional(
     )
 
 
+def match_phrase_prefix_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """ES ``match_phrase_prefix`` — the autocomplete query: the LAST token
+    is a prefix, every earlier token an exact phrase slot; a doc matches
+    when the full tokens appear adjacently followed by ANY dictionary
+    expansion of the prefix (term-asc, capped at ``max_expansions`` —
+    ES's rewrite cap). Requires the POSITIONAL (v2) layout: adjacency is
+    answered from the index alone, like ``phrase_topk``'s positional
+    route (Lucene runs this as MultiPhrasePrefixQuery over positions the
+    same way).
+
+    Scoring (documented engine semantics, oracle-expressible): BM25 over
+    the full tokens PLUS every capped expansion the doc contains —
+    sorted-term fold over that union, i.e. exactly a bool query on
+    (full ∪ present expansions), with eligibility = the positional
+    adjacency above. A single-token query (prefix only) degenerates to
+    the ES prefix query with an any-occurrence match, scored the same
+    scoring_boolean way.
+
+    Per-query one-task execution like ``_phrase_topk_positional``;
+    positions decode BLOCK-SELECTED for candidates only."""
+    from ..sources.catalog import assert_index_readable
+    from .dictionary import lookup_terms_by_prefix
+
+    assert_index_readable(index_dir)
+    if not index_has_positions(index_dir):
+        raise ValueError(
+            "match_phrase_prefix needs a POSITIONAL index "
+            "(build_index(positions=True)) — the v1 layout cannot verify "
+            "adjacency index-side"
+        )
+    plans: dict[int, tuple[list[str], list[str]]] = {}
+    for qid, text in queries:
+        toks = tokenize(text)
+        if not toks:
+            continue
+        full, prefix = toks[:-1], toks[-1]
+        exps = lookup_terms_by_prefix(
+            index_dir, prefix, max_expansions, spark=spark
+        )
+        if not exps:
+            continue  # no live expansion -> no match (ES: empty)
+        plans[int(qid)] = (full, exps)
+    if not plans:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    all_terms = sorted(
+        {t for full, exps in plans.values() for t in full}
+        | {t for _full, exps in plans.values() for t in exps}
+    )
+    plumb = _query_plumbing(spark, index_dir, all_terms, with_positions=True)
+    if plumb is None:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    segs, term_info, idf, state = plumb
+    qmap_rows = []
+    live: dict[int, tuple[list[str], list[str]]] = {}
+    for qid, (full, exps) in plans.items():
+        if any(t not in term_info for t in set(full)):
+            continue  # a full slot term absent -> adjacency impossible
+        exps_live = [t for t in exps if t in term_info]
+        if not exps_live:
+            continue
+        live[qid] = (full, exps_live)
+        for t in sorted(set(full) | set(exps_live)):
+            qmap_rows.append((qid, t, term_info[t][0]))
+    if not qmap_rows:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qmap = spark.createDataFrame(
+        qmap_rows, "query_id bigint, term string, term_id bigint"
+    )
+    grouped = segs.join(F.broadcast(qmap), "term_id")
+    return grouped.groupBy("query_id").applyInPandas(
+        _mpp_runner(state, k, live, idf), RESULT_SCHEMA
+    )
+
+
+def _mpp_runner(state: dict, k: int,
+                plans_b: dict[int, tuple[list[str], list[str]]],
+                idf_by_term: dict[str, float]):
+    """applyInPandas body for one match_phrase_prefix query's POSITIONAL
+    segment rows. Pass 1 scores on postings only (full tokens ∪ present
+    expansions, sorted-term fold) and masks eligibility = every full slot
+    present AND >=1 expansion; pass 2 block-select-decodes positions for
+    candidates and verifies exact adjacency with the LAST slot's
+    positions pooled over the expansions (MultiPhrasePrefix semantics)."""
+    fwd_path, tomb_path = state["fwd_path"], state["tomb_path"]
+    seq, avgdl = state["seq"], state["avgdl"]
+    kk = int(k)
+
+    def run_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        from osu_elastic_indexer_spark.operators.state import (
+            load_norms,
+            load_tombstones,
+        )
+
+        empty = pd.DataFrame(
+            {"query_id": [], "rank": [], "doc_id": [], "score": []}
+        )
+        norms = load_norms(fwd_path, seq)
+        tomb = load_tombstones(tomb_path, seq)
+        qid = int(pdf["query_id"].iloc[0])
+        full, exps = plans_b.get(qid, ([], []))
+        exp_set = set(exps)
+        uniq_full = sorted(set(full))
+        cols = {c: pdf[c].to_numpy() for c in pdf.columns}
+        rows_by_term: dict[str, list] = {}
+        for i in range(len(pdf)):
+            rows_by_term.setdefault(cols["term"][i], []).append(
+                (int(cols["doc_min"][i]),
+                 _row_to_enc_pos({c: cols[c][i] for c in pdf.columns}))
+            )
+        if any(t not in rows_by_term for t in uniq_full):
+            return empty
+        present_exps = sorted(t for t in exp_set if t in rows_by_term)
+        if not present_exps:
+            return empty
+        lo = int(cols["doc_min"].min())
+        acc_span = int(cols["doc_max"].max()) - lo + 1
+        sums = np.zeros(acc_span, dtype=np.float64)
+        full_cnt = np.zeros(acc_span, dtype=np.int16)
+        exp_mask = np.zeros(acc_span, dtype=bool)
+        term_rows: dict[str, list] = {}
+        # sorted fold over ALL scored terms (full ∪ present expansions) —
+        # the oracle's SUM(contrib ORDER BY term)
+        for t in sorted(set(uniq_full) | set(present_exps)):
+            rows = rows_by_term[t]
+            rows.sort(key=lambda r: r[0])
+            decoded_rows = []
+            for _dm, enc in rows:
+                d_i, tf_i = codec.decode_postings(enc)
+                decoded_rows.append((enc, d_i, tf_i))
+                dl = norms[d_i].astype(np.float64)
+                tfn = tf_i.astype(np.float64) / (
+                    tf_i + K1 * ((1.0 - B) + (B * dl) / avgdl)
+                )
+                sums[d_i - lo] += idf_by_term[t] * tfn
+                if t in exp_set:
+                    exp_mask[d_i - lo] = True
+                if t in uniq_full:
+                    full_cnt[d_i - lo] += 1
+            term_rows[t] = decoded_rows
+        elig = exp_mask
+        if uniq_full:
+            elig = elig & (full_cnt >= len(uniq_full))
+        sums[~elig] = 0.0
+        if tomb is not None and tomb.size:
+            tt = tomb[(tomb >= lo) & (tomb < lo + acc_span)]
+            sums[tt - lo] = 0.0
+        eligible = np.flatnonzero(sums > 0.0) + lo  # GLOBAL docIDs
+        if eligible.size == 0:
+            return empty
+        m = len(full) + 1
+        if full:
+            # pass 2: block-selected positions; last slot pools expansions
+            decoded: dict[str, tuple] = {}
+            for t in sorted(set(full)) + present_exps:
+                res = _decode_positions_selected(term_rows[t], eligible)
+                if res is None:
+                    if t in exp_set:
+                        continue  # this expansion has no candidate blocks
+                    return empty
+                decoded[t] = res
+            span = (int(norms.max()) if norms.size else 1) + m + 2
+            if int(norms.size) * span < 2**62:
+                common = None
+                for s, t in enumerate(full):
+                    d, tf, poss, pstart = decoded[t]
+                    keep = np.isin(d, eligible)
+                    dpp = np.repeat(d[keep], tf[keep])
+                    pp = _gather_runs_np(poss, pstart[:-1][keep], tf[keep])
+                    fused = dpp * np.int64(span) + (pp - s + m)
+                    common = (
+                        fused if common is None
+                        else np.intersect1d(common, fused)
+                    )
+                    if common.size == 0:
+                        return empty
+                last_parts = []
+                for t in present_exps:
+                    if t not in decoded:
+                        continue
+                    d, tf, poss, pstart = decoded[t]
+                    keep = np.isin(d, eligible)
+                    dpp = np.repeat(d[keep], tf[keep])
+                    pp = _gather_runs_np(poss, pstart[:-1][keep], tf[keep])
+                    last_parts.append(
+                        dpp * np.int64(span) + (pp - (m - 1) + m)
+                    )
+                if not last_parts:
+                    return empty
+                fused_last = np.unique(np.concatenate(last_parts))
+                common = np.intersect1d(common, fused_last)
+                if common.size == 0:
+                    return empty
+                verified = np.unique(common // np.int64(span))
+            else:  # fused-key overflow: per-doc pooled-occurrence check
+                verified = []
+                for doc in eligible:
+                    occ = []
+                    ok = True
+                    for s, t in enumerate(full):
+                        d, _tf, poss, pstart = decoded[t]
+                        j = int(np.searchsorted(d, doc))
+                        occ.append(poss[pstart[j]:pstart[j + 1]])
+                    pool: list[int] = []
+                    for t in present_exps:
+                        if t not in decoded:
+                            continue
+                        d, _tf, poss, pstart = decoded[t]
+                        j = int(np.searchsorted(d, doc))
+                        if j < d.size and d[j] == doc:
+                            pool.extend(poss[pstart[j]:pstart[j + 1]])
+                    occ.append(np.asarray(sorted(pool), dtype=np.int64))
+                    if _matches_occ(occ, 0):
+                        verified.append(int(doc))
+                verified = np.asarray(verified, dtype=np.int64)
+            if verified.size == 0:
+                return empty
+        else:
+            verified = eligible  # prefix-only query: any occurrence
+        vs = sums[verified - lo]
+        order = np.argsort(-vs, kind="stable")[:kk]
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(order),
+                "rank": list(range(1, len(order) + 1)),
+                "doc_id": [int(verified[i]) for i in order],
+                "score": [float(vs[i]) for i in order],
+            }
+        )
+
+    return run_query
+
+
 PHRASE_MAX_CANDIDATES = 1_000_000
 # auto-routing (docpart='auto'): a positional phrase whose terms' summed
 # document frequency exceeds this runs on the cell-parallel docpart path —

@@ -452,3 +452,68 @@ def test_decode_positions_selected_unit(monkeypatch):
     calls["full"], calls["block"] = 0, []
     assert _decode_positions_selected(rows, np.array([10**9])) is None
     assert calls == {"full": 0, "block": []}
+
+
+def test_match_phrase_prefix(spark, pos_index, corpus_path, v1_index):
+    """ES match_phrase_prefix (autocomplete): full tokens adjacent to ANY
+    capped expansion of the last-token prefix, verified on the positional
+    index — match set identical to a brute-force token scan; the
+    expansion cap binds term-asc; v1 indexes refuse; prefix-only input
+    degenerates to an any-occurrence prefix query."""
+    from osu_elastic_indexer_spark.operators.boolquery import (
+        match_phrase_prefix_topk,
+    )
+
+    idx = pos_index.index_dir("v1")
+    docmap = spark.read.parquet(pos_index.table_path("v1", "docmap"))
+    id_by_url = {r.url: r.doc_id for r in docmap.collect()}
+    tbl = pq.read_table(corpus_path)
+
+    def truth(full, prefix):
+        out = set()
+        for u, h, lang in zip(
+            tbl["url"].to_pylist(), tbl["html"].to_pylist(),
+            tbl["lang"].to_pylist(),
+        ):
+            if lang != "en" or u not in id_by_url:
+                continue
+            toks = tokenize(extract_text(h) or "")
+            n = len(full)
+            if n == 0:
+                if any(t.startswith(prefix) for t in toks):
+                    out.add(id_by_url[u])
+            elif any(
+                toks[i:i + n] == full and toks[i + n].startswith(prefix)
+                for i in range(len(toks) - n)
+            ):
+                out.add(id_by_url[u])
+        return out
+
+    for q, full, prefix in [
+        ("the ze", ["the"], "ze"),
+        ("w0010", [], "w0010"),
+        ("quick brown fo", ["quick", "brown"], "fo"),
+    ]:
+        eng = {
+            r.doc_id
+            for r in match_phrase_prefix_topk(
+                spark, idx, [(0, q)], 10**6
+            ).collect()
+        }
+        assert eng == truth(full, prefix), q
+    # ranking is deterministic: score desc, doc_id asc
+    rows = match_phrase_prefix_topk(spark, idx, [(0, "the ze")], 10).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert all(
+        (rows[i].score, -rows[i].doc_id) >= (rows[i + 1].score, -rows[i + 1].doc_id)
+        or rows[i].score > rows[i + 1].score
+        for i in range(len(rows) - 1)
+    )
+    # no expansion -> empty; v1 (positions-free) index -> refused
+    assert match_phrase_prefix_topk(
+        spark, idx, [(0, "the xqzzy")], 10
+    ).collect() == []
+    with pytest.raises(ValueError, match="POSITIONAL"):
+        match_phrase_prefix_topk(
+            spark, v1_index.index_dir("v1"), [(0, "the ze")], 10
+        )
