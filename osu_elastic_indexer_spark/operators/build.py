@@ -96,6 +96,33 @@ STATS_SCHEMA = (
     "total_postings bigint"
 )
 
+
+def _write_stats_table(
+    stats_path: str, n_docs: int, sum_dl: int, avgdl: float,
+    dl_min: int, total_postings: int,
+) -> None:
+    """Write the one-row stats table driver-side with pyarrow (the same
+    int64/float64 shape STATS_SCHEMA declares and the incremental path
+    already writes) — a Spark job for one row is pure session overhead."""
+    import shutil as _sh
+
+    import pyarrow.parquet as _pq
+
+    _sh.rmtree(stats_path, ignore_errors=True)
+    os.makedirs(stats_path)
+    _pq.write_table(
+        pa.table(
+            {
+                "n_docs": pa.array([int(n_docs)], pa.int64()),
+                "sum_dl": pa.array([int(sum_dl)], pa.int64()),
+                "avgdl": pa.array([float(avgdl)], pa.float64()),
+                "dl_min": pa.array([int(dl_min)], pa.int64()),
+                "total_postings": pa.array([int(total_postings)], pa.int64()),
+            }
+        ),
+        os.path.join(stats_path, "part-00000.parquet"),
+    )
+
 # forward index: one row per doc, terms deduped with counts (the per-doc
 # combine); doc_id-ordered within partitions by construction
 FWD_SCHEMA = "doc_id bigint, dl bigint, terms array<string>, tfs array<bigint>"
@@ -242,24 +269,10 @@ def _fused_stage_pass(positions: bool = False, keyword_cols: tuple = ()):
             flat_tfs: list[int] = []
             flat_poss: list[int] = []
             for i in range(n):
-                h = htmls[i].as_py()
-                toks = tokenize(extract_text(h))
-                dls.append(len(toks))
-                if toks:
-                    if positions:
-                        plist: dict[str, list[int]] = {}
-                        for j, tk in enumerate(toks):
-                            plist.setdefault(tk, []).append(j)
-                        flat_terms.extend(plist.keys())
-                        for ps in plist.values():
-                            flat_tfs.append(len(ps))
-                            flat_poss.extend(ps)
-                    else:
-                        counts: dict[str, int] = {}
-                        for tk in toks:
-                            counts[tk] = counts.get(tk, 0) + 1
-                        flat_terms.extend(counts.keys())
-                        flat_tfs.extend(counts.values())
+                toks = tokenize(extract_text(htmls[i].as_py()))
+                dls.append(
+                    _combine_doc(toks, positions, flat_terms, flat_tfs, flat_poss)
+                )
                 term_offsets.append(len(flat_terms))
                 pos_offsets.append(len(flat_poss))
             arrays = [
@@ -304,6 +317,240 @@ def _fused_stage_pass(positions: bool = False, keyword_cols: tuple = ()):
     return run
 
 
+def _plan_is_deterministic_scan(df: DataFrame) -> bool:
+    """True when ``df`` is a narrow (map-only) lineage over a plain file
+    scan: its partitioning and per-partition row order are then
+    reproducible across jobs within one session (same split conf, same
+    file listing), which is exactly the invariant the direct id-projection
+    fast path of ``materialize_forward`` needs. Conservative by design:
+    any operator that can resample, reorder or regroup rows between jobs
+    (shuffle/sort/sample/limit/rand/python-eval/cache) forces the staged
+    path — a false negative only costs the staging round-trip."""
+    try:
+        if not df.inputFiles():
+            return False
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return False
+    bad = (
+        "Repartition", "Sort", "Aggregate", "Join", "Window", "Deduplicate",
+        "Sample", "Limit", "Offset", "Generate", "rand(", "randn(",
+        "shuffle", "Exchange", "InMemoryRelation", "MapIn", "EvalPython",
+        "FlatMap", "MapGroups", "MapElements", "MapPartitions",
+    )
+    return not any(b in plan for b in bad)
+
+
+def _combine_doc(toks, positions, flat_terms, flat_tfs, flat_poss):
+    """Per-doc combine shared by the fused passes: append the doc's unique
+    terms (first-appearance order), counts, and (optionally) term-major
+    ascending positions onto the flat output lists. Returns dl."""
+    if positions:
+        plist: dict[str, list[int]] = {}
+        for j, tk in enumerate(toks):
+            plist.setdefault(tk, []).append(j)
+        flat_terms.extend(plist.keys())
+        for ps in plist.values():
+            flat_tfs.append(len(ps))
+            flat_poss.extend(ps)
+    else:
+        counts: dict[str, int] = {}
+        for tk in toks:
+            counts[tk] = counts.get(tk, 0) + 1
+        flat_terms.extend(counts.keys())
+        flat_tfs.extend(counts.values())
+    return len(toks)
+
+
+def _fused_fwd_pass(positions: bool, bundle_b):
+    """mapInArrow body over (html, __pid) partitions for the DIRECT path:
+    the same byte-exact extract+tokenize+per-doc combine as
+    ``_fused_stage_pass``, but docIDs are assigned IN-PASS from the
+    pre-counted per-partition offsets (offset[pid] + local row position)
+    and dl==0 rows are dropped here (the forward table never stores them)
+    — the output IS the fwd table, no staging round-trip, and url/warc_ts
+    never cross the Python boundary. ``bundle_b``: broadcast of
+    (offsets, counts) from the cheap JVM count pass; a row-count mismatch
+    against ``counts`` aborts the job loudly (the determinism invariant
+    ``_plan_is_deterministic_scan`` guards can then never corrupt ids
+    silently)."""
+    from ..functions.textprep import extract_text, tokenize
+
+    def run(batches):
+        local = 0
+        pid = None
+        offsets, counts = bundle_b.value
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            bpid = int(batch.column("__pid")[0].as_py())
+            if pid is None:
+                pid = bpid
+            elif bpid != pid:
+                raise RuntimeError(
+                    f"fused fwd pass saw rows of partitions {pid} and "
+                    f"{bpid} in one task — partition lineage broke"
+                )
+            base = int(offsets[pid]) + local
+            local += n
+            htmls = batch.column("html")
+            doc_ids: list[int] = []
+            dls: list[int] = []
+            term_offsets = [0]
+            pos_offsets = [0]
+            flat_terms: list[str] = []
+            flat_tfs: list[int] = []
+            flat_poss: list[int] = []
+            for i in range(n):
+                toks = tokenize(extract_text(htmls[i].as_py()))
+                if not toks:
+                    continue  # fwd stores dl>0 docs only (id still advances)
+                doc_ids.append(base + i)
+                dls.append(
+                    _combine_doc(toks, positions, flat_terms, flat_tfs, flat_poss)
+                )
+                term_offsets.append(len(flat_terms))
+                pos_offsets.append(len(flat_poss))
+            arrays = [
+                pa.array(doc_ids, pa.int64()),
+                pa.array(dls, pa.int64()),
+                pa.ListArray.from_arrays(
+                    pa.array(term_offsets, pa.int32()),
+                    pa.array(flat_terms, pa.string()),
+                ),
+                pa.ListArray.from_arrays(
+                    pa.array(term_offsets, pa.int32()),
+                    pa.array(flat_tfs, pa.int64()),
+                ),
+            ]
+            fields = [
+                ("doc_id", pa.int64()),
+                ("dl", pa.int64()),
+                ("terms", pa.list_(pa.string())),
+                ("tfs", pa.list_(pa.int64())),
+            ]
+            if positions:
+                arrays.append(
+                    pa.ListArray.from_arrays(
+                        pa.array(pos_offsets, pa.int32()),
+                        pa.array(flat_poss, pa.int64()),
+                    )
+                )
+                fields.append(("poss", pa.list_(pa.int64())))
+            yield pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
+        if pid is not None and local != int(counts.get(pid, -1)):
+            raise RuntimeError(
+                f"fused fwd pass of partition {pid} saw {local} rows but the "
+                f"count pass saw {counts.get(pid)} — scan partitioning was "
+                "not reproducible; rebuild with the staged path"
+            )
+
+    return run
+
+
+def _materialize_forward_direct(
+    spark: SparkSession,
+    adds: DataFrame,
+    fwd_dir: str,
+    docmap_dir: str,
+    start_id: int,
+    positions: bool,
+    keyword_cols: tuple,
+    numeric_cols: tuple,
+) -> dict:
+    """Direct (no-staging) forward materialization for deterministic file
+    scans: one cheap JVM-only count pass fixes the per-partition docID
+    offsets, then the heavy fused pass writes the fwd table directly
+    (ids assigned in-pass) while a JVM-only projection writes the docmap
+    concurrently from the same scan (doc_id = offset[pid] + partition-local
+    row number via monotonically_increasing_id). Replaces: staging write +
+    three staging scans + a second parquet encode of the token lists.
+    Output tables and ids are identical to the staged path."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Observation
+
+    # ---- pass 0 (cheap, JVM): rows per scan partition — lang/text columns
+    # only, the html blobs are never decoded here
+    counts = dict(
+        (int(r["pid"]), int(r["n"]))
+        for r in adds.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = start_id
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    bundle_b = spark.sparkContext.broadcast((offsets, counts))
+
+    fwd_schema = FWD_SCHEMA + (", poss array<bigint>" if positions else "")
+    obs = Observation(f"fwd_stats_{start_id}")
+    fwd_out = (
+        adds.select("html")
+        .withColumn("__pid", F.spark_partition_id())
+        .mapInArrow(_fused_fwd_pass(positions, bundle_b), fwd_schema)
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
+            F.min("dl").alias("dl_min"),
+            F.coalesce(F.sum(F.size("terms")), F.lit(0)).alias("postings"),
+        )
+    )
+
+    kw_sel = [F.col(c).cast("string").alias(c) for c in keyword_cols]
+    num_sel = [F.col(c).cast("double").alias(c) for c in numeric_cols]
+    if offsets:
+        off_df = spark.createDataFrame(
+            sorted(offsets.items()), "pid int, off bigint"
+        )
+        dm = (
+            adds.select("url", "warc_ts", *kw_sel, *num_sel)
+            .withColumn("pid", F.spark_partition_id())
+            .withColumn(
+                "pos",
+                F.monotonically_increasing_id().bitwiseAND(
+                    F.lit((1 << 33) - 1)
+                ),
+            )
+            .join(F.broadcast(off_df), "pid")
+            .select(
+                "url", "warc_ts", *keyword_cols, *numeric_cols,
+                (F.col("off") + F.col("pos")).alias("doc_id"),
+            )
+        )
+    else:
+        dm = adds.select(
+            "url", "warc_ts", *kw_sel, *num_sel,
+            F.lit(start_id).cast("bigint").alias("doc_id"),
+        )
+    dm_obs = Observation(f"dm_stats_{start_id}")
+    dm = dm.observe(
+        dm_obs,
+        F.count(F.lit(1)).alias("n"),
+        F.max("warc_ts").alias("cursor"),
+    )
+
+    # overlap the two independent writes (guide §2.6): the docmap job is
+    # JVM-only and back-fills cores the python-heavy fwd job leaves idle
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(
+            lambda: dm.write.mode("overwrite").parquet(docmap_dir)
+        )
+        fwd_out.write.mode("overwrite").parquet(fwd_dir)
+        fut.result()
+    dmg = dict(dm_obs.get)
+    return {
+        "n_rows": acc - start_id,
+        "fwd": dict(obs.get),
+        "docmap_rows": int(dmg["n"] or 0),
+        "cursor": dmg["cursor"],
+    }
+
+
 def materialize_forward(
     spark: SparkSession,
     adds: DataFrame,
@@ -329,15 +576,26 @@ def materialize_forward(
     ~a few % of the input size (compressed token lists, no html).
 
     Returns {"n_rows": staged rows (== docmap rows written, known from the
-    per-partition offset counts), "fwd": {n, sum_dl, dl_min, postings}} —
+    per-partition offset counts), "fwd": {n, sum_dl, dl_min, postings},
+    "docmap_rows": rows written to the docmap, "cursor": max(warc_ts)} —
     the forward-table stats ride the fwd write itself as a CollectMetrics
-    observation, so callers never need follow-up count()/agg() jobs over
-    the generation they just wrote.
+    observation (and the docmap stats its write), so callers never need
+    follow-up count()/agg() jobs over the generation they just wrote.
+
+    Fast path: when ``adds`` is a narrow lineage over a plain file scan
+    (``_plan_is_deterministic_scan``) the staging round-trip is skipped
+    entirely — see ``_materialize_forward_direct``. The staged path below
+    remains the general-input fallback (shuffled/cached/in-memory inputs).
     """
     import shutil
 
     keyword_cols = tuple(keyword_cols)
     numeric_cols = tuple(numeric_cols)
+    if _plan_is_deterministic_scan(adds):
+        return _materialize_forward_direct(
+            spark, adds, fwd_dir, docmap_dir, start_id,
+            positions, keyword_cols, numeric_cols,
+        )
     carry_cols = keyword_cols + numeric_cols
     # keyword/numeric columns (scores.json keyword- and numeric-field
     # analogs) ride the staging pass untouched — cast driver-side (string /
@@ -386,11 +644,20 @@ def materialize_forward(
         F.min("dl").alias("dl_min"),
         F.coalesce(F.sum(F.size("terms")), F.lit(0)).alias("postings"),
     ).write.mode("overwrite").parquet(fwd_dir)
-    with_ids.select("url", "warc_ts", *carry_cols, "doc_id").write.mode(
-        "overwrite"
-    ).parquet(docmap_dir)
+    dm_obs = Observation(f"dm_stats_{start_id}")
+    with_ids.select("url", "warc_ts", *carry_cols, "doc_id").observe(
+        dm_obs,
+        F.count(F.lit(1)).alias("n"),
+        F.max("warc_ts").alias("cursor"),
+    ).write.mode("overwrite").parquet(docmap_dir)
     shutil.rmtree(staging_dir, ignore_errors=True)
-    return {"n_rows": acc - start_id, "fwd": dict(obs.get)}
+    dmg = dict(dm_obs.get)
+    return {
+        "n_rows": acc - start_id,
+        "fwd": dict(obs.get),
+        "docmap_rows": int(dmg["n"] or 0),
+        "cursor": dmg["cursor"],
+    }
 
 
 def exploded_postings(fwd: DataFrame) -> DataFrame:
@@ -1055,35 +1322,32 @@ def build_index(
             # generation-0 subdirs: incremental generations append sibling
             # gen=N dirs and COMMIT via the manifest pointer (atomicity —
             # sources/catalog.committed_gen_paths)
-            materialize_forward(
+            staged = materialize_forward(
                 spark, adds,
                 f"{fwd_path}/gen=0", f"{docmap_path}/gen=0",
                 f"{cat.index_dir(schema_version)}/_fwd_stage",
                 positions=positions, keyword_cols=keyword_fields,
                 numeric_cols=numeric_fields,
             )
-        fwd = spark.read.parquet(fwd_path)
-        dm = spark.read.parquet(docmap_path)
-        agg = dm.agg(
-            F.count("*").alias("docs"), F.max("warc_ts").alias("cursor")
-        ).collect()[0]
-        st = fwd.agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("sum_dl"),
-            F.coalesce(F.sum("dl") / F.count("*"), F.lit(0.0))
-            .cast("double").alias("avgdl"),
-            F.coalesce(F.min("dl"), F.lit(0)).cast("bigint").alias("dl_min"),
-            F.coalesce(F.sum(F.size("terms")), F.lit(0))
-            .cast("bigint").alias("total_postings"),
-        ).collect()[0]
-        spark.createDataFrame([tuple(st)], STATS_SCHEMA).write.mode(
-            "overwrite"
-        ).parquet(stats_path)
+        # collection stats and the cursor rode the fwd/docmap writes as
+        # CollectMetrics observations — no follow-up agg jobs over the
+        # tables just written (they were 2 full scans of fwd + docmap)
+        st = staged["fwd"]
+        n_docs = int(st["n"] or 0)
+        sum_dl = int(st["sum_dl"] or 0)
+        dl_min = int(st["dl_min"]) if st["dl_min"] is not None else 0
+        total_postings = int(st["postings"] or 0)
+        _write_stats_table(
+            stats_path, n_docs, sum_dl,
+            (float(sum_dl) / n_docs) if n_docs else 0.0,
+            dl_min, total_postings,
+        )
+        cursor = staged["cursor"]
         cat.mark_phase(
             schema_version, "postings", "done",
-            postings=int(st.total_postings), n_docs=int(st.n_docs),
-            docs=int(st.n_docs), docmap_rows=int(agg.docs),
-            cursor=str(agg.cursor) if agg.cursor is not None else None,
+            postings=total_postings, n_docs=n_docs,
+            docs=n_docs, docmap_rows=int(staged["docmap_rows"]),
+            cursor=str(cursor) if cursor is not None else None,
         )
 
     # ---- phase 2: segments + dictionary -------------------------------------
@@ -1094,9 +1358,18 @@ def build_index(
         # under-partitions the compact fwd — measured scaling killer)
         with scan_split_bytes(spark, fwd_split_bytes(spark, fwd_path)):
             fwd = spark.read.parquet(fwd_path)
-            dm = spark.read.parquet(docmap_path)
-            max_doc = dm.agg(F.max("doc_id")).collect()[0][0]
-            id_span = int(max_doc) + 1 if max_doc is not None else 1
+            # ids are dense from 0 (full build), so the id span IS the
+            # docmap row count phase 1 recorded — no dm.agg(max) job;
+            # resumed legacy manifests without the counter fall back
+            dm_rows = (cat.read_manifest(schema_version) or {}).get(
+                "phases", {}
+            ).get("postings", {}).get("docmap_rows")
+            if dm_rows is not None:
+                id_span = max(int(dm_rows), 1)
+            else:
+                dm = spark.read.parquet(docmap_path)
+                max_doc = dm.agg(F.max("doc_id")).collect()[0][0]
+                id_span = int(max_doc) + 1 if max_doc is not None else 1
             nparts = segment_partitions or max(
                 2, int(spark.conf.get("spark.sql.shuffle.partitions")) // 2
             )
