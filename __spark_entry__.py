@@ -336,8 +336,12 @@ ORDER BY raw DESC, doc_id ASC LIMIT {k}
 
 
 def _bm25_spark(spark, sf_dir, query_text: str, k: int = 10) -> DataFrame:
-    tf = S.tf_table(_en_docs(spark, sf_dir))
-    scored = S.fold_scores(S.bm25_contributions(tf, tokenize(query_text)))
+    # single tokenize pass (operators/search.bm25_scores_fused): the old
+    # 3-subtree plan re-ran the corpus mapInPandas for the matched scan,
+    # the df broadcast, AND the stats broadcast — 3x the dominant cost.
+    # Round/order/limit are unchanged (ordering on the ROUNDED score,
+    # doc_id tiebreak — the oracle's ORDER BY).
+    scored = S.bm25_scores_fused(_en_docs(spark, sf_dir), query_text)
     return (
         scored.select("doc_id", F.round("score", 4).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))

@@ -131,3 +131,89 @@ def bm25_topk_brute(tf: DataFrame, query_text: str, k: int = 10) -> DataFrame:
     This is the M1 end-to-end slice (SURVEY.md §7.2) and remains the internal
     truth for the WAND path."""
     return topk(fold_scores(bm25_contributions(tf, tokenize(query_text))), k)
+
+
+def bm25_scores_fused(
+    docs: DataFrame, query_text: str,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Exact per-doc BM25 scores with ONE tokenization pass over the corpus
+    -> (doc_id, score) for every matching doc; callers apply their own
+    round/order/limit (ft_bm25_topk orders by the ROUNDED score like its
+    oracle).
+
+    ``bm25_topk_brute``'s plan evaluates its ``tf_table`` subtree three
+    times (the matched scan, the per-term-df broadcast, and the
+    collection-stats broadcast each re-run the full mapInPandas pass), so
+    the corpus is tokenized 3x per query. Here one fused pass emits, per
+    doc, a single dl sentinel row (term NULL) plus the (term, tf) rows for
+    the QUERY terms only; the result is tiny (n_docs + matches rows), so
+    an eager localCheckpoint materializes it once and every downstream
+    subtree (stats, df, scoring) reads the checkpoint instead of
+    re-tokenizing. Scores, fold order, and tie-breaks are identical to the
+    brute path: same tokenizer, same df/avgdl definitions, same
+    idf/tf-norm expressions, same sorted-term fold
+    (tests/test_search_brute.py pins the equivalence)."""
+    spark = docs.sparkSession
+    terms = sorted(set(tokenize(query_text)))
+    if not terms:
+        return spark.createDataFrame([], "doc_id bigint, score double")
+    tset = frozenset(terms)
+
+    def fused(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_doc: list[int] = []
+            out_term: list[str | None] = []
+            out_tf: list[int] = []
+            out_dl: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
+                toks = tokenize(text)
+                dl = len(toks)
+                if dl == 0:
+                    continue  # tf_table emits nothing for empty docs
+                out_doc.append(doc_id)
+                out_term.append(None)  # dl sentinel: one per doc with dl>0
+                out_tf.append(0)
+                out_dl.append(dl)
+                counts: dict[str, int] = {}
+                for t in toks:
+                    if t in tset:
+                        counts[t] = counts.get(t, 0) + 1
+                for t, c in counts.items():
+                    out_doc.append(doc_id)
+                    out_term.append(t)
+                    out_tf.append(c)
+                    out_dl.append(dl)
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "term": out_term, "tf": out_tf, "dl": out_dl}
+            )
+
+    rows = (
+        docs.select(
+            F.col(id_col).cast("bigint").alias("doc_id"),
+            F.col(text_col).alias("text"),
+        )
+        .mapInPandas(fused, schema=TF_SCHEMA)
+        .localCheckpoint()
+    )
+    stats = rows.filter(F.col("term").isNull()).agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).cast("double").alias("avgdl"),
+    )
+    matched = rows.filter(F.col("term").isNotNull())
+    dfreq = matched.groupBy("term").agg(F.count("*").alias("df"))
+    contribs = (
+        matched.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            (
+                idf_expr(F.col("n_docs"), F.col("df"))
+                * tf_norm_expr(F.col("tf"), F.col("dl"), F.col("avgdl"))
+            ).alias("contrib"),
+        )
+    )
+    return fold_scores(contribs)
