@@ -540,7 +540,9 @@ def _materialize_forward_direct(
         fut = pool.submit(
             lambda: dm.write.mode("overwrite").parquet(docmap_dir)
         )
-        fwd_out.write.mode("overwrite").parquet(fwd_dir)
+        fwd_out.write.mode("overwrite").option(
+            "parquet.block.size", str(FWD_ROW_GROUP_BYTES)
+        ).parquet(fwd_dir)
         fut.result()
     dmg = dict(dm_obs.get)
     return {
@@ -643,7 +645,9 @@ def materialize_forward(
         F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"),
         F.min("dl").alias("dl_min"),
         F.coalesce(F.sum(F.size("terms")), F.lit(0)).alias("postings"),
-    ).write.mode("overwrite").parquet(fwd_dir)
+    ).write.mode("overwrite").option(
+        "parquet.block.size", str(FWD_ROW_GROUP_BYTES)
+    ).parquet(fwd_dir)
     dm_obs = Observation(f"dm_stats_{start_id}")
     with_ids.select("url", "warc_ts", *carry_cols, "doc_id").observe(
         dm_obs,
@@ -1128,6 +1132,14 @@ def write_dict_by_term(dictionary: DataFrame, path: str) -> None:
 # narrow per-group term_id ranges, so query-time term seeks read only the
 # covering groups (the Lucene term-index granularity analog)
 SEGMENT_ROW_GROUP_BYTES = 1 << 20
+
+# fwd parquet row-group size: parquet scans can split no finer than a row
+# group, and the default 128 MB block left an incremental generation's fwd
+# (written by however few tasks the delta input had — often ONE for a
+# single-file queue batch) unsplittable, serializing the CPU-bound SPIMI
+# inversion onto 1-2 cores. ~4 MB groups let fwd_split_bytes' ~3-tasks/core
+# target actually materialize whatever the writer's parallelism was.
+FWD_ROW_GROUP_BYTES = 4 << 20
 
 # above this many dictionary rows the tokens⋈dictionary join stops
 # broadcasting (a 10^8-term dictionary OOMs driver+executors) and becomes a

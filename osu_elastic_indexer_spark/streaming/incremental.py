@@ -151,14 +151,38 @@ def incremental_update(
         batch = dedup_last_write_wins(
             queue_urls.select("url").distinct().join(docs, "url", "left")
         )
+        cursor_pred = None
     else:
         cursor = m["cursor"]
-        batch = docs.filter(F.col("warc_ts") > F.lit(cursor).cast("timestamp"))
-    batch = with_should_index(batch, include_all_langs).persist()
+        cursor_pred = F.col("warc_ts") > F.lit(cursor).cast("timestamp")
+        batch = docs.filter(cursor_pred)
+    if cursor_pred is not None:
+        # cursor path: the persisted batch only ever feeds changed_urls and
+        # the max(warc_ts) cursor (adds re-derive from ``docs`` below) —
+        # persist just those two columns instead of caching the html blobs
+        batch = batch.select("url", "warc_ts").persist()
+    else:
+        batch = with_should_index(batch, include_all_langs).persist()
 
-    adds = batch.filter(F.col("should_index")).select(
-        "url", "warc_ts", "html", *keyword_fields, *numeric_fields
-    )
+    if cursor_pred is not None:
+        # cursor batches: build the adds lineage straight off ``docs``
+        # (filter + select only, never through the persisted batch) so
+        # materialize_forward's direct no-staging path applies when docs
+        # is a plain file scan — identical rows and, because the cache
+        # preserves the scan's partition structure, identical docIDs
+        from ..operators.routing import should_index_expr
+
+        adds = (
+            docs.filter(cursor_pred)
+            .filter(should_index_expr(include_all_langs))
+            .select(
+                "url", "warc_ts", "html", *keyword_fields, *numeric_fields
+            )
+        )
+    else:
+        adds = batch.filter(F.col("should_index")).select(
+            "url", "warc_ts", "html", *keyword_fields, *numeric_fields
+        )
 
     docmap = _read_committed(spark, idx, "docmap", DOCMAP_SCHEMA)
     old_tombs = _read_committed(spark, idx, "tombstones", TOMB_SCHEMA)
@@ -387,30 +411,37 @@ def incremental_update(
         # fwd gen dir (they are not in the committed fwd snapshot yet)
         # the batch-scoped delta dictionary covers every term in fwd_new
         # (adds are a subset of the delta vocabulary) — the spimi join only
-        # needs ids for the batch's own terms, never the whole vocabulary
-        segs, _d, sub = build_segments_spimi(
-            spark, fwd_new, id_span, cap, fwd_gen_dir, norms_ver,
-            generation=gen, dictionary=dict_delta, n_terms=int(n_batch_terms),
-            positions=positions,
-        )
-        seg_gen_dir = f"{resolve_table_dir(idx, 'segments')}/gen={gen}"
-        # blob-bytes counter rides the write job itself (CollectMetrics on
-        # the plan) instead of a follow-up re-scan of the new generation
-        from pyspark.sql import Observation
+        # needs ids for the batch's own terms, never the whole vocabulary.
+        # Split the gen's fwd fine (it may be as few files as the delta
+        # input had partitions — often ONE) so the CPU-bound inversion
+        # parallelizes; fwd row groups are written small for exactly this.
+        with scan_split_bytes(
+            spark, fwd_split_bytes(spark, fwd_gen_dir)
+        ):
+            fwd_new_split = spark.read.parquet(fwd_gen_dir)
+            segs, _d, sub = build_segments_spimi(
+                spark, fwd_new_split, id_span, cap, fwd_gen_dir, norms_ver,
+                generation=gen, dictionary=dict_delta,
+                n_terms=int(n_batch_terms), positions=positions,
+            )
+            seg_gen_dir = f"{resolve_table_dir(idx, 'segments')}/gen={gen}"
+            # blob-bytes counter rides the write job itself (CollectMetrics
+            # on the plan) instead of a follow-up re-scan of the generation
+            from pyspark.sql import Observation
 
-        obs = Observation(f"seg_bytes_gen{gen}")
-        blob_bytes = F.length("docs_blob") + F.length("tfs_blob")
-        if positions:
-            blob_bytes = blob_bytes + F.length("pos_blob")
-        with arrow_batch_rows(spark, GROUP_BATCH_ROWS):
-            segs.observe(
-                obs,
-                F.coalesce(F.sum(blob_bytes), F.lit(0)).alias("b"),
-            ).sortWithinPartitions("term_id", "salt").write.mode(
-                "overwrite"
-            ).option(
-                "parquet.block.size", str(SEGMENT_ROW_GROUP_BYTES)
-            ).parquet(seg_gen_dir)
+            obs = Observation(f"seg_bytes_gen{gen}")
+            blob_bytes = F.length("docs_blob") + F.length("tfs_blob")
+            if positions:
+                blob_bytes = blob_bytes + F.length("pos_blob")
+            with arrow_batch_rows(spark, GROUP_BATCH_ROWS):
+                segs.observe(
+                    obs,
+                    F.coalesce(F.sum(blob_bytes), F.lit(0)).alias("b"),
+                ).sortWithinPartitions("term_id", "salt").write.mode(
+                    "overwrite"
+                ).option(
+                    "parquet.block.size", str(SEGMENT_ROW_GROUP_BYTES)
+                ).parquet(seg_gen_dir)
         sub.unpersist()
         seg_bytes_added = int(obs.get["b"])
     # dictionary DELTAS append as gen=K (batch vocabulary only), committed
@@ -656,9 +687,13 @@ def compact_index(
         # splits and under-partition the CPU-bound rewrite pass
         for table, df_ in (("fwd", fwd), ("docmap", docmap)):
             names[table] = f"{table}_v{ver}"
-            df_.write.mode("overwrite").parquet(
-                os.path.join(idx, names[table], "gen=0")
-            )
+            w = df_.write.mode("overwrite")
+            if table == "fwd":
+                # keep the rewritten fwd splittable for the next inversion
+                from ..operators.build import FWD_ROW_GROUP_BYTES
+
+                w = w.option("parquet.block.size", str(FWD_ROW_GROUP_BYTES))
+            w.parquet(os.path.join(idx, names[table], "gen=0"))
         names["dictionary"] = f"dictionary_v{ver}"
         dictionary.write.mode("overwrite").parquet(
             os.path.join(idx, names["dictionary"], "gen=0")
