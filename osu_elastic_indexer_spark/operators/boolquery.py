@@ -1216,62 +1216,15 @@ def _phrase_runner(state: dict, k: int, phrases_b: dict[int, list[str]],
                 return empty  # every candidate block vanished (can't happen
                 # for a true candidate, defensive for empty eligible overlap)
             decoded[t] = res
-        m = len(phrase)
-        # fused (doc, adjusted-position) keys: adj ∈ [-(m-1), maxpos], so
-        # +m keeps keys positive and +slop+2 headroom keeps a window query
-        # inside one doc's key range
-        span = (int(norms.max()) if norms.size else 1) + m + slop + 2
-        fits = int(norms.size) * span < 2**62
-        no_repeats = len(set(phrase)) == m
-        if fits and slop <= 0:
-            # vectorized exact adjacency: per slot, fuse (doc, pos-slot)
-            # keys for eligible docs and chain-intersect
-            common = None
-            for s, t in enumerate(phrase):
-                d, tf, poss, pstart = decoded[t]
-                keep = np.isin(d, eligible)
-                dpp = np.repeat(d[keep], tf[keep])
-                pp = _gather_runs_np(poss, pstart[:-1][keep], tf[keep])
-                fused = dpp * np.int64(span) + (pp - s + m)
-                common = (
-                    fused
-                    if common is None
-                    else np.intersect1d(common, fused, assume_unique=False)
-                )
-                if common.size == 0:
-                    return empty
-            verified = np.unique(common // np.int64(span))
-        elif fits and no_repeats:
-            # vectorized slop (no repeated phrase terms, so injectivity is
-            # automatic): a doc matches iff some anchor event lo has every
-            # slot represented in [lo, lo+slop] — the window's min IS one
-            # slot's adjusted value, so anchoring on every event is
-            # exhaustive. Per slot: one searchsorted over its sorted fused
-            # keys; slop << span keeps the range query inside one doc.
-            slot_keys = []
-            anchors = []
-            for s, t in enumerate(phrase):
-                d, tf, poss, pstart = decoded[t]
-                keep = np.isin(d, eligible)
-                dpp = np.repeat(d[keep], tf[keep])
-                pp = _gather_runs_np(poss, pstart[:-1][keep], tf[keep])
-                fused = dpp * np.int64(span) + (pp - s + m)
-                fused.sort()
-                slot_keys.append(fused)
-                anchors.append(fused)
-            anchors = np.unique(np.concatenate(anchors))
-            ok = np.ones(anchors.size, dtype=bool)
-            for fused in slot_keys:
-                idx = np.searchsorted(fused, anchors, side="left")
-                hit = idx < fused.size
-                val = np.empty(anchors.size, dtype=np.int64)
-                val[hit] = fused[idx[hit]]
-                ok &= hit & (val <= anchors + slop)
-                if not ok.any():
-                    return empty
-            verified = np.unique(anchors[ok] // np.int64(span))
-        else:  # repeated-term slop phrases / key overflow: per-doc check
-            verified = _verify_per_doc(eligible, phrase, decoded, slop)
+        # positional verification through the SAME vectorized kernel the
+        # docpart cell scorer uses (_verify_positions_cell: fused-key
+        # intersection for slop=0, origin-segmented anchor sweep for
+        # repeat-free slop, per-doc _matches_occ fallback) — one shared
+        # code path, bit-identical results on both physical shapes
+        verified = _verify_positions_cell(
+            phrase, decoded, eligible,
+            span_hint=(int(norms.max()) if norms.size else 1), slop=slop,
+        )
         if len(verified) == 0:
             return empty
         mask = np.zeros(acc_span, dtype=bool)
@@ -1288,6 +1241,58 @@ def _phrase_runner(state: dict, k: int, phrases_b: dict[int, list[str]],
         )
 
     return run_query
+
+
+def _keep_mask(d: np.ndarray, eligible: np.ndarray) -> np.ndarray:
+    """Membership of ``d`` (posting docIDs) in ``eligible`` (sorted
+    candidate docIDs) as a boolean mask — an O(range) table lookup instead
+    of np.isin's sort-based path. Candidates here are dense in their own
+    range (for a head-term phrase eligible ≈ every doc; in a docpart cell
+    the range is cell-bounded), so the table is small and the lookup is
+    one gather; np.isin re-sorted both arrays per slot."""
+    if eligible.size == 0:
+        return np.zeros(d.size, dtype=bool)
+    lo = int(eligible[0])
+    width = int(eligible[-1]) - lo + 1
+    table = np.zeros(width, dtype=bool)
+    table[eligible - lo] = True
+    dd = d - lo
+    inside = (dd >= 0) & (dd < width)
+    out = np.zeros(d.size, dtype=bool)
+    out[inside] = table[dd[inside]]
+    return out
+
+
+def _sorted_or_sort(a: np.ndarray) -> np.ndarray:
+    """Return ``a`` sorted, skipping the sort when it already is — the
+    fused (doc, adjusted-position) keys are built from doc-ascending
+    segment rows with position-ascending runs, so they arrive sorted by
+    construction; the O(n) check replaces an O(n log n) sort while staying
+    safe against any future construction change."""
+    if a.size > 1 and not bool(np.all(a[1:] >= a[:-1])):
+        a.sort()
+    return a
+
+
+def _intersect_sorted_unique(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Intersection of two SORTED arrays of unique keys, by binary probe of
+    the smaller into the larger — np.intersect1d re-sorts its concatenated
+    input every call (O((n+m) log(n+m))); this is O(min log max)."""
+    if a.size == 0 or b.size == 0:
+        return np.empty(0, dtype=np.int64)
+    if b.size < a.size:
+        a, b = b, a
+    idx = np.searchsorted(b, a)
+    idx[idx == b.size] = b.size - 1
+    return a[b[idx] == a]
+
+
+def _unique_of_sorted(a: np.ndarray) -> np.ndarray:
+    """np.unique for an already-sorted array: one neighbor-diff mask, no
+    re-sort."""
+    if a.size <= 1:
+        return a
+    return a[np.r_[True, a[1:] != a[:-1]]]
 
 
 def _gather_runs_np(
@@ -1341,43 +1346,62 @@ def _verify_positions_cell(
     max_doc = int(eligible[-1]) if eligible.size else 0
     fits = (max_doc + 1) * span < 2**62
     no_repeats = len(set(phrase)) == m
+
+    def slot_fused(s: int, t: str) -> np.ndarray:
+        d, tf, poss, pstart = decoded[t]
+        keep = _keep_mask(d, eligible)
+        if keep.all():
+            # head-term phrases: every posting doc is a candidate — the
+            # runs tile ``poss`` in order, so the gather is the identity
+            dpp = np.repeat(d, tf)
+            pp = poss
+        else:
+            dpp = np.repeat(d[keep], tf[keep])
+            pp = _gather_runs_np(poss, pstart[:-1][keep], tf[keep])
+        return _sorted_or_sort(dpp * np.int64(span) + (pp - s + m))
+
     if fits and slop <= 0:
         common = None
         for s, t in enumerate(phrase):
-            d, tf, poss, pstart = decoded[t]
-            keep = np.isin(d, eligible)
-            dpp = np.repeat(d[keep], tf[keep])
-            pp = _gather_runs_np(poss, pstart[:-1][keep], tf[keep])
-            fused = dpp * np.int64(span) + (pp - s + m)
+            fused = slot_fused(s, t)
             common = (
                 fused
                 if common is None
-                else np.intersect1d(common, fused, assume_unique=False)
+                else _intersect_sorted_unique(common, fused)
             )
             if common.size == 0:
                 return np.empty(0, dtype=np.int64)
-        return np.unique(common // np.int64(span))
+        return _unique_of_sorted(common // np.int64(span))
     if fits and no_repeats:
-        slot_keys = []
-        for s, t in enumerate(phrase):
-            d, tf, poss, pstart = decoded[t]
-            keep = np.isin(d, eligible)
-            dpp = np.repeat(d[keep], tf[keep])
-            pp = _gather_runs_np(poss, pstart[:-1][keep], tf[keep])
-            fused = dpp * np.int64(span) + (pp - s + m)
-            fused.sort()
-            slot_keys.append(fused)
-        anchors = np.unique(np.concatenate(slot_keys))
-        ok = np.ones(anchors.size, dtype=bool)
-        for fused in slot_keys:
-            idx = np.searchsorted(fused, anchors, side="left")
-            hit = idx < fused.size
-            val = np.empty(anchors.size, dtype=np.int64)
-            val[hit] = fused[idx[hit]]
-            ok &= hit & (val <= anchors + slop)
-            if not ok.any():
-                return np.empty(0, dtype=np.int64)
-        return np.unique(anchors[ok] // np.int64(span))
+        slot_keys = [slot_fused(s, t) for s, t in enumerate(phrase)]
+        # anchor sweep, segmented by the anchor's ORIGIN slot: an anchor
+        # trivially covers its own slot (the key itself is in the window),
+        # so each origin segment probes only the OTHER slots — and no
+        # global anchor sort/dedupe is needed (a duplicated anchor only
+        # repeats a check; survivors are deduped at the end)
+        good_parts = []
+        for s2, anchors in enumerate(slot_keys):
+            if anchors.size == 0:
+                continue
+            ok = np.ones(anchors.size, dtype=bool)
+            for s, fused in enumerate(slot_keys):
+                if s == s2:
+                    continue
+                idx = np.searchsorted(fused, anchors, side="left")
+                hit = idx < fused.size
+                val = np.empty(anchors.size, dtype=np.int64)
+                val[hit] = fused[idx[hit]]
+                ok &= hit & (val <= anchors + slop)
+                if not ok.any():
+                    break
+            else:
+                good_parts.append(anchors[ok])
+        if not good_parts:
+            return np.empty(0, dtype=np.int64)
+        good = np.concatenate(good_parts)
+        if good.size == 0:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(good // np.int64(span))
     return np.asarray(
         _verify_per_doc(eligible, phrase, decoded, slop), dtype=np.int64
     )

@@ -1405,13 +1405,14 @@ def build_index(
                 dictionary,
                 f"{cat.table_path(schema_version, 'dict_by_term')}/gen=0",
             )
-            dagg = dictionary.agg(
-                F.count("*").alias("n"), F.max("term_id").alias("max_tid")
-            ).collect()[0]
+            # build_segments_spimi already counted the dictionary (its
+            # broadcast-threshold probe), and dense ids run 0..n-1, so both
+            # counters are known without another agg job
+            n_terms = dictionary.count()  # cached — metadata-cheap
             cat.mark_phase(
                 schema_version, "dictionary", "done",
-                terms=int(dagg.n),
-                max_term_id=int(dagg.max_tid) if dagg.max_tid is not None else -1,
+                terms=int(n_terms),
+                max_term_id=int(n_terms) - 1,
             )
             # sort within the merge's hash partitions by term_id: each output
             # file then has narrow per-row-group term_id ranges, so query-time
@@ -1419,9 +1420,23 @@ def build_index(
             # term-dictionary seek analog) WITHOUT a second shuffle — a
             # repartitionByRange here would range-SAMPLE its child and run
             # the whole merge pipeline twice
+            # segment counters ride the write itself (CollectMetrics) —
+            # the old follow-up agg re-read every blob byte just written
+            from pyspark.sql import Observation
+
+            seg_obs = Observation("seg_counters")
+            blob_bytes = F.length("docs_blob") + F.length("tfs_blob")
+            if positions:
+                blob_bytes = blob_bytes + F.length("pos_blob")
             with arrow_batch_rows(spark, GROUP_BATCH_ROWS):
                 (
-                    segments.sortWithinPartitions("term_id", "salt")
+                    segments.observe(
+                        seg_obs,
+                        F.count(F.lit(1)).alias("rows"),
+                        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("postings"),
+                        F.coalesce(F.sum(blob_bytes), F.lit(0)).alias("bytes"),
+                    )
+                    .sortWithinPartitions("term_id", "salt")
                     .write.mode("overwrite")
                     # small row groups: files are term_id-sorted, so narrow
                     # per-group [min,max] ranges turn a query's term_id IN
@@ -1434,20 +1449,12 @@ def build_index(
                 )
         dictionary.unpersist()
         sub.unpersist()
-        seg = spark.read.parquet(seg_path)
-        blob_bytes = F.length("docs_blob") + F.length("tfs_blob")
-        if positions:
-            blob_bytes = blob_bytes + F.length("pos_blob")
-        counters = seg.agg(
-            F.count("*").alias("rows"),
-            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("postings"),
-            F.coalesce(F.sum(blob_bytes), F.lit(0)).alias("bytes"),
-        ).collect()[0]
+        counters = dict(seg_obs.get)
         cat.mark_phase(
             schema_version, "segments", "done",
-            segment_rows=int(counters.rows),
-            postings=int(counters.postings),
-            bytes=int(counters.bytes),
+            segment_rows=int(counters["rows"]),
+            postings=int(counters["postings"]),
+            bytes=int(counters["bytes"]),
         )
 
     # ---- phase 3: commit ----------------------------------------------------
