@@ -234,11 +234,18 @@ def cmd_search(args) -> int:
         av, ad = args.after
         if av == "null":
             av = None
-        elif args.sort not in ("url", "warc_ts"):
-            try:
-                av = float(av)
-            except ValueError:
-                pass
+        else:
+            # float-coerce the cursor ONLY for declared numeric sort
+            # fields: a numeric-looking cursor on a KEYWORD sort must stay
+            # a string (float would null-cast the Spark column and
+            # str-vs-float compare in the serve path — ADVICE r6)
+            from .operators.boolquery import index_numeric_fields
+
+            if args.sort in index_numeric_fields(idx):
+                try:
+                    av = float(av)
+                except ValueError:
+                    pass
         after = (av, int(ad))
     if bool_clauses:
         spec = {"must": _parse_boosted(args.must),

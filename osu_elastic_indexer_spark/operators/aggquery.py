@@ -28,7 +28,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .boolquery import index_numeric_fields
-from .sortquery import _apply_filters, _validated_filters, sortable_fields
+from .sortquery import (
+    _apply_filters,
+    _sort_field_sql_type,
+    _validated_filters,
+    sortable_fields,
+)
 
 
 def _filtered_docmap(
@@ -70,7 +75,13 @@ def terms_agg(
         )
     docmap = _filtered_docmap(spark, index_dir, filter_term, filter_range)
     if docmap is None:
-        return spark.createDataFrame([], f"{field} string, doc_count bigint")
+        # bucket column typed from the field's DECLARED type (numeric ->
+        # double, warc_ts -> timestamp) to match the non-empty plan
+        return spark.createDataFrame(
+            [],
+            f"{field} {_sort_field_sql_type(index_dir, field)}, "
+            "doc_count bigint",
+        )
     return (
         docmap.filter(F.col(field).isNotNull())
         .groupBy(field)

@@ -482,11 +482,11 @@ def _pad_zero_score(top: list, kk: int, eligible0: np.ndarray) -> list:
     return top
 
 
-def _bool_runner(state: dict, k: int, structs: dict[int, tuple[dict, dict]]):
+def _bool_runner(state: dict, k: int, structs: dict[int, tuple[dict, dict, tuple]]):
     """applyInPandas body for one query's segment rows (term, idf, role,
     n_must columns riding the broadcast qmap join; n_must counts REQUIRED
     clauses = must ∪ filter). ``structs``: qid -> (filter_range,
-    filter_term) normalized filter-context restrictions."""
+    filter_term, filter_exists) normalized filter-context restrictions."""
     fwd_path = state["fwd_path"]
     tomb_path = state["tomb_path"]
     docmap_path = state["docmap_path"]

@@ -1400,20 +1400,32 @@ def build_index(
             # append per-BATCH delta rows as sibling gen=N dirs, merged at
             # read (operators/dictionary.read_dictionary_merged) — the full
             # per-batch dictionary rewrite was the round-2 scale gap
-            dictionary.write.mode("overwrite").parquet(f"{dict_path}/gen=0")
-            write_dict_by_term(
-                dictionary,
-                f"{cat.table_path(schema_version, 'dict_by_term')}/gen=0",
-            )
-            # build_segments_spimi already counted the dictionary (its
-            # broadcast-threshold probe), and dense ids run 0..n-1, so both
-            # counters are known without another agg job
-            n_terms = dictionary.count()  # cached — metadata-cheap
-            cat.mark_phase(
-                schema_version, "dictionary", "done",
-                terms=int(n_terms),
-                max_term_id=int(n_terms) - 1,
-            )
+            # dictionary writes run CONCURRENTLY with the segments
+            # merge+write below (guide §2.6 back-fill): they only read the
+            # persisted `dictionary`, the segments job only reads the
+            # persisted `sub` + a broadcast of dictionary ids — independent
+            # jobs, so the small dict writes fill executor slots the big
+            # job's stragglers leave idle. The manifest stays
+            # single-writer: the dictionary phase is marked after join(),
+            # before the segments phase mark.
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _write_dictionary() -> int:
+                spark.sparkContext.setJobDescription("build: dictionary writes")
+                dictionary.write.mode("overwrite").parquet(
+                    f"{dict_path}/gen=0"
+                )
+                write_dict_by_term(
+                    dictionary,
+                    f"{cat.table_path(schema_version, 'dict_by_term')}/gen=0",
+                )
+                # build_segments_spimi already counted the dictionary (its
+                # broadcast-threshold probe), and dense ids run 0..n-1, so
+                # both counters are known without another agg job
+                return int(dictionary.count())  # cached — metadata-cheap
+
+            dict_pool = ThreadPoolExecutor(max_workers=1)
+            dict_future = dict_pool.submit(_write_dictionary)
             # sort within the merge's hash partitions by term_id: each output
             # file then has narrow per-row-group term_id ranges, so query-time
             # term_id IN (...) filters prune row groups (the Lucene
@@ -1447,6 +1459,13 @@ def build_index(
                     .option("parquet.block.size", str(SEGMENT_ROW_GROUP_BYTES))
                     .parquet(f"{seg_path}/gen=0")
                 )
+        n_terms = dict_future.result()
+        dict_pool.shutdown()
+        cat.mark_phase(
+            schema_version, "dictionary", "done",
+            terms=int(n_terms),
+            max_term_id=int(n_terms) - 1,
+        )
         dictionary.unpersist()
         sub.unpersist()
         counters = dict(seg_obs.get)

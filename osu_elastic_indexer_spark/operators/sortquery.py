@@ -52,6 +52,17 @@ def sortable_fields(index_dir: str) -> tuple[str, ...]:
     ))
 
 
+def _sort_field_sql_type(index_dir: str, field: str) -> str:
+    """Spark SQL type of a sortable docmap column as the REAL scan yields
+    it: declared numeric doc-values load as double, warc_ts is a
+    timestamp, everything else (url + declared keywords) is string."""
+    if field in index_numeric_fields(index_dir):
+        return "double"
+    if field == "warc_ts":
+        return "timestamp"
+    return "string"
+
+
 def _validated_filters(
     index_dir: str, filter_term, filter_range
 ) -> tuple[dict, dict]:
@@ -132,10 +143,17 @@ def sort_topk(
             "keyword_fields=... / numeric_fields=...))"
         )
     fr, ft = _validated_filters(index_dir, filter_term, filter_range)
+    # the projection below dedupes url, so derive the matching column list
+    # once and type the empty-result schema from the field's DECLARED type
+    # (numeric -> double, warc_ts -> timestamp) so callers unioning or
+    # dtype-inspecting an empty page see the same schema as a real one
+    out_cols = ["doc_id", "url"] + ([sort_field] if sort_field != "url" else [])
     dm_paths = committed_gen_paths(index_dir, "docmap")
     if not dm_paths:
+        types = {"doc_id": "bigint", "url": "string",
+                 sort_field: _sort_field_sql_type(index_dir, sort_field)}
         return spark.createDataFrame(
-            [], f"doc_id bigint, url string, {sort_field} string"
+            [], ", ".join(f"{c} {types[c]}" for c in out_cols)
         )
     docmap = _apply_filters(spark.read.parquet(*dm_paths), fr, ft)
     if after is not None:
@@ -152,7 +170,7 @@ def sort_topk(
         else F.col(sort_field).desc_nulls_last()
     )
     return (
-        docmap.select("doc_id", "url", sort_field)
+        docmap.select(*out_cols)
         .orderBy(key, F.asc("doc_id"))
         .limit(int(k))
     )

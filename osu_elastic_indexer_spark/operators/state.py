@@ -43,8 +43,13 @@ _CACHE: dict[tuple, tuple[int, object]] = {}
 # and every new range leaked an O(matching docs) int64 array on a
 # long-lived executor (ADVICE r5). 128 MiB = ~16M matching docIDs resident
 # per worker across all concurrently-hot filters.
-_FILTER_CACHE: OrderedDict[tuple, tuple[int, object]] = OrderedDict()
+_FILTER_CACHE: OrderedDict[tuple, tuple[int, object, int]] = OrderedDict()
 _FILTER_CACHE_MAX_BYTES = 128 << 20
+# running byte total of _FILTER_CACHE, updated on insert/evict: re-summing
+# the whole cache per insert walked every entry's _entry_nbytes — for a
+# cached object-dtype sort column that is an O(corpus) Python loop over
+# all cached strings on EVERY subsequent insert (ADVICE r6)
+_FILTER_CACHE_BYTES = 0
 
 
 def _entry_nbytes(val) -> int:
@@ -68,6 +73,9 @@ def _filter_cached(
     version bump (new commit) eagerly drops the index's stale entries;
     beyond that, least-recently-used entries evict until the byte budget
     holds."""
+    global _FILTER_CACHE_BYTES
+    if not _FILTER_CACHE:
+        _FILTER_CACHE_BYTES = 0  # resync after an external clear() (tests)
     key = (paths, field, spec)
     hit = _FILTER_CACHE.get(key)
     if hit is not None and hit[0] == version:
@@ -77,18 +85,21 @@ def _filter_cached(
     root = _index_root(paths[0]) if paths else ""
     stale = [
         k
-        for k, (v, _a) in _FILTER_CACHE.items()
+        for k, (v, _a, _n) in _FILTER_CACHE.items()
         if v != version
         and (_index_root(k[0][0]) if k[0] else "") == root
     ]
     for k in stale:
-        del _FILTER_CACHE[k]
-    _FILTER_CACHE[key] = (version, val)
-    total = sum(_entry_nbytes(a) for _v, a in _FILTER_CACHE.values())
-    while total > _FILTER_CACHE_MAX_BYTES and len(_FILTER_CACHE) > 1:
-        _k, (_v, a) = next(iter(_FILTER_CACHE.items()))
+        _FILTER_CACHE_BYTES -= _FILTER_CACHE.pop(k)[2]
+    if key in _FILTER_CACHE:  # stale same-key entry not caught above
+        _FILTER_CACHE_BYTES -= _FILTER_CACHE.pop(key)[2]
+    nbytes = _entry_nbytes(val)  # sized ONCE per entry, at insert
+    _FILTER_CACHE[key] = (version, val, nbytes)
+    _FILTER_CACHE_BYTES += nbytes
+    while _FILTER_CACHE_BYTES > _FILTER_CACHE_MAX_BYTES and len(_FILTER_CACHE) > 1:
+        _k, (_v, _a, n) = next(iter(_FILTER_CACHE.items()))
         del _FILTER_CACHE[_k]
-        total -= _entry_nbytes(a)
+        _FILTER_CACHE_BYTES -= n
     return val
 
 

@@ -88,9 +88,14 @@ def test_docfilter_cache_bounded_across_distinct_ranges(tmp_path):
             )
             assert ids.size == 2000 - i
         total = sum(
-            a.nbytes for _v, a in state._FILTER_CACHE.values()
+            a.nbytes for _v, a, _n in state._FILTER_CACHE.values()
         )
         assert total <= 40_000, total
+        # the running byte total matches a from-scratch re-sum (the
+        # insert-time accounting never drifts from the entries' true sizes)
+        assert state._FILTER_CACHE_BYTES == sum(
+            n for _v, _a, n in state._FILTER_CACHE.values()
+        )
         assert len(state._FILTER_CACHE) < 5
         # hits still serve from cache (most recent range is resident)
         before = len(state._FILTER_CACHE)
@@ -117,7 +122,7 @@ def test_docfilter_eq_and_version_invalidation(tmp_path):
     _write_docmap(g, 3)
     fresh = state.load_docids_eq((g,), 2, "lang", ("de",))
     assert list(fresh) == [0]
-    assert all(v == 2 for v, _a in state._FILTER_CACHE.values())
+    assert all(v == 2 for v, _a, _n in state._FILTER_CACHE.values())
     state._FILTER_CACHE.clear()
 
 
