@@ -233,23 +233,52 @@ def taat_topk(
     # dominated dense-query latency (docIDs are unique within a term, so
     # fancy-index += is exact)
     sums = np.zeros(norms.size, dtype=np.float64)
+    est = 0
     for d, contrib in per_term:
         sums[d] += contrib
+        est += d.size
     if tombstones is not None and tombstones.size:
         t = tombstones[tombstones < sums.size]
         sums[t] = 0.0
-    return topk_from_dense(sums, k)
+    return topk_from_dense(sums, k, est_matches=est)
 
 
-def topk_from_dense(sums: np.ndarray, k: int) -> list[tuple[float, int]]:
+def topk_from_dense(
+    sums: np.ndarray, k: int, est_matches: int | None = None
+) -> list[tuple[float, int]]:
     """Exact top-k (score desc, doc asc) from a dense per-doc score array
     where matched docs are exactly the nonzero entries (every BM25 contrib
     is > 0). Partition to the k largest, then WIDEN to all ties at the kth
     value before the final lexsort — both exhaustive paths (taat_topk and
     the docpart cell scorer) share this finalization so their tie handling
-    can never diverge."""
+    can never diverge. ``est_matches``: optional caller estimate of how
+    many docs matched (posting volume); when it says the accumulator is
+    match-dense, a finalize that skips the full nonzero materialization
+    runs instead — same output bit-for-bit."""
     if k <= 0:  # argpartition(kth=k-1) would wrap to -1 and min() an
         return []  # empty slice; bmw_topk has the same guard
+    if (
+        est_matches is not None
+        and sums.size > k
+        and 2 * est_matches >= sums.size
+    ):
+        # dense finalize for MATCH-DENSE accumulators (caller-estimated:
+        # total posting volume ~ accumulator span, i.e. head-term
+        # queries): partition the accumulator DIRECTLY — the flatnonzero +
+        # gather materialization below costs two extra O(n_docs) passes
+        # (and ~16 bytes/doc of allocation) that dominate the hot path
+        # when most docs matched. When the kth value is 0.0 (< k matched
+        # docs) fall through to the sparse path; when it is positive,
+        # "score >= vk" selects exactly the docs the nz-based widen kept —
+        # identical values, identical (score desc, doc asc) lexsort,
+        # bit-identical output.
+        part = np.argpartition(-sums, k - 1)[:k]
+        vk = sums[part].min()
+        if vk > 0.0:
+            nz = np.flatnonzero(sums >= vk)
+            vals = sums[nz]
+            top = np.lexsort((nz, -vals))[:k]
+            return [(float(vals[i]), int(nz[i])) for i in top]
     nz = np.flatnonzero(sums)
     if nz.size == 0:
         return []

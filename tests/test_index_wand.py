@@ -285,6 +285,29 @@ def test_topk_from_dense_k_zero():
     assert topk_from_dense(sums, 1) == [(1.5, 3)]
 
 
+def test_topk_from_dense_est_matches_equivalence():
+    """The match-dense finalize (est_matches hint) must be bit-identical
+    to the sparse path for ANY estimate — the hint may only change the
+    execution strategy, never the result (ties at the kth value, zero
+    scores, fewer-than-k matches)."""
+    import numpy as np
+
+    from osu_elastic_indexer_spark.operators.wand import topk_from_dense
+
+    rng = np.random.default_rng(123)
+    for _ in range(300):
+        n = int(rng.integers(1, 500))
+        density = float(rng.random())
+        sums = np.where(
+            rng.random(n) < density, np.round(rng.random(n) * 3, 2), 0.0
+        )
+        k = int(rng.integers(0, 12))
+        est = int(rng.integers(0, 3 * n))
+        assert topk_from_dense(sums.copy(), k) == topk_from_dense(
+            sums.copy(), k, est_matches=est
+        )
+
+
 def test_closed_index_read_refusal(spark, built_index):
     """VERDICT r3 #3: a closed index must reject READS as well as writes
     (ES parity: CloseIndexCommand.cs; alias cutover closes old indices,
