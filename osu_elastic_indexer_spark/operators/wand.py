@@ -232,6 +232,21 @@ def taat_topk(
     # np.unique/searchsorted sort of the concatenated posting lists that
     # dominated dense-query latency (docIDs are unique within a term, so
     # fancy-index += is exact)
+    if len(per_term) == 1:
+        # single-term queries (a large share of real search traffic) never
+        # need the dense accumulator: the per-doc score IS the one term's
+        # contrib array (docIDs unique within a term, nothing to fold), so
+        # top-k runs straight over (docs, contribs) — no O(n_docs) zeros,
+        # no scatter, no dense finalize. Tombstones mask by sorted-array
+        # probe. Shares _topk_pairs with topk_from_dense, so ties and
+        # ordering are bit-identical to the accumulated path.
+        d, contrib = per_term[0]
+        if tombstones is not None and tombstones.size:
+            pos = np.searchsorted(tombstones, d)
+            pos[pos == tombstones.size] = tombstones.size - 1
+            alive = tombstones[pos] != d
+            d, contrib = d[alive], contrib[alive]
+        return _topk_pairs(d, contrib, k)
     sums = np.zeros(norms.size, dtype=np.float64)
     est = 0
     for d, contrib in per_term:
@@ -241,6 +256,24 @@ def taat_topk(
         t = tombstones[tombstones < sums.size]
         sums[t] = 0.0
     return topk_from_dense(sums, k, est_matches=est)
+
+
+def _topk_pairs(
+    ids: np.ndarray, vals: np.ndarray, k: int
+) -> list[tuple[float, int]]:
+    """Shared exact top-k finalize over (doc_id, score>0) pairs: partition
+    to the k largest, WIDEN to all ties at the kth value, then one
+    (score desc, doc asc) lexsort — the single tie-handling implementation
+    every exhaustive scorer funnels through."""
+    if k <= 0 or ids.size == 0:
+        return []
+    if ids.size > k:
+        part = np.argpartition(-vals, k - 1)[:k]
+        vk = vals[part].min()
+        keep = vals >= vk
+        ids, vals = ids[keep], vals[keep]
+    top = np.lexsort((ids, -vals))[:k]
+    return [(float(vals[i]), int(ids[i])) for i in top]
 
 
 def topk_from_dense(
@@ -276,20 +309,9 @@ def topk_from_dense(
         vk = sums[part].min()
         if vk > 0.0:
             nz = np.flatnonzero(sums >= vk)
-            vals = sums[nz]
-            top = np.lexsort((nz, -vals))[:k]
-            return [(float(vals[i]), int(nz[i])) for i in top]
+            return _topk_pairs(nz, sums[nz], k)
     nz = np.flatnonzero(sums)
-    if nz.size == 0:
-        return []
-    vals = sums[nz]
-    if nz.size > k:
-        part = np.argpartition(-vals, k - 1)[:k]
-        vk = vals[part].min()
-        keep = vals >= vk
-        nz, vals = nz[keep], vals[keep]
-    top = np.lexsort((nz, -vals))[:k]
-    return [(float(vals[i]), int(nz[i])) for i in top]
+    return _topk_pairs(nz, sums[nz], k)
 
 
 # BMW pays off above this many total candidate postings (decode-everything

@@ -308,6 +308,54 @@ def test_topk_from_dense_est_matches_equivalence():
         )
 
 
+def test_taat_single_term_fast_path_equivalence():
+    """The single-term TAAT fast path (no dense accumulator) must match
+    the accumulated dense path bit-for-bit, including tombstone exclusion
+    and kth-value ties."""
+    import numpy as np
+
+    from osu_elastic_indexer_spark.functions import codec
+    from osu_elastic_indexer_spark.operators.wand import (
+        taat_topk,
+        topk_from_dense,
+    )
+
+    rng = np.random.default_rng(77)
+    for _ in range(60):
+        n_docs = int(rng.integers(5, 300))
+        n_post = int(rng.integers(1, n_docs + 1))
+        docs = np.sort(
+            rng.choice(n_docs, size=n_post, replace=False)
+        ).astype(np.int64)
+        tfs = rng.integers(1, 5, size=n_post).astype(np.int64)
+        norms = rng.integers(1, 50, size=n_docs).astype(np.int64)
+        enc = codec.encode_postings(docs, tfs)
+        avgdl = float(norms.mean())
+        idf = float(rng.random() + 0.1)
+        n_tomb = int(rng.integers(0, n_docs // 2 + 1))
+        tomb = (
+            np.sort(rng.choice(n_docs, size=n_tomb, replace=False)).astype(
+                np.int64
+            )
+            if n_tomb
+            else None
+        )
+        k = int(rng.integers(0, 8))
+        got = taat_topk([("t", idf, [enc])], k, avgdl, norms, tomb)
+        # reference: the dense-accumulator path this fast path replaces
+        dd, tt = codec.decode_postings(enc)
+        tf = tt.astype(np.float64)
+        dl = norms[dd].astype(np.float64)
+        from osu_elastic_indexer_spark.operators.wand import B, K1
+
+        tfn = tf / (tf + K1 * ((1.0 - B) + (B * dl) / avgdl))
+        sums = np.zeros(n_docs, dtype=np.float64)
+        sums[dd] += idf * tfn
+        if tomb is not None and tomb.size:
+            sums[tomb[tomb < sums.size]] = 0.0
+        assert got == topk_from_dense(sums, k)
+
+
 def test_closed_index_read_refusal(spark, built_index):
     """VERDICT r3 #3: a closed index must reject READS as well as writes
     (ES parity: CloseIndexCommand.cs; alias cutover closes old indices,
