@@ -290,6 +290,13 @@ def topk_from_dense(
     runs instead — same output bit-for-bit."""
     if k <= 0:  # argpartition(kth=k-1) would wrap to -1 and min() an
         return []  # empty slice; bmw_topk has the same guard
+    if est_matches is None and sums.size > (1 << 18):
+        # no caller estimate on a big span (the bool/phrase runners, whose
+        # post-accumulation masks make posting volume a bad proxy): one
+        # cheap counting pass measures the TRUE density — count_nonzero is
+        # a no-allocation SIMD scan, 2.5-4.5x cheaper than the flatnonzero
+        # index build it decides about (measured at 1M: ~2 ms vs 5-9 ms)
+        est_matches = int(np.count_nonzero(sums))
     if (
         est_matches is not None
         and sums.size > k
